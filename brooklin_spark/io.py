@@ -1,0 +1,46 @@
+"""Table loading helpers for the analytics layer.
+
+All testdata access funnels through here so scans stay column-prunable and
+filter-pushable: callers get the raw ``spark.read.parquet`` DataFrame (no
+caching, no collect) and Catalyst prunes columns/filters into the parquet
+scan per query. At 100 TB these would be partitioned/bucketed tables behind
+a catalog; the API shape is the same.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        # ts is parquet TIMESTAMP(NANOS) read as long (see session.py conf);
+        # truncate to micros — same conversion DuckDB applies natively
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    """Register temp views so queries can be written in Spark SQL."""
+    for n in names or TABLES:
+        table(spark, sf_dir, n).createOrReplaceTempView(n)

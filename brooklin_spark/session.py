@@ -1,0 +1,60 @@
+"""SparkSession factory tuned for the engine.
+
+Scale rationale (100 TB target, tested on local[32]):
+- AQE on: runtime coalescing, skew-join splitting, and dynamic join
+  strategy switching replace hand-tuned shuffle partition counts when the
+  same plans run on a 1000-executor cluster.
+- ``spark.sql.shuffle.partitions`` defaults to the local core count here;
+  on a real cluster AQE's coalescing makes the initial number a ceiling,
+  not a tuning knob.
+- Session timezone pinned to UTC so event-time semantics are identical
+  across engines (and to the DuckDB correctness oracle).
+- Arrow enabled: every pandas_udf / toPandas crosses the JVM<->Python
+  boundary in columnar batches instead of pickled rows.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "brooklin-spark",
+    cpus: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine's SparkSession.
+
+    ``cpus`` defaults to $SPARK_GRAFT_CPUS or all local cores. On a real
+    cluster the ``master`` is supplied externally and the local[] line is
+    ignored by spark-submit; nothing else here is local-mode-specific.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.default.parallelism", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # testdata events.parquet stores TIMESTAMP(NANOS); Spark 4 refuses it
+        # unless read as long — io.table() converts back to micros
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # small dims (region/nation/supplier/part at low SF) broadcast freely;
+        # 64MB threshold still sane on a big cluster with AQE re-checking sizes
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
