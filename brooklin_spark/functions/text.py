@@ -1,0 +1,85 @@
+"""Text-analysis column builders: language ID, quality scoring, token
+counting, fingerprinting. All built-in expressions (codegen'd, no UDFs) so
+they run at scan speed over 100 TB of documents.
+
+Determinism: ratios are computed from integer sums (exact), per-row double
+arithmetic is IEEE-identical across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: tiny stopword sets per language for the n-gram/stopword-vote language ID
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "a"],
+    "de": ["der", "die", "das", "und", "ist", "nicht"],
+    "fr": ["le", "la", "les", "et", "est", "une"],
+    "es": ["el", "los", "las", "y", "es", "una"],
+}
+
+_LANG_ORDER = ["en", "de", "fr", "es"]
+
+
+def tokens(text_col: str = "text") -> Column:
+    return F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+
+
+def token_count(text_col: str = "text") -> Column:
+    return F.size(tokens(text_col))
+
+
+def token_chars(text_col: str = "text") -> Column:
+    """Total characters across tokens (for avg word length)."""
+    return F.aggregate(
+        F.transform(tokens(text_col), lambda x: F.length(x)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+
+
+def stopword_hits(text_col: str = "text", lang: str = "en") -> Column:
+    words = STOPWORDS[lang]
+    return F.size(F.filter(tokens(text_col), lambda x: x.isin(*words)))
+
+
+def punct_chars(text_col: str = "text") -> Column:
+    """Characters outside [a-z0-9 ] (the corpus is lowercase)."""
+    return F.length(F.col(text_col)) - F.length(
+        F.regexp_replace(F.col(text_col), "[^a-z0-9 ]", "")
+    )
+
+
+def distinct_token_count(text_col: str = "text") -> Column:
+    return F.size(F.array_distinct(tokens(text_col)))
+
+
+def predicted_lang(text_col: str = "text") -> Column:
+    """Stopword-vote language ID with fixed priority tie-break (en>de>fr>es)."""
+    hits = {lang: stopword_hits(text_col, lang) for lang in _LANG_ORDER}
+    expr = F.lit("es")
+    # build the CASE chain back-to-front so earlier langs win ties
+    for i in range(len(_LANG_ORDER) - 2, -1, -1):
+        lang = _LANG_ORDER[i]
+        cond = None
+        for other in _LANG_ORDER[i + 1 :]:
+            c = hits[lang] >= hits[other]
+            cond = c if cond is None else (cond & c)
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def fingerprint(text_col: str = "text") -> Column:
+    """Order/duplication-insensitive document fingerprint: md5 of the sorted
+    distinct token list (the classic "bag fingerprint")."""
+    return F.md5(
+        F.array_join(F.array_sort(F.array_distinct(tokens(text_col))), " ")
+    )
+
+
+def bpe_ish_token_count(text_col: str = "text") -> Column:
+    """Sub-word-ish token count via regex segmentation ([a-z]+ runs, digit
+    runs, other marks) — a portable stand-in for a BPE tokenizer's
+    pre-tokenization pass."""
+    return F.size(F.expr(f"regexp_extract_all({text_col}, '[a-z]+|[0-9]+', 0)"))

@@ -1,0 +1,193 @@
+"""Document deduplication operators: exact, n-gram Jaccard, MinHash+LSH,
+SimHash.
+
+The reference has no record-level dedup (SURVEY.md §2.7 — at-least-once
+only); these are the north-star LLM-pipeline operators, built Spark-first:
+
+- every hash is md5 (identical across engines → oracle-checkable);
+- MinHash signatures are column-wise ``min()`` aggregates over exploded
+  shingles (map-side partial min, one shuffle per doc set);
+- LSH banding turns the O(n²) pair space into per-band equi-joins —
+  the 100 TB path: candidates per band bucket, verify only candidates;
+- SimHash is a per-word parity vote, one groupBy, then banded or
+  all-pairs hamming verification.
+
+Scale notes: the only all-pairs product here is candidate verification;
+at 100 TB you keep band rows small (tune bands × rows_per_band to the
+target jaccard threshold) so each band bucket stays tiny, and the
+verify join is candidates ⋈ shingles (semi-join pushdown), never a full
+cross join.
+"""
+
+from __future__ import annotations
+
+import functools
+import operator as pyop
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def tokens_col(text_col: str = "text") -> Column:
+    """Whitespace tokens with empties dropped (parity: list_filter(string_split))."""
+    return F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+
+
+def word_shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle).
+
+    Built from a sequence-index transform (JVM codegen; no UDF):
+    shingle_i = tokens[i] .. tokens[i+n-1].
+    """
+    toks = tokens_col(text_col)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(n)]
+        ),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(grams).alias("shingle"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    shingles: DataFrame,
+    threshold: float,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact Jaccard similarity for document pairs sharing >=1 shingle.
+
+    ``candidates`` (id_a, id_b) restricts the pair space (the LSH path);
+    without it the pair space is the shingle self-join (only sane at small
+    scale — at 100 TB always pass candidates).
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    """
+    sizes = shingles.groupBy("id").agg(F.count("*").alias("n_sh"))
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    if candidates is not None:
+        common = common.join(
+            candidates.select(
+                F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+            ).distinct(),
+            ["doc_a", "doc_b"],
+            "left_semi",
+        )
+    sa = sizes.select(F.col("id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    jac = F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signature(shingles: DataFrame, num_hashes: int = 16) -> DataFrame:
+    """MinHash signature: h_k = min(md5(k || ':' || shingle)) per doc.
+
+    Lexicographic min over lowercase hex == uniform min-hash; one groupBy
+    with ``num_hashes`` partial-aggregating min() columns (map-side combine,
+    single shuffle keyed by doc id).
+    """
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{k}:"), F.col("shingle")))).alias(f"h{k}")
+        for k in range(num_hashes)
+    ]
+    return shingles.groupBy("id").agg(*aggs)
+
+
+def lsh_candidate_pairs(signatures: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """Band the signature and emit candidate pairs sharing any band bucket.
+
+    Each band key is md5 of its rows; pairs come from per-(band, key)
+    equi-self-joins — the shuffle is keyed on (band_id, band_key), so skew
+    only appears if a bucket is hot, which the band hash prevents.
+    Returns distinct (id_a, id_b), id_a < id_b.
+    """
+    band_cols = []
+    for j in range(bands):
+        rows = [F.col(f"h{j * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(j).alias("band_id"), F.md5(F.concat_ws("|", *rows)).alias("band_key"))
+        )
+    banded = signatures.select(
+        "id", F.explode(F.array(*band_cols)).alias("b")
+    ).select("id", F.col("b.band_id").alias("band_id"), F.col("b.band_key").alias("band_key"))
+    x = banded.alias("x")
+    y = banded.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.band_id") == F.col("y.band_id"))
+            & (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def simhash_signature(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32) -> DataFrame:
+    """SimHash over word parity votes: bit b set iff the frequency-weighted
+    majority of words has odd ascii(md5(word)[b]).
+
+    One explode + one groupBy with ``bits`` sum columns; the signature is a
+    '0'/'1' string so downstream hamming is pure substring comparison
+    (identical semantics in any engine).
+    """
+    words = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens_col(text_col)).alias("w")
+    )
+    h = F.md5(F.col("w"))
+    sums = [
+        F.sum(2 * (F.ascii(F.substring(h, b, 1)) % 2) - 1).alias(f"s{b}")
+        for b in range(1, bits + 1)
+    ]
+    agg = words.groupBy("id").agg(*sums)
+    sig = F.concat(
+        *[
+            F.when(F.col(f"s{b}") >= 0, F.lit("1")).otherwise(F.lit("0"))
+            for b in range(1, bits + 1)
+        ]
+    )
+    return agg.select("id", sig.alias("sig"))
+
+
+def hamming_pairs(signatures: DataFrame, bits: int, max_distance: int) -> DataFrame:
+    """All-pairs hamming distance over bit-string signatures.
+
+    The expression is a flat sum of per-position char compares (codegen'd).
+    At 100 TB, pre-bucket on a band of the signature (e.g. first 12 bits
+    equal) before this join; here the corpus is small enough for the
+    broadcast self-join.
+    """
+    a = signatures.alias("a")
+    b = signatures.alias("b")
+    dist = functools.reduce(
+        pyop.add,
+        [
+            (
+                F.substring(F.col("a.sig"), p, 1) != F.substring(F.col("b.sig"), p, 1)
+            ).cast("int")
+            for p in range(1, bits + 1)
+        ],
+    )
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("doc_a"),
+            F.col("b.id").alias("doc_b"),
+            dist.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_distance)
+    )

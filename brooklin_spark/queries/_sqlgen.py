@@ -1,0 +1,59 @@
+"""Shared DuckDB-SQL fragment generators for the dedup/similarity oracles.
+
+The oracle strings are built programmatically (deterministically, at import
+time) so the Spark operators and the SQL stay structurally in lockstep:
+same md5 seeds, same band layout, same bit counts.
+"""
+
+from __future__ import annotations
+
+
+def shingle_cte(n: int = 3) -> str:
+    """CTEs tok/sh: distinct word n-gram shingles per doc_id (1-based lists)."""
+    parts = " || ' ' || ".join(f"w[i+{j}]" for j in range(n))
+    return f"""
+    tok AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, {parts} AS shingle
+      FROM tok, UNNEST(generate_series(1, len(w) - {n - 1})) AS t(i)
+      WHERE len(w) >= {n})
+    """
+
+
+def minhash_select(num_hashes: int) -> str:
+    cols = ",\n             ".join(
+        f"min(md5('{k}:' || shingle)) AS h{k}" for k in range(num_hashes)
+    )
+    return f"SELECT doc_id, {cols} FROM sh GROUP BY doc_id"
+
+
+def band_exprs(bands: int, rows_per_band: int) -> list[str]:
+    out = []
+    for j in range(bands):
+        rows = " || '|' || ".join(
+            f"h{j * rows_per_band + r}" for r in range(rows_per_band)
+        )
+        out.append(f"SELECT doc_id, {j} AS band_id, md5({rows}) AS band_key FROM sig")
+    return out
+
+
+def simhash_sum_cols(bits: int) -> str:
+    return ",\n             ".join(
+        f"sum(2 * (ascii(substr(md5(w), {b}, 1)) % 2) - 1) AS s{b}"
+        for b in range(1, bits + 1)
+    )
+
+
+def simhash_sig_expr(bits: int) -> str:
+    return " || ".join(
+        f"(CASE WHEN s{b} >= 0 THEN '1' ELSE '0' END)" for b in range(1, bits + 1)
+    )
+
+
+def hamming_expr(bits: int, a: str = "a.sig", b: str = "b.sig") -> str:
+    return " + ".join(
+        f"(CASE WHEN substr({a}, {p}, 1) <> substr({b}, {p}, 1) THEN 1 ELSE 0 END)"
+        for p in range(1, bits + 1)
+    )

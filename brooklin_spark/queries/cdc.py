@@ -1,1 +1,168 @@
-"""Placeholder — populated in subsequent milestones."""
+"""CDC / envelope queries: the data-plane semantics of the reference
+(translate, before-image, upsert-apply, checkpoint bookkeeping) expressed as
+oracle-checkable batch queries over the events table.
+
+Reference parity: BrooklinEnvelope fields + op-codes
+(BrooklinEnvelope.java:22-32, BrooklinEnvelopeMetadataConstants.java:19-45),
+checkpoint string (KafkaConnectorTask.java:152), CDC apply = the consumer-side
+materialization a Brooklin destination would build.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from brooklin_spark.io import table
+from brooklin_spark.registry import query
+
+_OP_SQL = """CASE WHEN event_type = 'signup' THEN 'INSERT'
+                  WHEN event_type = 'error' THEN 'DELETE'
+                  ELSE 'UPDATE' END"""
+
+
+# ---------------------------------------------------------------------------
+# translate: events → envelope projection (typed CDC columns + checkpoint).
+# One narrow projection — at 100 TB this is scan-speed, no shuffle.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cdc_envelope_translate",
+    oracle=f"""
+    SELECT 'events' AS topic,
+           CAST(user_id % 8 AS INTEGER) AS partition,
+           event_id AS "offset",
+           CAST(user_id AS VARCHAR) AS key_str,
+           {_OP_SQL} AS op_code,
+           event_id AS scn,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS event_ts,
+           CAST(user_id % 8 AS VARCHAR) || '-' || CAST(event_id AS VARCHAR) AS checkpoint,
+           length(props) AS value_len
+    FROM events
+    """,
+)
+def cdc_envelope_translate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from brooklin_spark.functions.envelope import OP_CODE_EXPR, checkpoint_col
+
+    e = table(spark, sf_dir, "events")
+    part = F.pmod(F.col("user_id"), F.lit(8)).cast("int")
+    return e.select(
+        F.lit("events").alias("topic"),
+        part.alias("partition"),
+        F.col("event_id").alias("offset"),
+        F.col("user_id").cast("string").alias("key_str"),
+        OP_CODE_EXPR.alias("op_code"),
+        F.col("event_id").alias("scn"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("event_ts"),
+        checkpoint_col(part, F.col("event_id")).alias("checkpoint"),
+        F.length("props").cast("long").alias("value_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# before-image: previous_value per key in scn order — the CDC UPDATE
+# envelope's _previousValue. One shuffle on the key.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cdc_before_image",
+    oracle=f"""
+    SELECT event_id, user_id,
+           {_OP_SQL} AS op_code,
+           props AS value,
+           LAG(props) OVER (PARTITION BY user_id ORDER BY event_id) AS previous_value
+    FROM events
+    """,
+)
+def cdc_before_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    from brooklin_spark.functions.envelope import OP_CODE_EXPR
+
+    w = W.partitionBy("user_id").orderBy("event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        OP_CODE_EXPR.alias("op_code"),
+        F.col("props").alias("value"),
+        F.lag("props").over(w).alias("previous_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# apply: materialize final state from the change stream — last write wins in
+# scn order; a terminal DELETE removes the key. This is MERGE INTO semantics
+# built from window + filter (no Delta dependency).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cdc_apply_upserts",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT user_id, event_id, props, {_OP_SQL} AS op_code,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n_changes
+      FROM events)
+    SELECT user_id, props AS final_value, event_id AS final_scn,
+           CAST(n_changes AS BIGINT) AS n_changes
+    FROM ranked WHERE rn = 1 AND op_code <> 'DELETE'
+    """,
+)
+def cdc_apply_upserts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    from brooklin_spark.functions.envelope import OP_CODE_EXPR
+
+    w = W.partitionBy("user_id").orderBy(F.desc("event_id"))
+    ranked = e.select(
+        "user_id",
+        "event_id",
+        "props",
+        OP_CODE_EXPR.alias("op_code"),
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(W.partitionBy("user_id")).cast("bigint").alias("n_changes"),
+    )
+    return ranked.filter((F.col("rn") == 1) & (F.col("op_code") != "DELETE")).select(
+        "user_id",
+        F.col("props").alias("final_value"),
+        F.col("event_id").alias("final_scn"),
+        "n_changes",
+    )
+
+
+# ---------------------------------------------------------------------------
+# checkpoint bookkeeping: per-partition committed position = max contiguous
+# offset delivered (ZookeeperCheckpointProvider semantics: commit the acked
+# prefix — here all rows are acked, so it's the max scn per partition).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cdc_checkpoint_summary",
+    oracle="""
+    WITH p AS (SELECT CAST(user_id % 8 AS INTEGER) AS partition, event_id FROM events)
+    SELECT partition,
+           COUNT(*) AS n_events,
+           CAST(MAX(event_id) AS BIGINT) AS committed_offset,
+           CAST(MIN(event_id) AS BIGINT) AS start_offset,
+           CAST(partition AS VARCHAR) || '-' || CAST(MAX(event_id) AS VARCHAR) AS checkpoint
+    FROM p GROUP BY partition
+    """,
+)
+def cdc_checkpoint_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from brooklin_spark.functions.envelope import checkpoint_col
+
+    e = table(spark, sf_dir, "events")
+    part = F.pmod(F.col("user_id"), F.lit(8)).cast("int")
+    return (
+        e.groupBy(part.alias("partition"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.max("event_id").cast("bigint").alias("committed_offset"),
+            F.min("event_id").cast("bigint").alias("start_offset"),
+        )
+        .withColumn(
+            "checkpoint", checkpoint_col("partition", "committed_offset")
+        )
+    )

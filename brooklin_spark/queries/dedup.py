@@ -1,1 +1,149 @@
-"""Placeholder — populated in subsequent milestones."""
+"""Dedup operator queries over the documents corpus (oracle-checked).
+
+Thresholds fit the testdata (25 near-dup pairs at jaccard >= 0.9, clean gap
+below 0.3 — so 0.7 is robust); the operators themselves are generic
+(brooklin_spark/operators/dedup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from brooklin_spark.io import table
+from brooklin_spark.operators import dedup as D
+from brooklin_spark.queries import _sqlgen as G
+from brooklin_spark.registry import query
+
+# ---------------------------------------------------------------------------
+# Exact dedup: hash-groupBy on the full text. Corpus-level stats per source
+# (robust whether or not exact dups exist). 100 TB path: same plan — md5 is
+# computed map-side, the groupBy is one shuffle on the fingerprint.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact_fingerprint",
+    oracle="""
+    WITH fp AS (
+      SELECT source, md5(text) AS fp, count(*) AS n, min(doc_id) AS canonical
+      FROM documents GROUP BY source, md5(text))
+    SELECT source,
+           CAST(SUM(n) AS BIGINT) AS n_docs,
+           COUNT(*) AS n_unique,
+           CAST(SUM(n) - COUNT(*) AS BIGINT) AS n_redundant,
+           CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups
+    FROM fp GROUP BY source
+    """,
+)
+def dedup_exact_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    fp = docs.groupBy("source", F.md5("text").alias("fp")).agg(
+        F.count("*").alias("n"), F.min("doc_id").alias("canonical")
+    )
+    return fp.groupBy("source").agg(
+        F.sum("n").cast("bigint").alias("n_docs"),
+        F.count("*").alias("n_unique"),
+        (F.sum("n") - F.count("*")).cast("bigint").alias("n_redundant"),
+        F.sum((F.col("n") > 1).cast("int")).cast("bigint").alias("n_dup_groups"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard over all pairs sharing a shingle. This is the
+# verification kernel; standalone it's only sane at modest corpus sizes
+# (the LSH query below is the scale path that feeds it candidates).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {G.shingle_cte(3)},
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           common * 1.0 / (sa.n_sh + sb.n_sh - common) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE common * 1.0 / (sa.n_sh + sb.n_sh - common) >= 0.7
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    sh = D.word_shingles(docs, n=3)
+    return D.jaccard_pairs(sh, threshold=0.7)
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH: 16 hashes, 4 bands × 4 rows → candidates → exact-jaccard
+# verify at 0.7. The banding threshold (~(1/4)^(1/4) ≈ 0.71) matches the
+# verify threshold. This is the 100 TB dedup path: no all-pairs stage.
+# ---------------------------------------------------------------------------
+
+_MH, _BANDS, _ROWS = 16, 4, 4
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {G.shingle_cte(3)},
+    sig AS ({G.minhash_select(_MH)}),
+    banded AS ({" UNION ALL ".join(G.band_exprs(_BANDS, _ROWS))}),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM banded x JOIN banded y
+        ON x.band_id = y.band_id AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT c.doc_a, c.doc_b,
+           common * 1.0 / (sa.n_sh + sb.n_sh - common) AS jaccard
+    FROM cand c
+    JOIN common co ON co.doc_a = c.doc_a AND co.doc_b = c.doc_b
+    JOIN sizes sa ON sa.doc_id = c.doc_a
+    JOIN sizes sb ON sb.doc_id = c.doc_b
+    WHERE common * 1.0 / (sa.n_sh + sb.n_sh - common) >= 0.7
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    sh = D.word_shingles(docs, n=3)
+    sig = D.minhash_signature(sh, num_hashes=_MH)
+    cand = D.lsh_candidate_pairs(sig, bands=_BANDS, rows_per_band=_ROWS)
+    return D.jaccard_pairs(sh, threshold=0.7, candidates=cand)
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup: 32-bit parity signature, all-pairs hamming <= 6.
+# ---------------------------------------------------------------------------
+
+_BITS = 32
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+      FROM documents),
+    sums AS (
+      SELECT doc_id, {G.simhash_sum_cols(_BITS)}
+      FROM words GROUP BY doc_id),
+    sigs AS (SELECT doc_id, {G.simhash_sig_expr(_BITS)} AS sig FROM sums)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           {G.hamming_expr(_BITS)} AS hamming
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE {G.hamming_expr(_BITS)} <= 6
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    sig = D.simhash_signature(docs, bits=_BITS)
+    return D.hamming_pairs(sig, bits=_BITS, max_distance=6)

@@ -363,7 +363,7 @@ def window_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFra
     o = table(spark, sf_dir, "orders")
     w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
     return (
-        o.withColumn("rn", F.row_number().over(w))
+        o.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= 3)
         .select(
             "o_custkey",
@@ -396,7 +396,7 @@ def window_running_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame
         .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
         .cast("double")
         .alias("running_spend"),
-        F.row_number().over(w).alias("order_seq"),
+        F.row_number().over(w).cast("long").alias("order_seq"),
     )
 
 
@@ -590,7 +590,7 @@ def scalar_function_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey",
         F.upper("p_name").alias("name_upper"),
         F.substring("p_name", 1, 8).alias("name_prefix"),
-        F.length("p_name").alias("name_len"),
+        F.length("p_name").cast("long").alias("name_len"),
         F.regexp_replace("p_type", " ", "_").alias("type_snake"),
         F.concat_ws(":", "p_brand", F.col("p_size").cast("string")).alias("brand_size"),
         F.abs(F.col("p_retailprice") - 1000.0).alias("price_dev"),
@@ -617,10 +617,10 @@ def scalar_date_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0)
     return o.select(
         "o_orderkey",
-        F.year("o_orderdate").alias("order_year"),
-        F.month("o_orderdate").alias("order_month"),
-        F.dayofmonth("o_orderdate").alias("order_day"),
-        F.datediff("o_orderdate", F.lit("1995-01-01")).alias("days_since_epoch_start"),
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.month("o_orderdate").cast("long").alias("order_month"),
+        F.dayofmonth("o_orderdate").cast("long").alias("order_day"),
+        F.datediff("o_orderdate", F.lit("1995-01-01")).cast("long").alias("days_since_epoch_start"),
         F.date_format(F.date_add("o_orderdate", 30), "yyyy-MM-dd").alias("due_date"),
     )
 
@@ -685,7 +685,7 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(*) AS n,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
            MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
     FROM events GROUP BY event_type
@@ -821,7 +821,7 @@ def asof_purchase_to_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT ascii(substr(md5(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)), 1, 1)) % 4 AS shard,
            COUNT(*) AS n_rows,
-           SUM(l_orderkey) AS key_sum
+           CAST(SUM(l_orderkey) AS BIGINT) AS key_sum
     FROM lineitem GROUP BY 1
     """,
 )

@@ -1,1 +1,110 @@
-"""Placeholder — populated in subsequent milestones."""
+"""Similarity-search queries over the embeddings table (oracle-checked).
+
+DuckDB oracle uses list_cosine_similarity on ::DOUBLE[] casts; both engines
+round to 6 decimals so sub-ulp fold-order differences can't flip a value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from brooklin_spark.io import table
+from brooklin_spark.operators import similarity as S
+from brooklin_spark.queries import _sqlgen as G
+from brooklin_spark.registry import query
+
+# ---------------------------------------------------------------------------
+# Brute-force exact top-k: 10 query vectors × full corpus.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ann_brute_force_topk",
+    oracle="""
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS sim
+      FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def ann_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.brute_force_topk(queries, emb, k=5)
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-dup pairs (cosine >= 0.4 — testdata max is ~0.51, so this
+# exercises the tail without an empty result).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return S.similar_pairs(emb, threshold=0.4)
+
+
+# ---------------------------------------------------------------------------
+# SRP-LSH approximate top-1 neighbor: 6 deterministic hyperplanes → 64
+# buckets; candidates only within a bucket (the scale path).
+# ---------------------------------------------------------------------------
+
+_PLANES = 6
+
+
+def _srp_bits_sql(planes: int) -> str:
+    """Per-plane projection sums from unnested (vec_id, i, x) rows."""
+    sums = ",\n           ".join(
+        f"sum(x * (2 * (ascii(substr(md5('{p}:' || CAST(i AS VARCHAR)), 1, 1)) % 2) - 1)) AS proj{p}"
+        for p in range(planes)
+    )
+    bits = " || ".join(
+        f"(CASE WHEN proj{p} >= 0 THEN '1' ELSE '0' END)" for p in range(planes)
+    )
+    return f"""
+    flat AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding)::DOUBLE AS x
+      FROM embeddings),
+    proj AS (
+      SELECT vec_id, {sums}
+      FROM flat GROUP BY vec_id),
+    bucketed AS (SELECT vec_id, {bits} AS bucket FROM proj)
+    """
+
+
+@query(
+    "ann_srp_lsh_top1",
+    oracle=f"""
+    WITH {_srp_bits_sql(_PLANES)},
+    pairs AS (
+      SELECT x.vec_id AS query_id, y.vec_id AS neighbor_id,
+             round(list_cosine_similarity(ex.embedding::DOUBLE[], ey.embedding::DOUBLE[]), 6) AS sim
+      FROM bucketed x
+      JOIN bucketed y ON x.bucket = y.bucket AND x.vec_id <> y.vec_id
+      JOIN embeddings ex ON ex.vec_id = x.vec_id
+      JOIN embeddings ey ON ey.vec_id = y.vec_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rn
+      FROM pairs)
+    SELECT query_id, neighbor_id, sim FROM ranked WHERE rn = 1
+    """,
+)
+def ann_srp_lsh_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return S.srp_ann_top1(emb, planes=_PLANES)

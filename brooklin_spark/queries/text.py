@@ -1,1 +1,207 @@
-"""Placeholder — populated in subsequent milestones."""
+"""Text-analysis queries over the documents corpus (oracle-checked).
+
+Column builders live in brooklin_spark/functions/text.py — all JVM-side
+expressions; ratios come from integer sums so every value is exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from brooklin_spark.functions import text as X
+from brooklin_spark.io import table
+from brooklin_spark.registry import query
+
+_TOK = "list_filter(string_split(text, ' '), x -> x <> '')"
+_STOP = {lang: "[" + ", ".join(f"'{w}'" for w in ws) + "]" for lang, ws in X.STOPWORDS.items()}
+
+
+# ---------------------------------------------------------------------------
+# Corpus quality profile per language: token/char/stopword/punct stats from
+# integer sums (exact), one scan + one small groupBy.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_quality_by_lang",
+    oracle=f"""
+    WITH d AS (
+      SELECT lang,
+             len({_TOK}) AS n_tokens,
+             CAST(list_sum(list_transform({_TOK}, x -> length(x))) AS BIGINT) AS tok_chars,
+             len(list_filter({_TOK}, x -> list_contains({_STOP['en']}, x))) AS stop_hits,
+             length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS punct_chars,
+             length(text) AS n_chars
+      FROM documents)
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS avg_tokens,
+           CAST(SUM(tok_chars) AS DOUBLE) / SUM(n_tokens) AS avg_word_len,
+           CAST(SUM(stop_hits) AS DOUBLE) / SUM(n_tokens) AS stopword_ratio,
+           CAST(SUM(punct_chars) AS DOUBLE) / SUM(n_chars) AS punct_ratio
+    FROM d GROUP BY lang
+    """,
+)
+def text_quality_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    d = docs.select(
+        "lang",
+        X.token_count().cast("long").alias("n_tokens"),
+        X.token_chars().cast("long").alias("tok_chars"),
+        X.stopword_hits(lang="en").cast("long").alias("stop_hits"),
+        X.punct_chars().cast("long").alias("punct_chars"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        (F.sum("n_tokens").cast("double") / F.count("*")).alias("avg_tokens"),
+        (F.sum("tok_chars").cast("double") / F.sum("n_tokens")).alias("avg_word_len"),
+        (F.sum("stop_hits").cast("double") / F.sum("n_tokens")).alias("stopword_ratio"),
+        (F.sum("punct_chars").cast("double") / F.sum("n_chars")).alias("punct_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-document quality score: bounded composite of length, lexical diversity
+# and stopword density (the usual pretraining-corpus heuristics).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, lang,
+             len({_TOK}) AS n_tokens,
+             len(list_distinct({_TOK})) AS n_distinct,
+             len(list_filter({_TOK}, x -> list_contains({_STOP['en']}, x))) AS stop_hits
+      FROM documents)
+    SELECT doc_id, lang,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_distinct AS DOUBLE) / n_tokens AS ttr,
+           0.5 * least(n_tokens / 100.0, 1.0)
+             + 0.3 * (CAST(n_distinct AS DOUBLE) / n_tokens)
+             + 0.2 * least(5.0 * stop_hits / n_tokens, 1.0) AS quality
+    FROM d WHERE n_tokens > 0
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    n_tok = X.token_count()
+    n_dis = X.distinct_token_count()
+    stop = X.stopword_hits(lang="en")
+    ttr = n_dis.cast("double") / n_tok
+    quality = (
+        0.5 * F.least(n_tok / 100.0, F.lit(1.0))
+        + 0.3 * ttr
+        + 0.2 * F.least(5.0 * stop / n_tok, F.lit(1.0))
+    )
+    return docs.filter(n_tok > 0).select(
+        "doc_id",
+        "lang",
+        n_tok.cast("bigint").alias("n_tokens"),
+        ttr.alias("ttr"),
+        quality.alias("quality"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language ID by stopword vote (n-gram heuristic), scored against the lang
+# label: confusion counts per (actual, predicted).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_langid_confusion",
+    oracle=f"""
+    WITH scored AS (
+      SELECT lang,
+             len(list_filter({_TOK}, x -> list_contains({_STOP['en']}, x))) AS en,
+             len(list_filter({_TOK}, x -> list_contains({_STOP['de']}, x))) AS de,
+             len(list_filter({_TOK}, x -> list_contains({_STOP['fr']}, x))) AS fr,
+             len(list_filter({_TOK}, x -> list_contains({_STOP['es']}, x))) AS es
+      FROM documents)
+    SELECT lang AS actual_lang,
+           CASE WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+                WHEN de >= fr AND de >= es THEN 'de'
+                WHEN fr >= es THEN 'fr'
+                ELSE 'es' END AS predicted_lang,
+           COUNT(*) AS n_docs
+    FROM scored GROUP BY 1, 2
+    """,
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.col("lang").alias("actual_lang"),
+            X.predicted_lang().alias("predicted_lang"),
+        )
+        .groupBy("actual_lang", "predicted_lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer pre-pass counts (BPE-ish regex segmentation) per source.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_token_counts",
+    oracle="""
+    WITH d AS (
+      SELECT source, len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS n_bpe
+      FROM documents)
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_bpe) AS BIGINT) AS total_bpe_tokens,
+           CAST(SUM(n_bpe) AS DOUBLE) / COUNT(*) AS avg_bpe_tokens,
+           CAST(MIN(n_bpe) AS BIGINT) AS min_bpe_tokens,
+           CAST(MAX(n_bpe) AS BIGINT) AS max_bpe_tokens
+    FROM d GROUP BY source
+    """,
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    d = docs.select("source", X.bpe_ish_token_count().cast("long").alias("n_bpe"))
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_bpe").cast("bigint").alias("total_bpe_tokens"),
+        (F.sum("n_bpe").cast("double") / F.count("*")).alias("avg_bpe_tokens"),
+        F.min("n_bpe").cast("bigint").alias("min_bpe_tokens"),
+        F.max("n_bpe").cast("bigint").alias("max_bpe_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bag-of-words fingerprint dedup view: docs sharing a sorted-distinct-token
+# fingerprint are permutations/duplications of the same vocabulary.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_fingerprint_groups",
+    oracle=f"""
+    WITH fp AS (
+      SELECT source,
+             md5(array_to_string(list_sort(list_distinct({_TOK})), ' ')) AS fp
+      FROM documents)
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT fp) AS n_fingerprints,
+           CAST(COUNT(*) - COUNT(DISTINCT fp) AS BIGINT) AS n_bag_dups
+    FROM fp GROUP BY source
+    """,
+)
+def text_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    fp = docs.select("source", X.fingerprint().alias("fp"))
+    return fp.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("fp").alias("n_fingerprints"),
+        (F.count("*") - F.countDistinct("fp")).cast("bigint").alias("n_bag_dups"),
+    )
