@@ -1,0 +1,67 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced through the noop sink (full materialization — count()
+would let Catalyst prune the work away).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from brooklin_spark import registry
+from brooklin_spark.session import get_spark
+
+#: headline set: every operator family, weighted toward the big-scan shapes
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_top_unshipped_orders",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "join_broadcast_part_revenue",
+    "window_topk_orders_per_customer",
+    "sessionize_events",
+    "events_hourly_rollup",
+    "cdc_apply_upserts",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "ann_brute_force_topk",
+    "text_quality_by_lang",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    registry.load_all()
+    spark = get_spark(app_name="brooklin-spark-bench")
+    # warm up the JVM/session so q1 doesn't pay startup costs
+    spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = registry.QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)
+
+    sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
+    out = {
+        "metric": "headline-query wall time, brooklin-spark local",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

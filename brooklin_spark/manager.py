@@ -1,0 +1,213 @@
+"""PipelineManager: the reference's DMS REST layer + Coordinator collapsed
+into one driver-side class (SURVEY.md §3.1 — stages 5-7 of the reference's
+create path are replaced by Spark's driver/scheduler/checkpoints).
+
+API parity with DatastreamResources (reference:
+datastream-server-restli/.../dms/DatastreamResources.java):
+  create (:904), get/list, pause (:358-408), resume (:554-601),
+  stop (:462-552), delete; diagnostics = scatter-gather over per-query
+  progress (ServerComponentHealthAggregator analog, §3.3).
+
+Dedup-by-source parity: a new spec whose (connector, source) matches a
+running pipeline reuses that pipeline's query instead of starting a second
+one (SourceBasedDeduper.java:66,142-163).
+
+Durability: specs persist as JSON files in a catalog dir (the ZooKeeper
+datastream store analog, ZookeeperBackedDatastreamStore); streaming state
+persists in per-pipeline checkpoint locations, so a restarted manager
+resumes every READY pipeline from its last committed micro-batch — the
+same at-least-once replay the reference builds by hand
+(flush-then-commit, AbstractKafkaBasedConnectorTask.java:649-740).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from dataclasses import dataclass, field
+
+from pyspark.sql import SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from brooklin_spark.model import PipelineSpec, PipelineStatus, can_transition
+from brooklin_spark.sinks.registry import build_writer, write_batch
+from brooklin_spark.sources import build_source
+
+
+@dataclass
+class _Running:
+    spec: PipelineSpec
+    query: StreamingQuery | None = None
+    # pipelines deduped onto this one (task-sharing group members)
+    group: list[str] = field(default_factory=list)
+
+
+class PipelineManager:
+    def __init__(self, spark: SparkSession, workdir: str):
+        self.spark = spark
+        self.workdir = workdir
+        self.catalog_dir = os.path.join(workdir, "catalog")
+        self.checkpoint_root = os.path.join(workdir, "checkpoints")
+        os.makedirs(self.catalog_dir, exist_ok=True)
+        os.makedirs(self.checkpoint_root, exist_ok=True)
+        self._running: dict[str, _Running] = {}
+
+    # ------------------------------------------------------------------ CRUD
+    def create(self, spec: PipelineSpec, start: bool = True) -> PipelineSpec:
+        """Validate → dedup-by-source → persist → provision → start."""
+        spec.validate()
+        if self._spec_path_exists(spec.name):
+            raise ValueError(f"pipeline {spec.name!r} already exists")
+        dup = self._find_duplicate(spec)
+        if dup is not None:
+            # reuse the existing group's physical query (SourceBasedDeduper)
+            spec.status = PipelineStatus.READY
+            self._persist(spec)
+            self._running[dup].group.append(spec.name)
+            return spec
+        spec.status = PipelineStatus.INITIALIZING
+        self._persist(spec)
+        if start:
+            self._start(spec)
+        return spec
+
+    def get(self, name: str) -> PipelineSpec:
+        p = self._spec_path(name)
+        if not os.path.exists(p):
+            raise KeyError(f"no pipeline {name!r}")
+        with open(p) as f:
+            return PipelineSpec.from_json(f.read())
+
+    def list(self) -> list[PipelineSpec]:
+        out = []
+        for fn in sorted(os.listdir(self.catalog_dir)):
+            if fn.endswith(".json"):
+                with open(os.path.join(self.catalog_dir, fn)) as f:
+                    out.append(PipelineSpec.from_json(f.read()))
+        return out
+
+    def delete(self, name: str) -> None:
+        spec = self.get(name)
+        self._transition(spec, PipelineStatus.DELETING)
+        r = self._running.pop(name, None)
+        if r and r.query is not None and r.query.isActive:
+            r.query.stop()
+        if spec.transport == "memory":
+            from brooklin_spark.sinks.registry import drop_memory_table
+
+            drop_memory_table(self.spark, spec.metadata.get("memory.table", name))
+        os.remove(self._spec_path(name))
+        shutil.rmtree(os.path.join(self.checkpoint_root, name), ignore_errors=True)
+
+    # ------------------------------------------------------------- lifecycle
+    def pause(self, name: str) -> None:
+        """Stop the query, keep the checkpoint — resume continues from the
+        committed offsets (pause/resume, DatastreamResources.java:358-601)."""
+        spec = self.get(name)
+        self._transition(spec, PipelineStatus.PAUSED)
+        self._persist(spec)
+        r = self._running.get(name)
+        if r and r.query is not None and r.query.isActive:
+            r.query.stop()
+
+    def resume(self, name: str) -> None:
+        spec = self.get(name)
+        self._start(spec)  # transitions PAUSED/STOPPED -> READY (validated)
+
+    def stop(self, name: str) -> None:
+        spec = self.get(name)
+        self._transition(spec, PipelineStatus.STOPPING)
+        r = self._running.get(name)
+        if r and r.query is not None and r.query.isActive:
+            r.query.stop()
+        spec.status = PipelineStatus.STOPPED
+        self._persist(spec)
+
+    def restore(self) -> int:
+        """Restart every READY pipeline from its checkpoint (manager restart
+        = the reference's instance rejoin + task reassign)."""
+        n = 0
+        for spec in self.list():
+            if spec.status == PipelineStatus.READY and spec.name not in self._running:
+                self._start(spec, already_ready=True)
+                n += 1
+        return n
+
+    # ------------------------------------------------------------ monitoring
+    def query_of(self, name: str) -> StreamingQuery | None:
+        r = self._running.get(name)
+        return r.query if r else None
+
+    def process_available(self, name: str) -> None:
+        """Drain everything currently readable (test/bootstrap helper)."""
+        q = self.query_of(name)
+        if q is not None:
+            q.processAllAvailable()
+
+    def diagnostics(self) -> list[dict]:
+        """Scatter-gather health/progress across pipelines (the /diag
+        analog, DiagnosticsAware process/reduce — SURVEY.md §3.3)."""
+        out = []
+        for spec in self.list():
+            r = self._running.get(spec.name)
+            q = r.query if r else None
+            prog = q.lastProgress if q is not None else None
+            out.append(
+                {
+                    "name": spec.name,
+                    "status": spec.status.value,
+                    "active": bool(q is not None and q.isActive),
+                    "batch_id": prog.get("batchId") if prog else None,
+                    "num_input_rows": prog.get("numInputRows") if prog else None,
+                    "group": list(r.group) if r else [],
+                }
+            )
+        return out
+
+    # --------------------------------------------------------------- private
+    def _find_duplicate(self, spec: PipelineSpec) -> str | None:
+        ident = spec.source_identity()
+        for name, r in self._running.items():
+            if r.spec.source_identity() == ident:
+                return name
+        return None
+
+    def _start(self, spec: PipelineSpec, already_ready: bool = False) -> None:
+        df = build_source(self.spark, spec)
+        if df.isStreaming:
+            writer = build_writer(df, spec)
+            ckpt = os.path.join(self.checkpoint_root, spec.name)
+            query = (
+                writer.option("checkpointLocation", ckpt)
+                .queryName(spec.name)
+                .start()
+            )
+            self._running[spec.name] = _Running(spec=spec, query=query)
+        else:
+            # bounded bootstrap: batch write through the same transport
+            write_batch(df, spec)
+            self._running[spec.name] = _Running(spec=spec, query=None)
+        if not already_ready:
+            self._transition(spec, PipelineStatus.READY)
+        self._persist(spec)
+
+    def _transition(self, spec: PipelineSpec, dst: PipelineStatus) -> None:
+        if not can_transition(spec.status, dst):
+            raise ValueError(
+                f"illegal transition {spec.status.value} -> {dst.value} "
+                f"for pipeline {spec.name!r}"
+            )
+        spec.status = dst
+
+    def _spec_path(self, name: str) -> str:
+        return os.path.join(self.catalog_dir, f"{name}.json")
+
+    def _spec_path_exists(self, name: str) -> bool:
+        return os.path.exists(self._spec_path(name))
+
+    def _persist(self, spec: PipelineSpec) -> None:
+        tmp = self._spec_path(spec.name) + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(spec.to_json())
+        os.replace(tmp, self._spec_path(spec.name))

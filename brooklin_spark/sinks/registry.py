@@ -1,0 +1,157 @@
+"""Sink registry: transport name → writer builder.
+
+Each builder takes the envelope DataFrame (streaming) and the spec and
+returns a started-ready DataStreamWriter. Checkpoint location and trigger
+config are applied by the PipelineManager (one place, per pipeline).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import DataStreamWriter
+from pyspark.sql import functions as F
+
+from brooklin_spark.model import PipelineSpec
+
+SinkBuilder = Callable[[DataFrame, PipelineSpec], DataStreamWriter]
+
+SINKS: dict[str, SinkBuilder] = {}
+
+
+def sink(name: str) -> Callable[[SinkBuilder], SinkBuilder]:
+    def deco(fn: SinkBuilder) -> SinkBuilder:
+        SINKS[name] = fn
+        return fn
+
+    return deco
+
+
+def build_writer(df: DataFrame, spec: PipelineSpec) -> DataStreamWriter:
+    """Streaming writer for the spec's transport."""
+    if spec.transport not in SINKS:
+        raise ValueError(f"no sink builder for transport {spec.transport!r}")
+    return SINKS[spec.transport](df, spec)
+
+
+def write_batch(df: DataFrame, spec: PipelineSpec) -> None:
+    """Bounded-bootstrap path: write a batch envelope frame through the
+    spec's transport (the same destinations, batch API)."""
+    t = spec.transport
+    if t == "memory":
+        _memory_append(spec.metadata.get("memory.table", spec.name), df)
+    elif t in ("parquet", "file"):
+        path = (spec.dest_uri or "").removeprefix("parquet://").removeprefix("file://")
+        if not path:
+            raise ValueError(f"parquet sink needs dest_uri, got {spec.dest_uri!r}")
+        df.write.mode("append").partitionBy("topic").parquet(path)
+    elif t == "console":
+        df.show(20, truncate=False)
+    elif t == "noop":
+        df.write.format("noop").mode("overwrite").save()
+    else:
+        raise ValueError(f"transport {t!r} has no batch path")
+
+
+# ---------------------------------------------------------------------------
+# In-memory accumulating sink (ListBackedTransportProvider analog,
+# datastream-testcommon/.../ListBackedTransportProvider.java). Implemented
+# with foreachBatch instead of format("memory") because foreachBatch sinks
+# support checkpoint recovery — pause/resume and crash-restart keep already-
+# delivered records and replay only uncommitted batches (at-least-once).
+# Driver-side accumulation: test/diagnostics use only, like the reference's.
+# ---------------------------------------------------------------------------
+
+_MEMORY_ROWS: dict[str, list] = {}
+_MEMORY_SCHEMA: dict[str, object] = {}
+
+
+def _memory_append(name: str, batch_df: DataFrame, spark=None) -> None:
+    # NOTE: foreachBatch hands us a frame bound to a CLONED session; temp
+    # views registered there are invisible to the user's session. Register
+    # on the main session captured at sink-build time.
+    rows = batch_df.collect()
+    _MEMORY_ROWS.setdefault(name, []).extend(rows)
+    _MEMORY_SCHEMA[name] = batch_df.schema
+    spark = spark or batch_df.sparkSession
+    spark.createDataFrame(_MEMORY_ROWS[name], _MEMORY_SCHEMA[name]).createOrReplaceTempView(name)
+
+
+def drop_memory_table(spark, name: str) -> None:
+    _MEMORY_ROWS.pop(name, None)
+    _MEMORY_SCHEMA.pop(name, None)
+    spark.catalog.dropTempView(name)
+
+
+@sink("memory")
+def memory_sink(df: DataFrame, spec: PipelineSpec) -> DataStreamWriter:
+    name = spec.metadata.get("memory.table", spec.name)
+    # register the view up front (empty until the first batch) so consumers
+    # can query the destination as soon as the pipeline is READY
+    spark = df.sparkSession
+    if name not in _MEMORY_ROWS:
+        _MEMORY_ROWS[name] = []
+        _MEMORY_SCHEMA[name] = df.schema
+        spark.createDataFrame([], df.schema).createOrReplaceTempView(name)
+    return df.writeStream.foreachBatch(
+        lambda batch_df, _epoch: _memory_append(name, batch_df, spark)
+    ).outputMode("append")
+
+
+@sink("parquet")
+def parquet_sink(df: DataFrame, spec: PipelineSpec) -> DataStreamWriter:
+    """Directory/file mirroring sink (DirectoryTransportProvider analog) as
+    partitioned parquet — partitioned by topic so each pipeline's output
+    prunes by destination, append-only at-least-once."""
+    path = (spec.dest_uri or "").removeprefix("parquet://").removeprefix("file://")
+    if not path:
+        raise ValueError(f"parquet sink needs dest_uri, got {spec.dest_uri!r}")
+    return (
+        df.writeStream.format("parquet")
+        .option("path", path)
+        .partitionBy("topic")
+        .outputMode("append")
+    )
+
+
+@sink("file")
+def file_sink(df: DataFrame, spec: PipelineSpec) -> DataStreamWriter:
+    return parquet_sink(df, spec)
+
+
+@sink("console")
+def console_sink(df: DataFrame, spec: PipelineSpec) -> DataStreamWriter:
+    return df.writeStream.format("console").outputMode("append")
+
+
+@sink("noop")
+def noop_sink(df: DataFrame, spec: PipelineSpec) -> DataStreamWriter:
+    """Discard sink (BrokenConnector/Dummy test analogs): runs the plan,
+    writes nothing — used for throughput measurement."""
+    return df.writeStream.format("noop").outputMode("append")
+
+
+@sink("kafka")
+def kafka_sink(df: DataFrame, spec: PipelineSpec) -> DataStreamWriter:
+    """Kafka transport (KafkaTransportProvider.java:46,106-146 analog).
+
+    Routing parity: explicit `partition` column if present (explicit
+    partition routing, DatastreamProducerRecord.java:23), else the Kafka
+    producer hashes the key (key-hash routing, KafkaTransportProvider
+    .java:138-146). The `topic` column routes per-record destinations
+    (mirror rewrite already applied by the source translate).
+    Requires spark-sql-kafka on the classpath.
+    """
+    dest = (spec.dest_uri or "").removeprefix("kafka://")
+    servers, _, topic = dest.partition("/")
+    out = df.select(
+        F.col("key").alias("key"),
+        F.col("value").alias("value"),
+        (F.lit(topic) if topic else F.col("topic")).alias("topic"),
+    )
+    return (
+        out.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", servers)
+        .outputMode("append")
+    )

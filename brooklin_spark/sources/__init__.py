@@ -1,0 +1,6 @@
+"""Source connectors: each returns an envelope-schema DataFrame (batch) or
+streaming DataFrame (readStream), mirroring the reference's Connector SPI
+(server-api Connector.java:30-163) as a thin "configured reader" protocol.
+"""
+
+from brooklin_spark.sources.registry import SOURCES, build_source  # noqa: F401

@@ -1,0 +1,70 @@
+"""Streaming pipeline helpers: replay the events table as a stream and run
+watermarked/stateful operators to completion (test/bootstrap harness).
+
+These give the engine the event-time capabilities the reference lacks
+(SURVEY.md §2.8: "Watermarks / event-time windows / late data — absent" —
+timestamps there are SLA metadata only). On a live cluster the same plans
+attach to the Kafka source; here the parquet-backed file stream drives them
+deterministically (one file = one micro-batch).
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet (bounded replay → deterministic
+    micro-batches), ts converted from nanos-long to a real timestamp."""
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_to_completion(result: DataFrame, mode: str) -> DataFrame:
+    """Start result's plan with a foreachBatch collector, drain everything,
+    stop, and return the collected rows as a batch DataFrame.
+
+    mode="complete": keep the last batch (windowed aggregates);
+    mode="append"/"update": accumulate all emitted rows.
+    """
+    spark = result.sparkSession
+    collected: list = []
+
+    def sink(batch_df: DataFrame, _epoch: int) -> None:
+        rows = batch_df.collect()
+        if mode == "complete":
+            collected.clear()
+        collected.extend(rows)
+
+    ckpt = tempfile.mkdtemp(prefix=f"bk-stream-{uuid.uuid4().hex[:8]}-")
+    q = (
+        result.writeStream.foreachBatch(sink)
+        .outputMode(mode)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.createDataFrame(collected, result.schema)

@@ -1,0 +1,71 @@
+"""Unit tests for the Kafka source option mapping (golden-config style, like
+the reference's TestKafkaConnectorTask config assertions — no brokers)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from brooklin_spark.model import PipelineSpec
+from brooklin_spark.sources.kafka_source import kafka_reader_options, parse_kafka_uri
+
+
+def _spec(uri: str, **meta) -> PipelineSpec:
+    return PipelineSpec(
+        name="k1", connector="kafka", transport="memory", source_uri=uri,
+        metadata=dict(meta),
+    )
+
+
+def test_parse_single_topic():
+    assert parse_kafka_uri("kafka://h1:9092/topicA") == ("h1:9092", "topicA", False)
+
+
+def test_parse_regex_topic():
+    servers, topic, is_pattern = parse_kafka_uri("kafka://h1:9092,h2:9092/^prefix.*$")
+    assert servers == "h1:9092,h2:9092" and is_pattern
+
+
+def test_parse_rejects_missing_topic():
+    with pytest.raises(ValueError):
+        parse_kafka_uri("kafka://h1:9092")
+
+
+def test_subscribe_options():
+    opts = kafka_reader_options(_spec("kafka://h:9092/t"))
+    assert opts["subscribe"] == "t"
+    assert opts["kafka.bootstrap.servers"] == "h:9092"
+    assert opts["startingOffsets"] == "earliest"
+    assert "subscribePattern" not in opts
+
+
+def test_mirror_pattern_options():
+    opts = kafka_reader_options(_spec("kafka://h:9092/^a.*$"))
+    assert opts["subscribePattern"] == "^a.*$"
+    assert "subscribe" not in opts
+
+
+def test_start_position_json_shape():
+    """{partition: offset} metadata → Kafka startingOffsets json
+    (KafkaConnector.java:118-131 parity)."""
+    opts = kafka_reader_options(
+        _spec("kafka://h:9092/t", **{"system.start.position": '{"0": 23, "2": 7}'})
+    )
+    assert json.loads(opts["startingOffsets"]) == {"t": {"0": 23, "2": 7}}
+
+
+def test_flow_control_options():
+    opts = kafka_reader_options(
+        _spec("kafka://h:9092/t", **{"max.offsets.per.trigger": "50000",
+                                     "min.partitions": "64"})
+    )
+    assert opts["maxOffsetsPerTrigger"] == "50000"
+    assert opts["minPartitions"] == "64"
+
+
+def test_offset_reset_override():
+    opts = kafka_reader_options(
+        _spec("kafka://h:9092/t", **{"system.auto.offset.reset": "latest"})
+    )
+    assert opts["startingOffsets"] == "latest"

@@ -1,0 +1,192 @@
+"""Tier-2 integration tests: real SparkSession, file/rate sources, memory
+sinks, full pipeline lifecycle through PipelineManager (mirrors the
+reference's embedded-cluster tier — SURVEY.md §5 — with Spark's local
+engine replacing embedded ZK/Kafka)."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+
+from brooklin_spark.manager import PipelineManager
+from brooklin_spark.model import PipelineSpec, PipelineStatus
+
+
+@pytest.fixture()
+def workdir(tmp_path):
+    return str(tmp_path / "mgr")
+
+
+def _write_lines(path: str, lines: list[str]) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def _file_spec(name: str, src_dir: str, table: str | None = None) -> PipelineSpec:
+    return PipelineSpec(
+        name=name,
+        connector="file",
+        transport="memory",
+        source_uri=f"file://{src_dir}",
+        metadata={"memory.table": table or name},
+    )
+
+
+def test_file_to_memory_end_to_end(spark, workdir, tmp_path):
+    """The reference's flagship e2e: file connector → destination, assert
+    delivered events (TestDatastreamServer.java:84-165 analog)."""
+    src = str(tmp_path / "in")
+    _write_lines(src + "/a.txt", ["e1", "e2", "e3"])
+    mgr = PipelineManager(spark, workdir)
+    mgr.create(_file_spec("fpipe", src))
+    mgr.process_available("fpipe")
+    rows = spark.sql("SELECT CAST(value AS STRING) AS v FROM fpipe").collect()
+    assert sorted(r.v for r in rows) == ["e1", "e2", "e3"]
+    assert mgr.get("fpipe").status == PipelineStatus.READY
+    # envelope invariants: op_code, metadata file path
+    env = spark.sql("SELECT op_code, metadata['file-path'] AS p FROM fpipe").first()
+    assert env.op_code == "INSERT" and env.p.endswith("a.txt")
+    mgr.delete("fpipe")
+    assert mgr.list() == []
+
+
+def test_tail_picks_up_new_files(spark, workdir, tmp_path):
+    """New file in the watched dir flows through on the next trigger
+    (FileProcessor tail / DirectoryChangeProcessor watch semantics)."""
+    src = str(tmp_path / "in")
+    _write_lines(src + "/a.txt", ["x1"])
+    mgr = PipelineManager(spark, workdir)
+    mgr.create(_file_spec("tail", src))
+    mgr.process_available("tail")
+    _write_lines(src + "/b.txt", ["x2", "x3"])
+    mgr.process_available("tail")
+    n = spark.sql("SELECT count(*) AS n FROM tail").first().n
+    assert n == 3
+    mgr.delete("tail")
+
+
+def test_pause_resume_continues_from_checkpoint(spark, workdir, tmp_path):
+    """Pause stops consumption; resume continues WITHOUT re-delivering old
+    events (checkpointed offsets = pause/resume parity,
+    DatastreamResources.java:358-601 + ZookeeperCheckpointProvider)."""
+    src = str(tmp_path / "in")
+    _write_lines(src + "/a.txt", ["a"])
+    mgr = PipelineManager(spark, workdir)
+    mgr.create(_file_spec("pr", src))
+    mgr.process_available("pr")
+    mgr.pause("pr")
+    assert mgr.get("pr").status == PipelineStatus.PAUSED
+    # arrives while paused
+    _write_lines(src + "/b.txt", ["b"])
+    mgr.resume("pr")
+    mgr.process_available("pr")
+    rows = spark.sql("SELECT CAST(value AS STRING) AS v FROM pr").collect()
+    # checkpoint recovery: 'a' delivered exactly once (not replayed), 'b'
+    # picked up after resume
+    assert sorted(r.v for r in rows) == ["a", "b"]
+    mgr.delete("pr")
+
+
+def test_dedup_by_source_reuses_query(spark, workdir, tmp_path):
+    """Same (connector, source) → second spec joins the first group instead
+    of a second physical query (SourceBasedDeduper.java:142-163)."""
+    src = str(tmp_path / "in")
+    _write_lines(src + "/a.txt", ["v"])
+    mgr = PipelineManager(spark, workdir)
+    mgr.create(_file_spec("d1", src))
+    mgr.create(_file_spec("d2", src))
+    assert mgr.query_of("d2") is None
+    diag = {d["name"]: d for d in mgr.diagnostics()}
+    assert diag["d1"]["group"] == ["d2"]
+    assert diag["d2"]["active"] is False and diag["d2"]["status"] == "READY"
+    mgr.delete("d1")
+
+
+def test_duplicate_name_rejected(spark, workdir, tmp_path):
+    src = str(tmp_path / "in")
+    _write_lines(src + "/a.txt", ["v"])
+    mgr = PipelineManager(spark, workdir)
+    mgr.create(_file_spec("dup", src))
+    with pytest.raises(ValueError, match="already exists"):
+        mgr.create(_file_spec("dup", src))
+    mgr.delete("dup")
+
+
+def test_illegal_transition_rejected(spark, workdir, tmp_path):
+    src = str(tmp_path / "in")
+    _write_lines(src + "/a.txt", ["v"])
+    mgr = PipelineManager(spark, workdir)
+    mgr.create(_file_spec("lt", src))
+    mgr.stop("lt")
+    with pytest.raises(ValueError, match="illegal transition"):
+        mgr.pause("lt")  # STOPPED -> PAUSED is not legal
+    mgr.delete("lt")
+
+
+def test_restore_restarts_ready_pipelines(spark, workdir, tmp_path):
+    """Manager restart resumes READY pipelines from their checkpoints
+    (instance rejoin / task reassign analog)."""
+    src = str(tmp_path / "in")
+    _write_lines(src + "/a.txt", ["r1"])
+    mgr = PipelineManager(spark, workdir)
+    mgr.create(_file_spec("res", src))
+    mgr.process_available("res")
+    q = mgr.query_of("res")
+    q.stop()  # simulate crash (status stays READY in catalog)
+    mgr2 = PipelineManager(spark, workdir)
+    assert mgr2.restore() == 1
+    _write_lines(src + "/b.txt", ["r2"])
+    mgr2.process_available("res")
+    rows = spark.sql("SELECT CAST(value AS STRING) AS v FROM res").collect()
+    # committed batch not replayed, new file delivered
+    assert sorted(r.v for r in rows) == ["r1", "r2"]
+    mgr2.delete("res")
+
+
+def test_bounded_parquet_bootstrap(spark, workdir, sf_smoke):
+    """parquet:// bounded source → memory transport (batch path): the JDBC
+    chunked-snapshot-shaped bootstrap producing the same envelope."""
+    mgr = PipelineManager(spark, workdir)
+    spec = PipelineSpec(
+        name="boot",
+        connector="parquet",
+        transport="memory",
+        source_uri=f"parquet://{sf_smoke}/events.parquet",
+        metadata={"memory.table": "boot"},
+    )
+    mgr.create(spec)
+    n = spark.sql("SELECT count(*) AS n FROM boot").first().n
+    assert n == 1000
+    ops = {r.op_code for r in spark.sql("SELECT DISTINCT op_code FROM boot").collect()}
+    assert ops == {"INSERT", "UPDATE", "DELETE"}
+    mgr.delete("boot")
+
+
+def test_rate_source_produces(spark, workdir):
+    mgr = PipelineManager(spark, workdir)
+    spec = PipelineSpec(
+        name="rate1",
+        connector="rate",
+        transport="memory",
+        source_uri="rate://500",
+        source_partitions=2,
+        metadata={"message.size": "64", "memory.table": "rate1"},
+    )
+    mgr.create(spec)
+    deadline = time.time() + 20
+    n = 0
+    while time.time() < deadline:
+        mgr.process_available("rate1")
+        n = spark.sql("SELECT count(*) AS n FROM rate1").first().n
+        if n > 0:
+            break
+        time.sleep(0.5)
+    assert n > 0
+    row = spark.sql(
+        "SELECT length(CAST(value AS STRING)) AS l, op_code FROM rate1 LIMIT 1"
+    ).first()
+    assert row.l == 64 and row.op_code == "INSERT"
+    mgr.delete("rate1")

@@ -1,0 +1,84 @@
+"""Tier-1 unit tests: spec validation, lifecycle state machine, envelope
+schema shape (mirrors the reference's pure unit tier, SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import pytest
+
+from brooklin_spark.model import (
+    ENVELOPE_SCHEMA,
+    PipelineSpec,
+    PipelineStatus,
+    can_transition,
+)
+
+
+def _spec(**kw) -> PipelineSpec:
+    base = dict(
+        name="p1",
+        connector="file",
+        transport="memory",
+        source_uri="file:///tmp/in.txt",
+    )
+    base.update(kw)
+    return PipelineSpec(**base)
+
+
+def test_valid_spec_passes():
+    _spec().validate()
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        {"name": "bad name"},
+        {"name": ""},
+        {"connector": "nope"},
+        {"transport": "nope"},
+        {"source_uri": "not-a-uri"},
+        {"metadata": {"system.start.position": "not json"}},
+        {"metadata": {"system.start.position": '["list"]'}},
+        {"metadata": {"system.start.position": '{"0": "x"}'}},
+    ],
+)
+def test_invalid_specs_rejected(kw):
+    with pytest.raises(ValueError):
+        _spec(**kw).validate()
+
+
+def test_start_position_json_ok():
+    _spec(metadata={"system.start.position": '{"0": 23, "1": 100}'}).validate()
+
+
+def test_lifecycle_matrix():
+    S = PipelineStatus
+    assert can_transition(S.INITIALIZING, S.READY)
+    assert can_transition(S.READY, S.PAUSED)
+    assert can_transition(S.PAUSED, S.READY)
+    assert can_transition(S.READY, S.STOPPING)
+    assert can_transition(S.STOPPING, S.STOPPED)
+    assert can_transition(S.STOPPED, S.READY)
+    assert not can_transition(S.INITIALIZING, S.PAUSED)
+    assert not can_transition(S.PAUSED, S.STOPPED)
+    assert not can_transition(S.DELETING, S.READY)
+
+
+def test_envelope_schema_fields():
+    names = [f.name for f in ENVELOPE_SCHEMA.fields]
+    assert names == [
+        "topic", "partition", "offset", "key", "value", "previous_value",
+        "op_code", "scn", "event_ts", "source_ts", "headers", "metadata",
+    ]
+
+
+def test_spec_json_roundtrip():
+    s = _spec(metadata={"a": "b"}, status=PipelineStatus.READY)
+    assert PipelineSpec.from_json(s.to_json()) == s
+
+
+def test_source_identity_dedup_key():
+    a = _spec(name="a")
+    b = _spec(name="b")
+    assert a.source_identity() == b.source_identity()
+    c = _spec(name="c", source_uri="file:///tmp/other.txt")
+    assert a.source_identity() != c.source_identity()

@@ -1,0 +1,52 @@
+"""Tier-2 streaming tests: the streaming queries complete, produce sane
+results, and agree with their batch twins where a batch twin exists."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from brooklin_spark import registry
+
+registry.load_all()
+
+
+def test_windowed_counts_match_batch(spark, sf_smoke):
+    out = registry.QUERIES["streaming_windowed_counts"](spark, sf_smoke)
+    rows = out.collect()
+    assert sum(r.n_events for r in rows) == 1000  # every event in a window
+    # agrees with the batch hourly rollup on totals per event_type
+    batch = registry.QUERIES["events_hourly_rollup"](spark, sf_smoke)
+    btot = {
+        r.event_type: r.n
+        for r in batch.groupBy("event_type").agg(F.sum("n_events").alias("n")).collect()
+    }
+    stot = {}
+    for r in rows:
+        stot[r.event_type] = stot.get(r.event_type, 0) + r.n_events
+    assert stot == btot
+
+
+def test_streaming_dedup_bounded(spark, sf_smoke):
+    out = registry.QUERIES["streaming_dedup_watermark"](spark, sf_smoke)
+    n = out.count()
+    # dedup keeps at most one event per (user, type) within the watermark
+    # horizon → strictly fewer rows than the input, more than distinct pairs
+    distinct_pairs = (
+        spark.read.parquet(f"{sf_smoke}/events.parquet")
+        .select("user_id", "event_type")
+        .distinct()
+        .count()
+    )
+    assert distinct_pairs <= n < 1000
+
+
+def test_session_windows_match_batch_sessionize(spark, sf_smoke):
+    out = registry.QUERIES["streaming_session_windows"](spark, sf_smoke)
+    per_user = {
+        r.user_id: r.n
+        for r in out.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    batch = registry.QUERIES["sessionize_events"](spark, sf_smoke)
+    expected = {r.user_id: r.n_sessions for r in batch.collect()}
+    assert per_user == expected
+    assert out.agg(F.sum("n_events")).first()[0] == 1000
