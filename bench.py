@@ -39,10 +39,25 @@ BENCH_QUERIES = [
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    warm_dir = os.environ.get("SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001")
     registry.load_all()
     spark = get_spark(app_name="brooklin-spark-bench")
-    # warm up the JVM/session so q1 doesn't pay startup costs
-    spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).count()
+    # warm-up pass at the smallest SF: triggers whole-stage codegen compile
+    # for every plan shape so the timed pass measures execution, not JIT
+    for name in BENCH_QUERIES:
+        try:
+            registry.QUERIES[name](spark, warm_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception as e:
+            print(f"  warmup {name} failed: {e}", file=sys.stderr)
+    spark.catalog.clearCache()
+    # settle: absorb post-warmup listener/GC backlog so it doesn't land on
+    # the first timed query
+    spark.sparkContext._jvm.System.gc()
+    registry.QUERIES["q6_forecast_revenue"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

@@ -39,16 +39,21 @@ def word_shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     Built from a sequence-index transform (JVM codegen; no UDF):
     shingle_i = tokens[i] .. tokens[i+n-1].
     """
+    # Shifted-slice zip_with: gram_i = toks[i] + ' ' + toks[i+1] + ... built
+    # by zipping n shifted views of the token array. Constant number of
+    # split() evaluations per row — element_at(toks, i) inside a transform
+    # would re-evaluate the split per index (O(tokens²) per doc).
     toks = tokens_col(text_col)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
-    grams = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + j) for j in range(n)]
-        ),
-    )
+    cnt = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    grams = F.slice(toks, 1, cnt)
+    for j in range(1, n):
+        shifted = F.slice(toks, 1 + j, cnt)
+        grams = F.zip_with(grams, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
+    # spread the explode across cores — a small-file corpus arrives as one
+    # input split, and the tokenize+explode is the CPU-heavy stage
     return (
-        df.select(F.col(id_col).alias("id"), F.explode(grams).alias("shingle"))
+        df.repartition(F.col(id_col))
+        .select(F.col(id_col).alias("id"), F.explode(grams).alias("shingle"))
         .distinct()
     )
 
@@ -66,20 +71,32 @@ def jaccard_pairs(
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
     """
     sizes = shingles.groupBy("id").agg(F.count("*").alias("n_sh"))
-    a = shingles.alias("a")
-    b = shingles.alias("b")
-    common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
-        .agg(F.count("*").alias("common"))
-    )
     if candidates is not None:
-        common = common.join(
-            candidates.select(
-                F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
-            ).distinct(),
-            ["doc_a", "doc_b"],
-            "left_semi",
+        # candidates-first: only candidate pairs ever reach the shingle
+        # intersection — the whole point of LSH at scale. Two equi-joins
+        # keyed on doc id, then count matching shingles per pair.
+        cand = candidates.select(
+            F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+        ).distinct()
+        sa_sh = shingles.select(F.col("id").alias("doc_a"), F.col("shingle").alias("sh"))
+        sb_sh = shingles.select(F.col("id").alias("doc_b"), F.col("shingle").alias("sh"))
+        common = (
+            cand.join(sa_sh, "doc_a")
+            .join(sb_sh, ["doc_b", "sh"])  # equi-join on (doc, shingle)
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("common"))
+        )
+    else:
+        a = shingles.alias("a")
+        b = shingles.alias("b")
+        common = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            .groupBy(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+            .agg(F.count("*").alias("common"))
         )
     sa = sizes.select(F.col("id").alias("doc_a"), F.col("n_sh").alias("na"))
     sb = sizes.select(F.col("id").alias("doc_b"), F.col("n_sh").alias("nb"))
@@ -137,23 +154,21 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int, rows_per_band: int) -
     )
 
 
-def simhash_signature(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32) -> DataFrame:
-    """SimHash over word parity votes: bit b set iff the frequency-weighted
-    majority of words has odd ascii(md5(word)[b]).
+def simhash_signature(shingles: DataFrame, bits: int = 32) -> DataFrame:
+    """SimHash over shingle features: bit b set iff the majority of the
+    doc's (distinct) shingles has odd ascii(md5(shingle)[b]).
 
-    One explode + one groupBy with ``bits`` sum columns; the signature is a
-    '0'/'1' string so downstream hamming is pure substring comparison
-    (identical semantics in any engine).
+    Shingle features (vs raw words) keep signatures discriminative even on
+    a small shared vocabulary — the Manku et al. web-dedup setup. One
+    groupBy with ``bits`` sum columns; the signature is a '0'/'1' string so
+    downstream hamming is pure substring comparison (engine-portable).
     """
-    words = df.select(
-        F.col(id_col).alias("id"), F.explode(tokens_col(text_col)).alias("w")
-    )
-    h = F.md5(F.col("w"))
+    h = F.md5(F.col("shingle"))
     sums = [
         F.sum(2 * (F.ascii(F.substring(h, b, 1)) % 2) - 1).alias(f"s{b}")
         for b in range(1, bits + 1)
     ]
-    agg = words.groupBy("id").agg(*sums)
+    agg = shingles.groupBy("id").agg(*sums)
     sig = F.concat(
         *[
             F.when(F.col(f"s{b}") >= 0, F.lit("1")).otherwise(F.lit("0"))
@@ -163,17 +178,8 @@ def simhash_signature(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
     return agg.select("id", sig.alias("sig"))
 
 
-def hamming_pairs(signatures: DataFrame, bits: int, max_distance: int) -> DataFrame:
-    """All-pairs hamming distance over bit-string signatures.
-
-    The expression is a flat sum of per-position char compares (codegen'd).
-    At 100 TB, pre-bucket on a band of the signature (e.g. first 12 bits
-    equal) before this join; here the corpus is small enough for the
-    broadcast self-join.
-    """
-    a = signatures.alias("a")
-    b = signatures.alias("b")
-    dist = functools.reduce(
+def _hamming_expr(bits: int) -> "F.Column":
+    return functools.reduce(
         pyop.add,
         [
             (
@@ -182,11 +188,77 @@ def hamming_pairs(signatures: DataFrame, bits: int, max_distance: int) -> DataFr
             for p in range(1, bits + 1)
         ],
     )
+
+
+def hamming_pairs(signatures: DataFrame, bits: int, max_distance: int) -> DataFrame:
+    """All-pairs hamming distance over bit-string signatures (small-corpus
+    verification kernel; prefer banded_hamming_pairs at scale)."""
+    a = signatures.alias("a")
+    b = signatures.alias("b")
+    dist = _hamming_expr(bits)
     return (
         a.join(b, F.col("a.id") < F.col("b.id"))
         .select(
             F.col("a.id").alias("doc_a"),
             F.col("b.id").alias("doc_b"),
+            dist.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_distance)
+    )
+
+
+def banded_hamming_pairs(
+    signatures: DataFrame, bits: int, bands: int, max_distance: int
+) -> DataFrame:
+    """EXACT hamming-<=d pairs via signature banding (Manku et al.):
+    with d < bands, pigeonhole guarantees every qualifying pair agrees on
+    at least one full band, so candidates = per-band equi-joins and the
+    cross join never happens. The verify step recomputes true hamming.
+
+    This is the 100 TB simhash path: the shuffle is keyed on (band, key).
+    """
+    if max_distance >= bands:
+        raise ValueError("exactness requires max_distance < bands")
+    width = bits // bands
+    band_structs = [
+        F.struct(
+            F.lit(j).alias("band_id"),
+            F.substring(F.col("sig"), j * width + 1, width).alias("band_key"),
+        )
+        for j in range(bands)
+    ]
+    banded = signatures.select(
+        "id", F.explode(F.array(*band_structs)).alias("b")
+    ).select("id", "b.band_id", "b.band_key")
+    x = banded.alias("x")
+    y = banded.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band_id") == F.col("y.band_id"))
+            & (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+    sa = signatures.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = signatures.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    dist = functools.reduce(
+        pyop.add,
+        [
+            (F.substring(F.col("sig_a"), p, 1) != F.substring(F.col("sig_b"), p, 1)).cast(
+                "int"
+            )
+            for p in range(1, bits + 1)
+        ],
+    )
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            F.col("id_a").alias("doc_a"),
+            F.col("id_b").alias("doc_b"),
             dist.alias("hamming"),
         )
         .filter(F.col("hamming") <= max_distance)

@@ -39,11 +39,19 @@ def band_exprs(bands: int, rows_per_band: int) -> list[str]:
     return out
 
 
-def simhash_sum_cols(bits: int) -> str:
+def simhash_sum_cols(bits: int, feature: str = "shingle") -> str:
     return ",\n             ".join(
-        f"sum(2 * (ascii(substr(md5(w), {b}, 1)) % 2) - 1) AS s{b}"
+        f"sum(2 * (ascii(substr(md5({feature}), {b}, 1)) % 2) - 1) AS s{b}"
         for b in range(1, bits + 1)
     )
+
+
+def simhash_band_selects(bits: int, bands: int) -> list[str]:
+    width = bits // bands
+    return [
+        f"SELECT doc_id, {j} AS band_id, substr(sig, {j * width + 1}, {width}) AS band_key FROM sigs"
+        for j in range(bands)
+    ]
 
 
 def simhash_sig_expr(bits: int) -> str:

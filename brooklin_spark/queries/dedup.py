@@ -75,7 +75,9 @@ def dedup_exact_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    sh = D.word_shingles(docs, n=3)
+    # the shingle relation feeds the pair join twice and the size agg once;
+    # persist it (at 100 TB: a checkpointed/bucketed intermediate table)
+    sh = D.word_shingles(docs, n=3).localCheckpoint()
     return D.jaccard_pairs(sh, threshold=0.7)
 
 
@@ -100,8 +102,10 @@ _MH, _BANDS, _ROWS = 16, 4, 4
         ON x.band_id = y.band_id AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
     sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
     common AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      SELECT c.doc_a, c.doc_b, count(*) AS common
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.doc_a
+      JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
       GROUP BY 1, 2)
     SELECT c.doc_a, c.doc_b,
            common * 1.0 / (sa.n_sh + sb.n_sh - common) AS jaccard
@@ -114,36 +118,43 @@ _MH, _BANDS, _ROWS = 16, 4, 4
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    sh = D.word_shingles(docs, n=3)
-    sig = D.minhash_signature(sh, num_hashes=_MH)
+    # shingles feed the signature, both sides of the verify join and the
+    # size agg — persist once (at 100 TB: a materialized intermediate)
+    sh = D.word_shingles(docs, n=3).localCheckpoint()
+    sig = D.minhash_signature(sh, num_hashes=_MH).localCheckpoint()
     cand = D.lsh_candidate_pairs(sig, bands=_BANDS, rows_per_band=_ROWS)
     return D.jaccard_pairs(sh, threshold=0.7, candidates=cand)
 
 
 # ---------------------------------------------------------------------------
-# SimHash near-dup: 32-bit parity signature, all-pairs hamming <= 6.
+# SimHash near-dup: 32-bit signature over shingle features, EXACT
+# hamming <= 3 via 4-band candidate generation (Manku et al. pigeonhole:
+# d < bands ⇒ every qualifying pair agrees on a full band — no cross join).
 # ---------------------------------------------------------------------------
 
-_BITS = 32
+_BITS, _SH_BANDS, _MAX_D = 32, 4, 3
 
 
 @query(
     "dedup_simhash",
     oracle=f"""
-    WITH words AS (
-      SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
-      FROM documents),
+    WITH {G.shingle_cte(3)},
     sums AS (
-      SELECT doc_id, {G.simhash_sum_cols(_BITS)}
-      FROM words GROUP BY doc_id),
-    sigs AS (SELECT doc_id, {G.simhash_sig_expr(_BITS)} AS sig FROM sums)
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           {G.hamming_expr(_BITS)} AS hamming
-    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
-    WHERE {G.hamming_expr(_BITS)} <= 6
+      SELECT doc_id, {G.simhash_sum_cols(_BITS, "shingle")}
+      FROM sh GROUP BY doc_id),
+    sigs AS (SELECT doc_id, {G.simhash_sig_expr(_BITS)} AS sig FROM sums),
+    banded AS ({" UNION ALL ".join(G.simhash_band_selects(_BITS, _SH_BANDS))}),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM banded x JOIN banded y
+        ON x.band_id = y.band_id AND x.band_key = y.band_key AND x.doc_id < y.doc_id)
+    SELECT c.doc_a, c.doc_b, {G.hamming_expr(_BITS, "a.sig", "b.sig")} AS hamming
+    FROM cand c JOIN sigs a ON a.doc_id = c.doc_a JOIN sigs b ON b.doc_id = c.doc_b
+    WHERE {G.hamming_expr(_BITS, "a.sig", "b.sig")} <= {_MAX_D}
     """,
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    sig = D.simhash_signature(docs, bits=_BITS)
-    return D.hamming_pairs(sig, bits=_BITS, max_distance=6)
+    sh = D.word_shingles(docs, n=3)
+    sig = D.simhash_signature(sh, bits=_BITS).localCheckpoint()
+    return D.banded_hamming_pairs(sig, bits=_BITS, bands=_SH_BANDS, max_distance=_MAX_D)

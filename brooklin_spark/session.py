@@ -44,6 +44,10 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # split small local files across cores; on a real cluster raise this
+        # back toward 128m (files there are many and HDFS-block-sized)
+        .config("spark.sql.files.maxPartitionBytes", "4m")
+        .config("spark.sql.files.openCostInBytes", "1m")
         # testdata events.parquet stores TIMESTAMP(NANOS); Spark 4 refuses it
         # unless read as long — io.table() converts back to micros
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -51,7 +55,7 @@ def get_spark(
         # 64MB threshold still sane on a big cluster with AQE re-checking sizes
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
