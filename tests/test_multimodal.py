@@ -1,0 +1,70 @@
+"""Multimodal plumbing tests: schemas, Arrow batch shapes, determinism,
+JVM-side frame sampling."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from brooklin_spark.io import table
+from brooklin_spark.operators import multimodal as M
+
+
+def _media(spark, sf_smoke, n=50):
+    docs = table(spark, sf_smoke, "documents").limit(n)
+    return M.synthesize_media_table(docs, width=16, height=8)
+
+
+def test_media_table_schema(spark, sf_smoke):
+    m = _media(spark, sf_smoke)
+    assert dict(m.dtypes)["payload"] == "binary"
+    meta_fields = [f.name for f in m.schema["meta"].dataType.fields]
+    assert meta_fields == [
+        "media_type", "width", "height", "channels",
+        "sample_rate", "duration_ms", "codec",
+    ]
+
+
+def test_image_features_deterministic(spark, sf_smoke):
+    m = _media(spark, sf_smoke)
+    a = {r.doc_id: r.mean_intensity for r in M.decode_image_features(m).collect()}
+    b = {r.doc_id: r.mean_intensity for r in M.decode_image_features(m).collect()}
+    assert a == b and len(a) == 50
+    row = M.decode_image_features(m).first()
+    assert row.n_pixels == 16 * 8
+    assert 0.0 <= row.mean_intensity <= 255.0
+
+
+def test_resize_shrinks_payload(spark, sf_smoke):
+    m = _media(spark, sf_smoke, n=10)
+    out = M.resize_image(m, out_w=4, out_h=2).collect()
+    assert len(out) == 10
+    for r in out:
+        assert len(bytes(r.payload)) == 4 * 2
+        assert r.width == 4 and r.height == 2
+
+
+def test_audio_features_shapes(spark, sf_smoke):
+    m = _media(spark, sf_smoke, n=20)
+    rows = M.audio_features(m).collect()
+    assert len(rows) == 20
+    for r in rows:
+        # payload = 32-char md5 hex string as bytes -> 16 int16 samples
+        assert r.n_samples == 16
+        assert r.rms >= 0 and r.peak >= 0
+
+
+def test_video_frame_sampling_jvm_side(spark, sf_smoke):
+    m = _media(spark, sf_smoke, n=5)
+    frames = M.sample_video_frames(m, frame_size=4, every_k=2, max_frames=4)
+    rows = frames.collect()
+    # payload is 32 bytes -> frame starts 0,8,16,24 (size 4, k=2) all fit
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, []).append(r.frame_no)
+        assert len(bytes(r.frame)) == 4
+    for nos in per_doc.values():
+        assert sorted(nos) == [0, 2, 4, 6]
+    # no Python in the plan: mapInPandas absent from the explain string
+    plan = frames._sc._jvm.PythonSQLUtils if False else None  # noqa: F841
+    explained = frames._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in explained and "mapInPandas" not in explained.lower()
