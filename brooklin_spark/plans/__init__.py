@@ -1,0 +1,10 @@
+"""Plan inspection and audit utilities."""
+
+from brooklin_spark.plans.audit import (  # noqa: F401
+    broadcast_join_count,
+    executed_plan,
+    pushed_filters,
+    read_schema_columns,
+    shuffle_count,
+    wholestage_codegen_ids,
+)

@@ -42,4 +42,5 @@ def load_all() -> None:
         similarity,
         streaming,
         text,
+        tpch_extra,
     )
