@@ -138,6 +138,94 @@ def srp_bucket(df: DataFrame, planes: int, id_col: str = "vec_id", vec_col: str 
     return df.select(F.col(id_col).alias("id"), vec.alias("vec"), F.concat(*bits).alias("bucket"))
 
 
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every corpus vector to its nearest centroid (max cosine,
+    centroid-id tie-break) -> (vec_id, cid).
+
+    Plan shape: corpus ⋈ broadcast(centroids) — partition-preserving, no
+    corpus shuffle; this is the IVF index build, written once at scale and
+    reused across queries. Centroid refinement (k-means iterations) slots
+    in by re-calling this with updated centroids.
+    """
+    from pyspark.sql import Window as W
+
+    c = with_norm(corpus, vec_col).select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"), F.col("_norm").alias("vn")
+    )
+    k = with_norm(centroids, vec_col).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"), F.col("_norm").alias("cn")
+    )
+    sim = cosine(F.col("vec"), F.col("cvec"), F.col("vn"), F.col("cn"))
+    scored = c.join(F.broadcast(k)).select("vec_id", "cid", sim.alias("sim"))
+    w = W.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid")
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    k: int,
+    nprobe: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: probe the ``nprobe`` nearest
+    centroid buckets per query, exact cosine rerank within the candidates.
+
+    Deterministic (fixed centroids, rounded sims, id tie-breaks) so it is
+    byte-reproducible across engines. At scale the candidate join shuffles
+    only |probed buckets| ≈ nprobe/n_centroids of the corpus instead of
+    scoring all of it — that fraction is the accuracy/throughput dial.
+    """
+    from pyspark.sql import Window as W
+
+    assign = ivf_assign(corpus, centroids, id_col, vec_col)
+    kc = with_norm(centroids, vec_col).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"), F.col("_norm").alias("cn")
+    )
+    q = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), F.col("_norm").alias("q_norm")
+    )
+    qsim = cosine(F.col("q_vec"), F.col("cvec"), F.col("q_norm"), F.col("cn"))
+    wq = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cid"))
+    probes = (
+        q.join(F.broadcast(kc)).select("query_id", "cid", qsim.alias("sim"))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "cid")
+    )
+    c = with_norm(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), F.col("_norm").alias("c_norm")
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(assign, "cid")
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    sim = cosine(F.col("q_vec"), F.col("c_vec"), F.col("q_norm"), F.col("c_norm"))
+    scored = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
+        .select("query_id", "neighbor_id", sim.alias("sim"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def srp_ann_top1(
     corpus: DataFrame, planes: int = 6, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:

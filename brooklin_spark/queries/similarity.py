@@ -60,6 +60,59 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# IVF approximate top-k: 8 fixed centroids, probe the 2 nearest buckets per
+# query, exact rerank within candidates. Fully deterministic, so the whole
+# approximation (including its misses vs brute force) is oracle-checkable.
+# ---------------------------------------------------------------------------
+
+_IVF_C = 8      # centroids = vec_id < 8 (deterministic seed vectors)
+_IVF_NPROBE = 2
+_IVF_K = 5
+
+
+@query(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH cent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < {_IVF_C}),
+    scored AS (
+      SELECT e.vec_id, c.cid,
+             round(list_cosine_similarity(e.embedding::DOUBLE[], c.cvec::DOUBLE[]), 6) AS sim
+      FROM embeddings e CROSS JOIN cent c),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
+        FROM scored) t WHERE rn = 1),
+    probes AS (
+      SELECT vec_id AS query_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
+        FROM scored WHERE vec_id < 10) t WHERE rn <= {_IVF_NPROBE}),
+    cand AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id
+      FROM probes p JOIN assign a ON a.cid = p.cid
+      WHERE a.vec_id <> p.query_id),
+    rescored AS (
+      SELECT c.query_id, c.neighbor_id,
+             round(list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[]), 6) AS sim
+      FROM cand c
+      JOIN embeddings q ON q.vec_id = c.query_id
+      JOIN embeddings n ON n.vec_id = c.neighbor_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+      FROM rescored)
+    SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= {_IVF_K}
+    """,
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < _IVF_C)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.ivf_topk(queries, emb, cent, k=_IVF_K, nprobe=_IVF_NPROBE)
+
+
+# ---------------------------------------------------------------------------
 # SRP-LSH approximate top-1 neighbor: 6 deterministic hyperplanes → 64
 # buckets; candidates only within a bucket (the scale path).
 # ---------------------------------------------------------------------------

@@ -50,6 +50,82 @@ def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_completion(deduped, mode="append")
 
 
+@query("streaming_stream_stream_join")
+def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream time-interval join: purchases joined to the clicks that
+    preceded them by <= 30 minutes for the same user. Both sides carry
+    watermarks so join state is bounded by the interval + watermark horizon
+    (the property that keeps state finite on an unbounded stream)."""
+    clicks = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("click_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("purchase_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            """purchase_user = click_user
+               AND click_ts <= purchase_ts
+               AND click_ts >= purchase_ts - INTERVAL 30 MINUTES"""
+        ),
+    ).select(
+        "purchase_id",
+        "click_id",
+        F.col("purchase_user").alias("user_id"),
+        "purchase_value",
+    )
+    return run_to_completion(joined, mode="append")
+
+
+@query("streaming_stateful_user_totals")
+def streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user running
+    (count, total value) kept in explicit group state — the extension point
+    for operators Spark lacks natively (SURVEY §2.10 'record-level UDF on
+    data: absent in reference'). State is one small tuple per user — O(keys)
+    not O(events), the bound that survives unbounded input."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    s = events_stream(spark, sf_dir)
+
+    def totals(key: tuple, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            [{"user_id": key[0], "n_events": n, "total_value": round(total, 6)}]
+        )
+
+    out = s.groupBy("user_id").applyInPandasWithState(
+        totals,
+        outputStructType="user_id bigint, n_events bigint, total_value double",
+        stateStructType="n bigint, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return run_to_completion(out, mode="update")
+
+
 @query("streaming_session_windows")
 def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based session windows (session_window, 30-minute gap) — the

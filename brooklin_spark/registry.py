@@ -38,6 +38,7 @@ def load_all() -> None:
     from brooklin_spark.queries import (  # noqa: F401
         cdc,
         dedup,
+        multimodal,
         relational,
         similarity,
         streaming,
