@@ -33,11 +33,16 @@ def tokens_col(text_col: str = "text") -> Column:
     return F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
 
 
-def word_shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per document: (id, shingle).
+def shingle_arrays(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Per-document DISTINCT word n-gram shingle array: (id, shingles).
 
-    Built from a sequence-index transform (JVM codegen; no UDF):
-    shingle_i = tokens[i] .. tokens[i+n-1].
+    Entirely map-side (split → shifted-slice zip_with → array_distinct):
+    no shuffle beyond the initial repartition that spreads a small-file
+    corpus across cores. Keeping shingles as an array per doc means
+    dedup stages that only need per-doc views (signatures, set sizes,
+    intersection verify) never pay an explode+groupBy round trip.
     """
     # Shifted-slice zip_with: gram_i = toks[i] + ' ' + toks[i+1] + ... built
     # by zipping n shifted views of the token array. Constant number of
@@ -49,12 +54,78 @@ def word_shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     for j in range(1, n):
         shifted = F.slice(toks, 1 + j, cnt)
         grams = F.zip_with(grams, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
-    # spread the explode across cores — a small-file corpus arrives as one
-    # input split, and the tokenize+explode is the CPU-heavy stage
+    return df.repartition(F.col(id_col)).select(
+        F.col(id_col).alias("id"), F.array_distinct(grams).alias("shingles")
+    )
+
+
+def word_shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle) rows.
+
+    Distinctness comes from the per-doc array_distinct — no global
+    distinct shuffle (the old plan's costliest stage).
+    """
+    return shingle_arrays(df, id_col, text_col, n).select(
+        "id", F.explode("shingles").alias("shingle")
+    )
+
+
+def pair_common_counts(shingles: DataFrame) -> DataFrame:
+    """(id, shingle) rows -> (id_a, id_b, common): co-occurrence counts for
+    every doc pair sharing >=1 shingle, id_a < id_b.
+
+    Pairs are generated inside each shingle group with JVM array transforms
+    (sorted id list → upper-triangle structs) instead of a shingle
+    self-join: one groupBy(shingle) + one groupBy(pair) — two shuffles
+    total, and the quadratic blowup is bounded per-group (hot shingles are
+    the skew risk; cap group size upstream via stopword-ish filtering if a
+    corpus has giant posting lists).
+    """
+    grouped = (
+        shingles.groupBy("shingle")
+        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     return (
-        df.repartition(F.col(id_col))
-        .select(F.col(id_col).alias("id"), F.explode(grams).alias("shingle"))
-        .distinct()
+        grouped.select(F.explode(pairs).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("common"))
+    )
+
+
+def jaccard_verify(
+    arrays: DataFrame, candidates: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact Jaccard for candidate pairs via per-row array intersection.
+
+    candidates(id_a, id_b) ⋈ arrays ⋈ arrays, then
+    |A∩B| / (|A|+|B|-|A∩B|) computed JVM-side per pair — no explode, no
+    per-pair aggregation. This is the scale-path verify kernel: work is
+    O(candidates), each row touching only its two shingle sets.
+    """
+    a = arrays.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    b = arrays.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    common = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = common / (F.size("sh_a") + F.size("sh_b") - common)
+    return (
+        candidates.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            F.col("id_a").alias("doc_a"),
+            F.col("id_b").alias("doc_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
     )
 
 
@@ -109,6 +180,26 @@ def jaccard_pairs(
     )
 
 
+def minhash_signature_arrays(arrays: DataFrame, num_hashes: int = 16) -> DataFrame:
+    """MinHash signature computed map-side from per-doc shingle arrays:
+    h_k = array_min(transform(shingles, s -> md5(k || ':' || s))).
+
+    Zero shuffles — the signature exists before any exchange, so at scale
+    the only shuffled data is (id, 16 hashes), never the shingle rows.
+    Lexicographic min over lowercase hex == uniform min-hash.
+    """
+    cols = [
+        F.array_min(
+            F.transform(
+                F.col("shingles"),
+                lambda s: F.md5(F.concat(F.lit(f"{k}:"), s)),
+            )
+        ).alias(f"h{k}")
+        for k in range(num_hashes)
+    ]
+    return arrays.select("id", *cols)
+
+
 def minhash_signature(shingles: DataFrame, num_hashes: int = 16) -> DataFrame:
     """MinHash signature: h_k = min(md5(k || ':' || shingle)) per doc.
 
@@ -152,6 +243,26 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int, rows_per_band: int) -
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
         .distinct()
     )
+
+
+def simhash_signature_arrays(arrays: DataFrame, bits: int = 32) -> DataFrame:
+    """SimHash computed map-side from per-doc shingle arrays: md5 each
+    shingle once, then per-bit parity votes via array aggregates — zero
+    shuffles (the ``hs`` projection stays a separate plan node, so the 32
+    bit-aggregates share one md5 pass; CollapseProject keeps multi-use
+    non-cheap aliases un-inlined)."""
+    hashed = arrays.select(
+        "id", F.transform(F.col("shingles"), lambda s: F.md5(s)).alias("hs")
+    )
+    bit_cols = []
+    for b in range(1, bits + 1):
+        vote = F.aggregate(
+            F.col("hs"),
+            F.lit(0),
+            lambda acc, h: acc + (2 * (F.ascii(F.substring(h, b, 1)) % 2) - 1),
+        )
+        bit_cols.append(F.when(vote >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return hashed.select("id", F.concat(*bit_cols).alias("sig"))
 
 
 def simhash_signature(shingles: DataFrame, bits: int = 32) -> DataFrame:

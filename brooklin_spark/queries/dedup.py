@@ -75,10 +75,26 @@ def dedup_exact_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    # the shingle relation feeds the pair join twice and the size agg once;
-    # persist it (at 100 TB: a checkpointed/bucketed intermediate table)
-    sh = D.word_shingles(docs, n=3).localCheckpoint()
-    return D.jaccard_pairs(sh, threshold=0.7)
+    # arrays feed pair-gen (exploded) and the size lookup; the shared
+    # repartition exchange is reused by Catalyst (ReuseExchange), so the
+    # shingle build happens once — no checkpoint materialization needed
+    arr = D.shingle_arrays(docs, n=3).localCheckpoint()
+    sh = arr.select("id", F.explode("shingles").alias("shingle"))
+    common = D.pair_common_counts(sh)
+    sizes = arr.select("id", F.size("shingles").alias("n_sh"))
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb"))
+    jac = F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            F.col("id_a").alias("doc_a"),
+            F.col("id_b").alias("doc_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.7)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -118,12 +134,16 @@ _MH, _BANDS, _ROWS = 16, 4, 4
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    # shingles feed the signature, both sides of the verify join and the
-    # size agg — persist once (at 100 TB: a materialized intermediate)
-    sh = D.word_shingles(docs, n=3).localCheckpoint()
+    # measured fastest combination (see operators/dedup.py scale notes):
+    # checkpointed shingle arrays (computed once, reused by sig + verify),
+    # signatures via codegen'd md5 + one groupBy shuffle (beats the
+    # interpreted map-side HOF variant locally), candidates from banding,
+    # then per-pair array-intersect verify — work is O(candidates)
+    arr = D.shingle_arrays(docs, n=3).localCheckpoint()
+    sh = arr.select("id", F.explode("shingles").alias("shingle"))
     sig = D.minhash_signature(sh, num_hashes=_MH).localCheckpoint()
     cand = D.lsh_candidate_pairs(sig, bands=_BANDS, rows_per_band=_ROWS)
-    return D.jaccard_pairs(sh, threshold=0.7, candidates=cand)
+    return D.jaccard_verify(arr, cand, threshold=0.7)
 
 
 # ---------------------------------------------------------------------------
@@ -155,6 +175,10 @@ _BITS, _SH_BANDS, _MAX_D = 32, 4, 3
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    sh = D.word_shingles(docs, n=3)
+    # exploded md5-once signature (codegen) + checkpoint: the signature
+    # feeds three consumers in the banding/verify joins — without the
+    # checkpoint the whole sig chain re-executes per consumer
+    arr = D.shingle_arrays(docs, n=3)
+    sh = arr.select("id", F.explode("shingles").alias("shingle"))
     sig = D.simhash_signature(sh, bits=_BITS).localCheckpoint()
     return D.banded_hamming_pairs(sig, bits=_BITS, bands=_SH_BANDS, max_distance=_MAX_D)
