@@ -1,0 +1,420 @@
+"""Second batch of TPC-H-shaped relational queries, adapted to the testdata
+schema (no partsupp / shipmode / phone columns — each query keeps the plan
+shape of its TPC-H counterpart on the columns that exist).
+
+Also: grouping sets (Spark 4 DataFrame API), unpivot/melt, analytic window
+battery, and an approx-distinct sketch (rows-only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from brooklin_spark.functions.exact import dec, dsum, one_minus
+from brooklin_spark.io import table
+from brooklin_spark.registry import query
+
+_REV = "CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l.l_discount AS DECIMAL(12,2)))"
+
+
+# ---------------------------------------------------------------------------
+# q7 shape: two-nation trade volume by year — 5-way join, two dim lookups
+# into the same nation table, conjunctive OR on the pair.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q7_nation_volume",
+    oracle=f"""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+           CAST(SUM({_REV}) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey  = o.o_custkey
+    JOIN supplier s ON s.s_suppkey  = l.l_suppkey
+    JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+    JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
+    WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+       OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+    GROUP BY 1, 2, 3
+    """,
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    sn = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    cn = n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(o, o.o_orderkey == li.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .join(F.broadcast(s), s.s_suppkey == li.l_suppkey)
+        .join(F.broadcast(sn), F.col("sn_key") == s.s_nationkey)
+        .join(F.broadcast(cn), F.col("cn_key") == c.c_nationkey)
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("bigint").alias("l_year"))
+        .agg(dsum(dec("l_extendedprice") * one_minus("l_discount"), "revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q8 shape: market share of one supplier-nation within a customer region,
+# by order year — conditional share of an exact-decimal revenue sum.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q8_market_share",
+    oracle=f"""
+    WITH flows AS (
+      SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+             sn.n_name AS supp_nation, {_REV} AS rev
+      FROM lineitem l
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey  = o.o_custkey
+      JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
+      JOIN region r   ON r.r_regionkey = cn.n_regionkey
+      JOIN supplier s ON s.s_suppkey  = l.l_suppkey
+      JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+      WHERE r.r_name = 'ASIA')
+    SELECT o_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN rev ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+             / CAST(SUM(rev) AS DOUBLE) AS mkt_share
+    FROM flows GROUP BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    cn = n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region"))
+    sn = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    rev = dec("l_extendedprice") * one_minus("l_discount")
+    flows = (
+        li.join(o, o.o_orderkey == li.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .join(F.broadcast(cn), F.col("cn_key") == c.c_nationkey)
+        .join(F.broadcast(r.filter(F.col("r_name") == "ASIA")), F.col("r_regionkey") == F.col("cn_region"))
+        .join(F.broadcast(s), s.s_suppkey == li.l_suppkey)
+        .join(F.broadcast(sn), F.col("sn_key") == s.s_nationkey)
+        .select(
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            "supp_nation",
+            rev.alias("rev"),
+        )
+    )
+    nat = F.when(F.col("supp_nation") == "NATION_3", F.col("rev")).otherwise(
+        F.lit(0).cast("decimal(12,2)")
+    )
+    return flows.groupBy("o_year").agg(
+        (F.sum(nat).cast("double") / F.sum("rev").cast("double")).alias("mkt_share")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q13 shape: customer order-count distribution — outer join with an ON-clause
+# filter, two-level aggregation.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q13_customer_distribution",
+    oracle="""
+    WITH c_orders AS (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o
+        ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey)
+    SELECT c_count, COUNT(*) AS custdist
+    FROM c_orders GROUP BY c_count
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    counts = (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return counts.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+# ---------------------------------------------------------------------------
+# q15 shape: top supplier by quarterly revenue — aggregate view + scalar max
+# subquery (exact decimal, so the max comparison is deterministic).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name, CAST(r.total_revenue AS DOUBLE) AS total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    s = table(spark, sf_dir, "supplier")
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(dec("l_extendedprice") * one_minus("l_discount")).alias("total_revenue")
+    )
+    # scalar max via an unpartitioned window over the (small) aggregate —
+    # avoids a driver collect; AQE keeps it a single-partition exchange
+    top = (
+        revenue.withColumn("mx", F.max("total_revenue").over(W.partitionBy()))
+        .filter(F.col("total_revenue") == F.col("mx"))
+    )
+    return top.join(s, s.s_suppkey == top.supplier_no).select(
+        "s_suppkey", "s_name", F.col("total_revenue").cast("double").alias("total_revenue")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q17 shape: correlated per-part average quantity (0.2×avg) — join against a
+# grouped aggregate of the same fact table.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0 AS avg_yearly
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#1'
+      AND l.l_quantity < (
+        SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    # quantities are small exact integers in double; AVG = exact-int sum /
+    # count is IEEE-identical across engines, so the 0.2×avg boundary is safe
+    avg_qty = li.groupBy(F.col("l_partkey").alias("ap_key")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_cut")
+    )
+    return (
+        li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+        .join(avg_qty, F.col("ap_key") == li.l_partkey)
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .agg((F.sum(dec("l_extendedprice")).cast("double") / 7.0).alias("avg_yearly"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q21 shape (adapted — no commit/receipt dates in the testdata): suppliers
+# that were the SOLE supplier on finished multi-item orders. Exists/anti
+# semantics over a self-referencing fact slice.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q21_sole_supplier_orders",
+    oracle="""
+    WITH fo AS (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'),
+    li AS (
+      SELECT DISTINCT l.l_orderkey, l.l_suppkey
+      FROM lineitem l JOIN fo ON fo.o_orderkey = l.l_orderkey),
+    sole AS (
+      SELECT a.l_orderkey, a.l_suppkey FROM li a
+      WHERE NOT EXISTS (
+        SELECT 1 FROM li b
+        WHERE b.l_orderkey = a.l_orderkey AND b.l_suppkey <> a.l_suppkey))
+    SELECT s.s_name, COUNT(*) AS n_sole_orders
+    FROM sole JOIN supplier s ON s.s_suppkey = sole.l_suppkey
+    GROUP BY s.s_name
+    """,
+)
+def q21_sole_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    pairs = (
+        li.join(o, o.o_orderkey == li.l_orderkey, "left_semi")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    other = pairs.select(
+        F.col("l_orderkey").alias("b_orderkey"), F.col("l_suppkey").alias("b_suppkey")
+    )
+    sole = pairs.join(
+        other,
+        (F.col("b_orderkey") == F.col("l_orderkey"))
+        & (F.col("b_suppkey") != F.col("l_suppkey")),
+        "left_anti",
+    )
+    return (
+        sole.join(F.broadcast(s), s.s_suppkey == sole.l_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("n_sole_orders"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q2 shape (adapted — no partsupp): min-per-group correlated subquery with
+# join-back (cheapest part per type).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q2_min_price_part_per_type",
+    oracle="""
+    SELECT p.p_type, p.p_partkey, p.p_retailprice
+    FROM part p
+    WHERE p.p_retailprice = (
+      SELECT MIN(p2.p_retailprice) FROM part p2 WHERE p2.p_type = p.p_type)
+    """,
+)
+def q2_min_price_part_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    mins = p.groupBy(F.col("p_type").alias("mt")).agg(
+        F.min("p_retailprice").alias("min_price")
+    )
+    return (
+        p.join(F.broadcast(mins), (F.col("mt") == p.p_type) & (p.p_retailprice == F.col("min_price")))
+        .select("p_type", "p_partkey", "p_retailprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets (Spark 4 DataFrame API): distinct group-bys in one pass —
+# ((priority, status), (priority), ()) with explicit grouping markers.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "groupingsets_priority_status",
+    oracle="""
+    SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+           COALESCE(o_orderstatus, 'ALL') AS status,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def groupingsets_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderpriority", "o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderpriority",
+            "o_orderstatus",
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum(dec("o_totalprice"), "total_price"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unpivot/melt: wide measures -> long (measure, value) — Spark df.unpivot vs
+# SQL UNION ALL; exact decimal sums per measure.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "unpivot_lineitem_measures",
+    oracle="""
+    WITH long AS (
+      SELECT l_returnflag, 'extendedprice' AS measure, CAST(l_extendedprice AS DECIMAL(12,2)) AS v FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'discount', CAST(l_discount AS DECIMAL(12,2)) FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'tax', CAST(l_tax AS DECIMAL(12,2)) FROM lineitem)
+    SELECT l_returnflag, measure, CAST(SUM(v) AS DOUBLE) AS total, COUNT(*) AS n
+    FROM long GROUP BY l_returnflag, measure
+    """,
+)
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        dec("l_extendedprice").alias("extendedprice"),
+        dec("l_discount").alias("discount"),
+        dec("l_tax").alias("tax"),
+    )
+    long = li.unpivot(
+        ids=["l_returnflag"],
+        values=["extendedprice", "discount", "tax"],
+        variableColumnName="measure",
+        valueColumnName="v",
+    )
+    return long.groupBy("l_returnflag", "measure").agg(
+        dsum(F.col("v"), "total"), F.count("*").alias("n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Analytic window battery: lag/lead/first/last/ntile over each customer's
+# order history — one window spec, one shuffle on the partition key.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_analytic_battery",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           LAG(o_orderkey) OVER w AS prev_order,
+           LEAD(o_orderkey) OVER w AS next_order,
+           FIRST_VALUE(o_orderkey) OVER w AS first_order,
+           NTILE(4) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC) AS qtile
+    FROM orders
+    WHERE o_custkey < 500
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+    """,
+)
+def window_analytic_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 500)
+    w = W.partitionBy("o_custkey").orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_orderkey").over(w).alias("prev_order"),
+        F.lead("o_orderkey").over(w).alias("next_order"),
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.ntile(4).over(w).cast("bigint").alias("qtile"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sketch aggregates (rows-only: HLL implementations differ across engines by
+# design; the exact twin is oracle-checked in distinct_parts_per_brand).
+# ---------------------------------------------------------------------------
+
+
+@query("approx_distinct_sketch")
+def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+        F.count_distinct("l_partkey").alias("exact_parts"),
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
+    )

@@ -44,4 +44,5 @@ def load_all() -> None:
         streaming,
         text,
         tpch_extra,
+        tpch_more,
     )
