@@ -99,6 +99,7 @@ class PipelineManager:
             drop_memory_table(self.spark, spec.metadata.get("memory.table", name))
         os.remove(self._spec_path(name))
         shutil.rmtree(os.path.join(self.checkpoint_root, name), ignore_errors=True)
+        shutil.rmtree(self._holding_dir(name), ignore_errors=True)
 
     # ------------------------------------------------------------- lifecycle
     def pause(self, name: str) -> None:
@@ -123,6 +124,75 @@ class PipelineManager:
             r.query.stop()
         spec.status = PipelineStatus.STOPPED
         self._persist(spec)
+
+    def pause_source_partitions(self, name: str, partitions: list[int]) -> None:
+        """Per-partition pause (pausedSourcePartitions REST action,
+        DatastreamResources.java:604-682; applied in preConsumerPollHook,
+        AbstractKafkaBasedConnectorTask.java:855-930).
+
+        Spark has no consumer.pause() primitive (SURVEY.md §2.4 risk
+        register), and a bare row filter would lose data — the source
+        checkpoint advances past filtered rows. Equivalent semantics are
+        rebuilt with a holding pen: the query restarts with a splitting
+        foreachBatch that delivers active-partition rows through the
+        transport and diverts paused-partition rows to a durable parquet
+        side channel; resume re-delivers held rows. Net effect matches the
+        reference: paused partitions stop flowing, nothing is lost, resume
+        catches up (at-least-once throughout).
+        """
+        spec = self.get(name)
+        paused = set(self.paused_source_partitions(name)) | set(partitions)
+        spec.metadata["system.paused.partitions"] = json.dumps(sorted(paused))
+        self._persist(spec)
+        self._restart(spec)
+
+    def resume_source_partitions(self, name: str, partitions: list[int] | None = None) -> None:
+        """Clear some (or all) paused source partitions, re-deliver their
+        held rows through the transport, and restart the query."""
+        spec = self.get(name)
+        paused = set(self.paused_source_partitions(name))
+        paused = paused - set(partitions) if partitions is not None else set()
+        spec.metadata["system.paused.partitions"] = json.dumps(sorted(paused))
+        self._persist(spec)
+        self._flush_holding(spec, still_paused=sorted(paused))
+        self._restart(spec)
+
+    def paused_source_partitions(self, name: str) -> list[int]:
+        spec = self.get(name)
+        return list(json.loads(spec.metadata.get("system.paused.partitions", "[]")))
+
+    def _restart(self, spec: PipelineSpec) -> None:
+        """Stop the running query (if any) and rebuild it from the same
+        checkpoint; status is unchanged (READY stays READY)."""
+        r = self._running.pop(spec.name, None)
+        if r and r.query is not None and r.query.isActive:
+            r.query.stop()
+        if spec.status == PipelineStatus.READY:
+            self._start(spec, already_ready=True)
+
+    def _holding_dir(self, name: str) -> str:
+        return os.path.join(self.workdir, "holding", name)
+
+    def _flush_holding(self, spec: PipelineSpec, still_paused: list[int]) -> None:
+        """Deliver held rows for resumed partitions; keep the rest held."""
+        from pyspark.sql import functions as F
+
+        hd = self._holding_dir(spec.name)
+        if not os.path.isdir(hd) or not any(
+            f.endswith(".parquet") for f in os.listdir(hd)
+        ):
+            return
+        held = self.spark.read.parquet(hd)
+        deliver = held.filter(~F.col("partition").isin(still_paused)) if still_paused else held
+        write_batch(deliver, spec, self.spark)
+        if still_paused:
+            remain = held.filter(F.col("partition").isin(still_paused))
+            tmp = hd + ".tmp"
+            remain.write.mode("overwrite").parquet(tmp)
+            shutil.rmtree(hd)
+            os.replace(tmp, hd)
+        else:
+            shutil.rmtree(hd)
 
     def restore(self) -> int:
         """Restart every READY pipeline from its checkpoint (manager restart
@@ -175,9 +245,29 @@ class PipelineManager:
 
     def _start(self, spec: PipelineSpec, already_ready: bool = False) -> None:
         df = build_source(self.spark, spec)
+        paused = [int(p) for p in json.loads(spec.metadata.get("system.paused.partitions", "[]"))]
         if df.isStreaming:
-            writer = build_writer(df, spec)
             ckpt = os.path.join(self.checkpoint_root, spec.name)
+            if paused:
+                # splitting sink (see pause_source_partitions): active rows
+                # through the transport, paused rows into the holding pen
+                from pyspark.sql import functions as F
+
+                hd = self._holding_dir(spec.name)
+
+                def split(batch_df, _epoch, _spec=spec, _paused=paused, _hd=hd, _spark=self.spark):
+                    batch_df.persist()
+                    batch_df.filter(F.col("partition").isin(_paused)).write.mode(
+                        "append"
+                    ).parquet(_hd)
+                    write_batch(
+                        batch_df.filter(~F.col("partition").isin(_paused)), _spec, _spark
+                    )
+                    batch_df.unpersist()
+
+                writer = df.writeStream.foreachBatch(split).outputMode("append")
+            else:
+                writer = build_writer(df, spec)
             query = (
                 writer.option("checkpointLocation", ckpt)
                 .queryName(spec.name)
@@ -186,6 +276,13 @@ class PipelineManager:
             self._running[spec.name] = _Running(spec=spec, query=query)
         else:
             # bounded bootstrap: batch write through the same transport
+            if paused:
+                from pyspark.sql import functions as F
+
+                df.filter(F.col("partition").isin(paused)).write.mode("append").parquet(
+                    self._holding_dir(spec.name)
+                )
+                df = df.filter(~F.col("partition").isin(paused))
             write_batch(df, spec)
             self._running[spec.name] = _Running(spec=spec, query=None)
         if not already_ready:

@@ -35,12 +35,14 @@ def build_writer(df: DataFrame, spec: PipelineSpec) -> DataStreamWriter:
     return SINKS[spec.transport](df, spec)
 
 
-def write_batch(df: DataFrame, spec: PipelineSpec) -> None:
+def write_batch(df: DataFrame, spec: PipelineSpec, spark=None) -> None:
     """Bounded-bootstrap path: write a batch envelope frame through the
-    spec's transport (the same destinations, batch API)."""
+    spec's transport (the same destinations, batch API). ``spark`` pins the
+    session used for memory-table view registration when df comes from a
+    foreachBatch clone."""
     t = spec.transport
     if t == "memory":
-        _memory_append(spec.metadata.get("memory.table", spec.name), df)
+        _memory_append(spec.metadata.get("memory.table", spec.name), df, spark)
     elif t in ("parquet", "file"):
         path = (spec.dest_uri or "").removeprefix("parquet://").removeprefix("file://")
         if not path:
@@ -50,6 +52,14 @@ def write_batch(df: DataFrame, spec: PipelineSpec) -> None:
         df.show(20, truncate=False)
     elif t == "noop":
         df.write.format("noop").mode("overwrite").save()
+    elif t == "kafka":
+        dest = (spec.dest_uri or "").removeprefix("kafka://")
+        servers, _, topic = dest.partition("/")
+        df.select(
+            F.col("key"),
+            F.col("value"),
+            (F.lit(topic) if topic else F.col("topic")).alias("topic"),
+        ).write.format("kafka").option("kafka.bootstrap.servers", servers).save()
     else:
         raise ValueError(f"transport {t!r} has no batch path")
 

@@ -190,3 +190,46 @@ def test_rate_source_produces(spark, workdir):
     ).first()
     assert row.l == 64 and row.op_code == "INSERT"
     mgr.delete("rate1")
+
+
+def _name_for_partition(src_dir: str, target: int, exclude: set[int] = frozenset()) -> str:
+    """Find a filename whose file-source partition (crc32(uri) % 32) hits
+    (or avoids) a target — mirrors file_source.py's routing expression."""
+    import zlib
+
+    for i in range(10_000):
+        name = f"gen{i}.txt"
+        uri = f"file:{src_dir}/{name}"  # Spark reports file:/abs/path
+        p = zlib.crc32(uri.encode()) % 32
+        if (target is None or p == target) and p not in exclude:
+            return name
+    raise AssertionError("no filename found")
+
+
+def test_pause_resume_source_partitions_holds_and_redelivers(spark, workdir, tmp_path):
+    """Per-partition pause parity (DatastreamResources.java:604-682): paused
+    partitions stop flowing to the destination, nothing is lost (holding
+    pen), resume re-delivers the held rows."""
+    src = str(tmp_path / "in")
+    _write_lines(src + "/a.txt", ["a1"])
+    mgr = PipelineManager(spark, workdir)
+    mgr.create(_file_spec("pp", src))
+    mgr.process_available("pp")
+    p_a = spark.sql("SELECT partition FROM pp").first().partition
+
+    mgr.pause_source_partitions("pp", [p_a])
+    assert mgr.paused_source_partitions("pp") == [p_a]
+    held_name = _name_for_partition(src, p_a)
+    live_name = _name_for_partition(src, None, exclude={p_a})
+    _write_lines(f"{src}/{held_name}", ["held1"])
+    _write_lines(f"{src}/{live_name}", ["live1"])
+    mgr.process_available("pp")
+    vals = sorted(r.v for r in spark.sql("SELECT CAST(value AS STRING) v FROM pp").collect())
+    assert vals == ["a1", "live1"], vals  # held1 diverted, not delivered
+
+    mgr.resume_source_partitions("pp")
+    assert mgr.paused_source_partitions("pp") == []
+    mgr.process_available("pp")
+    vals = sorted(r.v for r in spark.sql("SELECT CAST(value AS STRING) v FROM pp").collect())
+    assert vals == ["a1", "held1", "live1"], vals  # re-delivered on resume
+    mgr.delete("pp")
