@@ -32,8 +32,13 @@ BENCH_QUERIES = [
     "cdc_apply_upserts",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
+    "dedup_simhash",
     "ann_brute_force_topk",
+    "ann_ivf_topk",
+    "multimodal_audio_features",
     "text_quality_by_lang",
+    "q7_nation_volume",
+    "join_salted_skew_supplier_revenue",
 ]
 
 

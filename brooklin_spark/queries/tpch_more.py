@@ -405,6 +405,36 @@ def window_analytic_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Salted skew join: result identical to the plain join (oracle = plain SQL);
+# the Spark plan spreads each supplier key over 16 salt buckets.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_salted_skew_supplier_revenue",
+    oracle="""
+    SELECT s.s_nationkey,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l.l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    GROUP BY s.s_nationkey
+    """,
+)
+def join_salted_skew_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from brooklin_spark.operators.skew import salted_join
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    j = salted_join(li, s, "l_suppkey", "s_suppkey", salt_buckets=16)
+    return j.groupBy("s_nationkey").agg(
+        dsum(dec("l_extendedprice") * one_minus("l_discount"), "revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Sketch aggregates (rows-only: HLL implementations differ across engines by
 # design; the exact twin is oracle-checked in distinct_parts_per_brand).
 # ---------------------------------------------------------------------------

@@ -91,3 +91,11 @@ def test_partial_aggregation_before_shuffle(spark, sf_correct):
     plan = executed_plan(_q(spark, sf_correct, "q1_pricing_summary"))
     # two HashAggregate levels (partial + final) around the exchange
     assert plan.count("HashAggregate") >= 2
+
+
+def test_salted_join_is_shuffled_hash(spark, sf_correct):
+    """Salting pins the shuffled-hash path (broadcast would make the salt a
+    no-op); the salt spreads each key across 16 buckets."""
+    plan = executed_plan(_q(spark, sf_correct, "join_salted_skew_supplier_revenue"))
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan
