@@ -50,3 +50,53 @@ def test_session_windows_match_batch_sessionize(spark, sf_smoke):
     expected = {r.user_id: r.n_sessions for r in batch.collect()}
     assert per_user == expected
     assert out.agg(F.sum("n_events")).first()[0] == 1000
+
+
+def test_stream_stream_join_matches_batch(spark, sf_smoke):
+    """The streaming time-interval join must produce exactly the batch join
+    result once the bounded replay drains (same predicate, no late data)."""
+    from brooklin_spark.io import table
+
+    out = registry.QUERIES["streaming_stream_stream_join"](spark, sf_smoke)
+    ev = table(spark, sf_smoke, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("click_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("user_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    batch = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("click_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 30 MINUTES")),
+    ).select("purchase_id", "click_id", "user_id", "purchase_value")
+    got = sorted(map(tuple, out.collect()))
+    want = sorted(map(tuple, batch.collect()))
+    assert got == want and len(got) > 0
+
+
+def test_stateful_user_totals_match_batch(spark, sf_smoke):
+    """applyInPandasWithState running totals: after draining the bounded
+    stream, the final per-user state equals the batch groupBy."""
+    from brooklin_spark.io import table
+
+    out = registry.QUERIES["streaming_stateful_user_totals"](spark, sf_smoke)
+    # update-mode emits one row per user per batch; keep the last per user
+    final = {r.user_id: (r.n_events, r.total_value) for r in out.collect()}
+    ev = table(spark, sf_smoke, "events")
+    batch = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("tv"))
+        .collect()
+    )
+    assert len(final) == len(batch) > 0
+    for r in batch:
+        n, tv = final[r.user_id]
+        assert n == r.n
+        assert abs(tv - r.tv) < 1e-4
