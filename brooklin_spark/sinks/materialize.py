@@ -1,0 +1,80 @@
+"""CDC materialization transport: apply a change stream's op-codes to a
+keyed state table (the consumer-side completion of the reference's CDC
+envelope — Brooklin delivers INSERT/UPDATE/DELETE + scn
+(BrooklinEnvelopeMetadataConstants.java:19-45) and leaves application to the
+consumer; this sink IS that consumer).
+
+Semantics = MERGE INTO: per key, the highest-scn change wins; a winning
+DELETE removes the key. State lives as versioned parquet snapshots with an
+atomically-replaced pointer file, so readers never see a half-written
+snapshot and a crash mid-merge is invisible (the pointer still names the
+previous complete version; Structured Streaming replays the uncommitted
+batch — idempotent because the merge is deterministic in scn).
+
+At 100 TB this becomes Delta/Iceberg MERGE with the same plan shape: the
+expensive step is one shuffle of (key) to line up current state and the
+batch — here current-state ⋈ batch union + window; there, the MERGE join.
+Rewriting the full snapshot per batch is the standalone-parquet cost; table
+formats with file-level pruning replace it with touched-file rewrites.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+_POINTER = "_CURRENT"
+
+
+def _state_root(spec) -> str:
+    path = (spec.dest_uri or "").removeprefix("parquet://").removeprefix("file://")
+    if not path:
+        raise ValueError(f"materialize sink needs dest_uri, got {spec.dest_uri!r}")
+    return path
+
+
+def current_version(root: str) -> int | None:
+    p = os.path.join(root, _POINTER)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return int(f.read().strip())
+
+
+def read_state(spark, root: str) -> DataFrame | None:
+    v = current_version(root)
+    if v is None:
+        return None
+    return spark.read.parquet(os.path.join(root, f"v{v}"))
+
+
+def merge_batch(batch_df: DataFrame, root: str, spark=None) -> None:
+    """Merge one envelope micro-batch into the state table."""
+    spark = spark or batch_df.sparkSession
+    upd = batch_df.select(
+        F.col("key").cast("string").alias("k"),
+        F.col("value").alias("value"),
+        F.col("op_code").alias("op_code"),
+        F.coalesce(F.col("scn"), F.col("offset")).alias("scn"),
+    )
+    cur = read_state(spark, root)
+    merged = cur.unionByName(upd) if cur is not None else upd
+    w = W.partitionBy("k").orderBy(F.desc("scn"))
+    new_state = (
+        merged.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) & (F.col("op_code") != "DELETE"))
+        .drop("_rn")
+    )
+    v = (current_version(root) or 0) + 1
+    out = os.path.join(root, f"v{v}")
+    new_state.write.mode("overwrite").parquet(out)
+    tmp = os.path.join(root, _POINTER + ".tmp")
+    with open(tmp, "w") as f:
+        f.write(str(v))
+    os.replace(tmp, os.path.join(root, _POINTER))
+    # retain previous snapshot only (time travel depth 1; older are garbage)
+    for old in range(1, v - 1):
+        shutil.rmtree(os.path.join(root, f"v{old}"), ignore_errors=True)

@@ -52,6 +52,10 @@ def write_batch(df: DataFrame, spec: PipelineSpec, spark=None) -> None:
         df.show(20, truncate=False)
     elif t == "noop":
         df.write.format("noop").mode("overwrite").save()
+    elif t == "materialize":
+        from brooklin_spark.sinks.materialize import _state_root, merge_batch
+
+        merge_batch(df, _state_root(spec), spark)
     elif t == "kafka":
         dest = (spec.dest_uri or "").removeprefix("kafka://")
         servers, _, topic = dest.partition("/")
@@ -140,6 +144,19 @@ def noop_sink(df: DataFrame, spec: PipelineSpec) -> DataStreamWriter:
     """Discard sink (BrokenConnector/Dummy test analogs): runs the plan,
     writes nothing — used for throughput measurement."""
     return df.writeStream.format("noop").outputMode("append")
+
+
+@sink("materialize")
+def materialize_sink(df: DataFrame, spec: PipelineSpec) -> DataStreamWriter:
+    """CDC MERGE sink: apply op-codes to a keyed state table (see
+    sinks/materialize.py)."""
+    from brooklin_spark.sinks.materialize import _state_root, merge_batch
+
+    root = _state_root(spec)
+    spark = df.sparkSession
+    return df.writeStream.foreachBatch(
+        lambda batch_df, _epoch: merge_batch(batch_df, root, spark)
+    ).outputMode("append")
 
 
 @sink("kafka")

@@ -1,0 +1,78 @@
+"""CDC materialization sink: MERGE semantics (last-scn wins, DELETE removes)
+against the batch cdc_apply_upserts oracle query, plus incremental
+multi-batch merges and snapshot-pointer atomicity."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from brooklin_spark import registry
+from brooklin_spark.manager import PipelineManager
+from brooklin_spark.model import PipelineSpec
+from brooklin_spark.sinks.materialize import current_version, merge_batch, read_state
+
+registry.load_all()
+
+
+def _envelope_rows(spark, rows):
+    """rows: (key, value, op_code, scn)"""
+    return spark.createDataFrame(
+        [
+            (k, v.encode() if v is not None else None, op, scn, scn)
+            for k, v, op, scn in rows
+        ],
+        "key string, value binary, op_code string, scn long, offset long",
+    ).select(F.col("key").cast("binary").alias("key"), "value", "op_code", "scn", "offset")
+
+
+def test_merge_batches_upsert_and_delete(spark, tmp_path):
+    root = str(tmp_path / "state")
+    os.makedirs(root)
+    merge_batch(
+        _envelope_rows(spark, [("a", "v1", "INSERT", 1), ("b", "v1", "INSERT", 2)]),
+        root, spark,
+    )
+    st = {r.k: r.value for r in read_state(spark, root).collect()}
+    assert st == {"a": b"v1", "b": b"v1"}
+    # batch 2: update a, delete b, insert c; an EARLIER-scn update of c must lose
+    merge_batch(
+        _envelope_rows(
+            spark,
+            [("a", "v2", "UPDATE", 10), ("b", None, "DELETE", 11),
+             ("c", "new", "INSERT", 12), ("c", "stale", "UPDATE", 5)],
+        ),
+        root, spark,
+    )
+    st = {r.k: r.value for r in read_state(spark, root).collect()}
+    assert st == {"a": b"v2", "c": b"new"}
+    assert current_version(root) == 2
+
+
+def test_bootstrap_events_materialize_matches_batch_query(spark, tmp_path, sf_smoke):
+    """Pipeline: parquet events bootstrap → materialize transport; final
+    state table == the oracle-checked cdc_apply_upserts query."""
+    root = str(tmp_path / "state")
+    mgr = PipelineManager(spark, str(tmp_path / "mgr"))
+    mgr.create(
+        PipelineSpec(
+            name="cdcmat",
+            connector="parquet",
+            transport="materialize",
+            source_uri=f"parquet://{sf_smoke}/events.parquet",
+            dest_uri=f"parquet://{root}",
+        )
+    )
+    state = read_state(spark, root)
+    got = {
+        int(r.k): (bytes(r.value).decode(), r.scn) for r in state.collect()
+    }
+    want = {
+        r.user_id: (r.final_value, r.final_scn)
+        for r in registry.QUERIES["cdc_apply_upserts"](spark, sf_smoke).collect()
+    }
+    assert got == want and len(got) > 0
+    mgr.delete("cdcmat")
