@@ -289,6 +289,77 @@ def simhash_signature(shingles: DataFrame, bits: int = 32) -> DataFrame:
     return agg.select("id", sig.alias("sig"))
 
 
+def simhash_signature_int(shingles: DataFrame, bits: int = 32) -> DataFrame:
+    """SimHash as a BIGINT signature: bit b (MSB-first) set iff the majority
+    of the doc's shingles votes odd on md5 hex digit b. Integer signatures
+    make banding a shift+mask and hamming a single bit_count(xor) — no
+    string slicing anywhere in the verify path."""
+    h = F.md5(F.col("shingle"))
+    sums = [
+        F.sum(2 * (F.ascii(F.substring(h, b, 1)) % 2) - 1).alias(f"s{b}")
+        for b in range(1, bits + 1)
+    ]
+    agg = shingles.groupBy("id").agg(*sums)
+    sig = functools.reduce(
+        pyop.add,
+        [
+            F.when(F.col(f"s{b}") >= 0, F.lit(1 << (bits - b))).otherwise(F.lit(0))
+            for b in range(1, bits + 1)
+        ],
+    )
+    return agg.select("id", sig.cast("bigint").alias("sig"))
+
+
+def banded_hamming_pairs_int(
+    signatures: DataFrame, bits: int, bands: int, max_distance: int
+) -> DataFrame:
+    """EXACT hamming-<=d pairs over BIGINT signatures (Manku pigeonhole:
+    d < bands ⇒ a qualifying pair agrees on a full band). Band keys are
+    shift+mask; verify is bit_count(sig_a XOR sig_b) — all integer ops,
+    fully codegen'd."""
+    if max_distance >= bands:
+        raise ValueError("exactness requires max_distance < bands")
+    width = bits // bands
+    mask = (1 << width) - 1
+    band_structs = [
+        F.struct(
+            F.lit(j).alias("band_id"),
+            F.shiftright(F.col("sig"), (bands - 1 - j) * width).bitwiseAND(
+                F.lit(mask)
+            ).alias("band_key"),
+        )
+        for j in range(bands)
+    ]
+    banded = signatures.select(
+        "id", F.explode(F.array(*band_structs)).alias("b")
+    ).select("id", "b.band_id", "b.band_key")
+    x = banded.alias("x")
+    y = banded.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band_id") == F.col("y.band_id"))
+            & (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+    sa = signatures.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = signatures.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    dist = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("int")
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            F.col("id_a").alias("doc_a"),
+            F.col("id_b").alias("doc_b"),
+            dist.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_distance)
+    )
+
+
 def _hamming_expr(bits: int) -> "F.Column":
     return functools.reduce(
         pyop.add,

@@ -60,6 +60,23 @@ def simhash_sig_expr(bits: int) -> str:
     )
 
 
+def simhash_sig_int_expr(bits: int) -> str:
+    """BIGINT signature: MSB-first majority bits (mirrors simhash_signature_int)."""
+    return " + ".join(
+        f"(CASE WHEN s{b} >= 0 THEN CAST({1 << (bits - b)} AS BIGINT) ELSE 0 END)"
+        for b in range(1, bits + 1)
+    )
+
+
+def simhash_band_int_selects(bits: int, bands: int) -> list[str]:
+    width = bits // bands
+    mask = (1 << width) - 1
+    return [
+        f"SELECT doc_id, {j} AS band_id, (sig >> {(bands - 1 - j) * width}) & {mask} AS band_key FROM sigs"
+        for j in range(bands)
+    ]
+
+
 def hamming_expr(bits: int, a: str = "a.sig", b: str = "b.sig") -> str:
     return " + ".join(
         f"(CASE WHEN substr({a}, {p}, 1) <> substr({b}, {p}, 1) THEN 1 ELSE 0 END)"

@@ -162,23 +162,23 @@ _BITS, _SH_BANDS, _MAX_D = 32, 4, 3
     sums AS (
       SELECT doc_id, {G.simhash_sum_cols(_BITS, "shingle")}
       FROM sh GROUP BY doc_id),
-    sigs AS (SELECT doc_id, {G.simhash_sig_expr(_BITS)} AS sig FROM sums),
-    banded AS ({" UNION ALL ".join(G.simhash_band_selects(_BITS, _SH_BANDS))}),
+    sigs AS (SELECT doc_id, {G.simhash_sig_int_expr(_BITS)} AS sig FROM sums),
+    banded AS ({" UNION ALL ".join(G.simhash_band_int_selects(_BITS, _SH_BANDS))}),
     cand AS (
       SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
       FROM banded x JOIN banded y
         ON x.band_id = y.band_id AND x.band_key = y.band_key AND x.doc_id < y.doc_id)
-    SELECT c.doc_a, c.doc_b, {G.hamming_expr(_BITS, "a.sig", "b.sig")} AS hamming
+    SELECT c.doc_a, c.doc_b, CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
     FROM cand c JOIN sigs a ON a.doc_id = c.doc_a JOIN sigs b ON b.doc_id = c.doc_b
-    WHERE {G.hamming_expr(_BITS, "a.sig", "b.sig")} <= {_MAX_D}
+    WHERE bit_count(xor(a.sig, b.sig)) <= {_MAX_D}
     """,
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    # exploded md5-once signature (codegen) + checkpoint: the signature
-    # feeds three consumers in the banding/verify joins — without the
-    # checkpoint the whole sig chain re-executes per consumer
+    # integer signatures: banding = shift+mask, hamming = bit_count(xor) —
+    # no string slicing; checkpoint because the sig feeds three consumers
+    # in the banding/verify joins (recompute otherwise)
     arr = D.shingle_arrays(docs, n=3)
     sh = arr.select("id", F.explode("shingles").alias("shingle"))
-    sig = D.simhash_signature(sh, bits=_BITS).localCheckpoint()
-    return D.banded_hamming_pairs(sig, bits=_BITS, bands=_SH_BANDS, max_distance=_MAX_D)
+    sig = D.simhash_signature_int(sh, bits=_BITS).localCheckpoint()
+    return D.banded_hamming_pairs_int(sig, bits=_BITS, bands=_SH_BANDS, max_distance=_MAX_D)
