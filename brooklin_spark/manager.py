@@ -235,6 +235,36 @@ class PipelineManager:
             )
         return out
 
+    def metrics_summary(self) -> dict:
+        """Cluster-level reduce over per-pipeline progress (the
+        KafkaConnectorDiagUtils.reduce / ServerComponentHealthAggregator
+        analog, SURVEY.md §3.3): aggregate throughput and batch counts
+        across every running query."""
+        total_rows = 0.0
+        rates = []
+        active = 0
+        batches = 0
+        for spec in self.list():
+            r = self._running.get(spec.name)
+            q = r.query if r else None
+            if q is None:
+                continue
+            if q.isActive:
+                active += 1
+            for prog in q.recentProgress:
+                total_rows += prog.get("numInputRows") or 0
+                batches += 1
+                rate = prog.get("processedRowsPerSecond")
+                if rate:
+                    rates.append(rate)
+        return {
+            "pipelines": len(self.list()),
+            "active_queries": active,
+            "recent_batches": batches,
+            "recent_input_rows": int(total_rows),
+            "mean_processed_rows_per_sec": (sum(rates) / len(rates)) if rates else 0.0,
+        }
+
     # --------------------------------------------------------------- private
     def _find_duplicate(self, spec: PipelineSpec) -> str | None:
         ident = spec.source_identity()

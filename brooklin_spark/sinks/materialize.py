@@ -54,6 +54,8 @@ def read_state(spark, root: str) -> DataFrame | None:
 def merge_batch(batch_df: DataFrame, root: str, spark=None) -> None:
     """Merge one envelope micro-batch into the state table."""
     spark = spark or batch_df.sparkSession
+    if batch_df.isEmpty():
+        return  # don't rewrite the snapshot for an empty micro-batch
     upd = batch_df.select(
         F.col("key").cast("string").alias("k"),
         F.col("value").alias("value"),

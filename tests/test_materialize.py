@@ -76,3 +76,33 @@ def test_bootstrap_events_materialize_matches_batch_query(spark, tmp_path, sf_sm
     }
     assert got == want and len(got) > 0
     mgr.delete("cdcmat")
+
+
+def test_streaming_materialize_from_rate(spark, tmp_path):
+    """Streaming wiring: rate source → materialize transport; state table
+    appears, snapshot version advances, metrics reduce sees the query."""
+    root = str(tmp_path / "state")
+    mgr = PipelineManager(spark, str(tmp_path / "mgr"))
+    mgr.create(
+        PipelineSpec(
+            name="ratemat",
+            connector="rate",
+            transport="materialize",
+            source_uri="rate://500",
+            dest_uri=f"parquet://{root}",
+        )
+    )
+    import time
+
+    deadline = time.time() + 30
+    n = 0
+    while time.time() < deadline and n == 0:
+        time.sleep(0.5)
+        mgr.process_available("ratemat")
+        st = read_state(spark, root)
+        n = st.count() if st is not None else 0
+    assert current_version(root) >= 1
+    assert n > 0
+    m = mgr.metrics_summary()
+    assert m["active_queries"] >= 1 and m["recent_input_rows"] > 0
+    mgr.delete("ratemat")
