@@ -39,6 +39,7 @@ def load_all() -> None:
         cdc,
         dedup,
         multimodal,
+        pandas_udfs,
         relational,
         similarity,
         streaming,
