@@ -100,6 +100,7 @@ class PipelineManager:
         os.remove(self._spec_path(name))
         shutil.rmtree(os.path.join(self.checkpoint_root, name), ignore_errors=True)
         shutil.rmtree(self._holding_dir(name), ignore_errors=True)
+        shutil.rmtree(self._deadletter_dir(name), ignore_errors=True)
 
     # ------------------------------------------------------------- lifecycle
     def pause(self, name: str) -> None:
@@ -173,6 +174,19 @@ class PipelineManager:
     def _holding_dir(self, name: str) -> str:
         return os.path.join(self.workdir, "holding", name)
 
+    def _deadletter_dir(self, name: str) -> str:
+        return os.path.join(self.workdir, "deadletter", name)
+
+    def dead_letters(self, name: str):
+        """The skipped-record store as a DataFrame (None if empty) — the
+        queryable twin of the reference's skip counter."""
+        dl = self._deadletter_dir(name)
+        if not os.path.isdir(dl) or not any(
+            f.endswith(".parquet") for f in os.listdir(dl)
+        ):
+            return None
+        return self.spark.read.parquet(dl)
+
     def _flush_holding(self, spec: PipelineSpec, still_paused: list[int]) -> None:
         """Deliver held rows for resumed partitions; keep the rest held."""
         from pyspark.sql import functions as F
@@ -231,6 +245,9 @@ class PipelineManager:
                     "batch_id": prog.get("batchId") if prog else None,
                     "num_input_rows": prog.get("numInputRows") if prog else None,
                     "group": list(r.group) if r else [],
+                    "dead_letters": (
+                        dl.count() if (dl := self.dead_letters(spec.name)) is not None else 0
+                    ),
                 }
             )
         return out
@@ -276,23 +293,36 @@ class PipelineManager:
     def _start(self, spec: PipelineSpec, already_ready: bool = False) -> None:
         df = build_source(self.spark, spec)
         paused = [int(p) for p in json.loads(spec.metadata.get("system.paused.partitions", "[]"))]
+        # skip-on-error dead-lettering (EventProducer.java:320-336 parity):
+        # rows failing the configured validity predicate divert to a durable
+        # side store instead of poisoning the pipeline; count surfaces in
+        # diagnostics (the reference's skip counter)
+        dl_pred = spec.metadata.get("system.deadletter.predicate")
         if df.isStreaming:
             ckpt = os.path.join(self.checkpoint_root, spec.name)
-            if paused:
-                # splitting sink (see pause_source_partitions): active rows
-                # through the transport, paused rows into the holding pen
+            if paused or dl_pred:
+                # composed splitting sink: paused rows → holding pen,
+                # invalid rows → dead-letter store, rest → transport
                 from pyspark.sql import functions as F
 
                 hd = self._holding_dir(spec.name)
+                dl = self._deadletter_dir(spec.name)
 
-                def split(batch_df, _epoch, _spec=spec, _paused=paused, _hd=hd, _spark=self.spark):
+                def split(
+                    batch_df, _epoch, _spec=spec, _paused=paused, _hd=hd,
+                    _pred=dl_pred, _dl=dl, _spark=self.spark,
+                ):
                     batch_df.persist()
-                    batch_df.filter(F.col("partition").isin(_paused)).write.mode(
-                        "append"
-                    ).parquet(_hd)
-                    write_batch(
-                        batch_df.filter(~F.col("partition").isin(_paused)), _spec, _spark
-                    )
+                    rest = batch_df
+                    if _paused:
+                        rest.filter(F.col("partition").isin(_paused)).write.mode(
+                            "append"
+                        ).parquet(_hd)
+                        rest = rest.filter(~F.col("partition").isin(_paused))
+                    if _pred:
+                        rest.filter(~F.expr(_pred)).write.mode("append").parquet(_dl)
+                        rest = rest.filter(F.expr(_pred))
+                    write_batch(rest, _spec, _spark)
                     batch_df.unpersist()
 
                 writer = df.writeStream.foreachBatch(split).outputMode("append")
@@ -306,13 +336,18 @@ class PipelineManager:
             self._running[spec.name] = _Running(spec=spec, query=query)
         else:
             # bounded bootstrap: batch write through the same transport
-            if paused:
-                from pyspark.sql import functions as F
+            from pyspark.sql import functions as F
 
+            if paused:
                 df.filter(F.col("partition").isin(paused)).write.mode("append").parquet(
                     self._holding_dir(spec.name)
                 )
                 df = df.filter(~F.col("partition").isin(paused))
+            if dl_pred:
+                df.filter(~F.expr(dl_pred)).write.mode("append").parquet(
+                    self._deadletter_dir(spec.name)
+                )
+                df = df.filter(F.expr(dl_pred))
             write_batch(df, spec)
             self._running[spec.name] = _Running(spec=spec, query=None)
         if not already_ready:

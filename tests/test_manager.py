@@ -233,3 +233,25 @@ def test_pause_resume_source_partitions_holds_and_redelivers(spark, workdir, tmp
     vals = sorted(r.v for r in spark.sql("SELECT CAST(value AS STRING) v FROM pp").collect())
     assert vals == ["a1", "held1", "live1"], vals  # re-delivered on resume
     mgr.delete("pp")
+
+
+def test_deadletter_predicate_diverts_bad_rows(spark, workdir, tmp_path):
+    """Skip-on-error parity (EventProducer.java:320-336): rows failing the
+    validity predicate are diverted to a durable dead-letter store and
+    counted in diagnostics; good rows flow through."""
+    src = str(tmp_path / "in")
+    _write_lines(src + "/a.txt", ["ok", "no", "toolong"])
+    mgr = PipelineManager(spark, workdir)
+    spec = _file_spec("dlq", src)
+    spec.metadata["system.deadletter.predicate"] = "length(value) <= 2"
+    mgr.create(spec)
+    mgr.process_available("dlq")
+    vals = sorted(r.v for r in spark.sql("SELECT CAST(value AS STRING) v FROM dlq").collect())
+    assert vals == ["no", "ok"], vals
+    dl = mgr.dead_letters("dlq")
+    assert dl is not None
+    assert [bytes(r.value).decode() for r in dl.collect()] == ["toolong"]
+    diag = {d["name"]: d for d in mgr.diagnostics()}
+    assert diag["dlq"]["dead_letters"] == 1
+    mgr.delete("dlq")
+    assert mgr.dead_letters("dlq") is None
