@@ -30,6 +30,22 @@ def checkpoint_col(partition: Column | str = "partition", offset: Column | str =
     return F.concat_ws("-", p.cast("string"), o.cast("string"))
 
 
+def broadcast_to_partitions(df: DataFrame, n_partitions: int) -> DataFrame:
+    """Replicate every record to ALL destination partitions — the control-
+    message broadcast send (TransportProvider.broadcast, TransportProvider
+    .java:65; KafkaTransportProvider.java:152-187 loops the partition list;
+    here it's one JVM-side explode, no loop, no driver round-trips)."""
+    part = (
+        F.explode(F.sequence(F.lit(0), F.lit(n_partitions - 1)))
+        .cast("int")
+        .alias("partition")
+    )
+    cols = [part if c == "partition" else F.col(c) for c in df.columns]
+    if "partition" not in df.columns:
+        cols.append(part)
+    return df.select(*cols)
+
+
 def topic_rewrite(topic: Column | str, prefix: str) -> Column:
     """Mirror destination-topic rewrite: prefix + source topic
     (KafkaMirrorMakerConnectorTask.java:243-277)."""

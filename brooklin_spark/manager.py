@@ -68,6 +68,7 @@ class PipelineManager:
             return spec
         spec.status = PipelineStatus.INITIALIZING
         self._persist(spec)
+        self._provision_destination(spec)
         if start:
             self._start(spec)
         return spec
@@ -170,6 +171,46 @@ class PipelineManager:
             r.query.stop()
         if spec.status == PipelineStatus.READY:
             self._start(spec, already_ready=True)
+
+    def _provision_destination(self, spec: PipelineSpec) -> None:
+        """Destination provisioning (KafkaTransportProviderAdmin.java:69-73,
+        196-231: create the destination topic with dest partition count,
+        retention 14 d, min.insync.replicas 2). No-op unless the transport
+        is kafka AND a kafka admin client is importable — the container
+        bundles neither a broker nor the client lib, so this is the gated
+        integration point, exercised when deployed next to a real cluster.
+        """
+        if spec.transport != "kafka" or not spec.dest_uri:
+            return
+        try:  # pragma: no cover - kafka client not in this container
+            from kafka.admin import KafkaAdminClient, NewTopic  # type: ignore
+        except ImportError:
+            return
+        dest = spec.dest_uri.removeprefix("kafka://")  # pragma: no cover
+        servers, _, topic = dest.partition("/")
+        if not topic:
+            return
+        admin = KafkaAdminClient(bootstrap_servers=servers)
+        try:
+            admin.create_topics(
+                [
+                    NewTopic(
+                        name=topic,
+                        num_partitions=spec.dest_partitions
+                        or spec.source_partitions
+                        or 1,
+                        replication_factor=1,
+                        topic_configs={
+                            "retention.ms": str(14 * 24 * 3600 * 1000),
+                            "min.insync.replicas": "2",
+                        },
+                    )
+                ]
+            )
+        except Exception:
+            pass  # topic exists — reuse (TopicAlreadyMarkedForDeletion etc.)
+        finally:
+            admin.close()
 
     def _holding_dir(self, name: str) -> str:
         return os.path.join(self.workdir, "holding", name)

@@ -82,3 +82,38 @@ def test_source_identity_dedup_key():
     assert a.source_identity() == b.source_identity()
     c = _spec(name="c", source_uri="file:///tmp/other.txt")
     assert a.source_identity() != c.source_identity()
+
+
+def test_broadcast_to_partitions(spark):
+    """Control-message broadcast: every record lands on every destination
+    partition (TransportProvider.broadcast semantics)."""
+    from pyspark.sql import functions as F
+
+    from brooklin_spark.functions.envelope import broadcast_to_partitions
+
+    df = spark.createDataFrame([("ctl-1",), ("ctl-2",)], "payload string").withColumn(
+        "partition", F.lit(0)
+    )
+    out = broadcast_to_partitions(df, 4)
+    rows = [(r.payload, r.partition) for r in out.collect()]
+    assert sorted(rows) == sorted((p, i) for p in ("ctl-1", "ctl-2") for i in range(4))
+
+
+def test_kafka_provisioning_gated_noop(spark, tmp_path):
+    """Without a kafka client lib the provisioning hook must be a clean
+    no-op (spec still created, start deferred)."""
+    from brooklin_spark.manager import PipelineManager
+    from brooklin_spark.model import PipelineSpec
+
+    mgr = PipelineManager(spark, str(tmp_path / "mgr"))
+    spec = PipelineSpec(
+        name="kprov",
+        connector="kafka",
+        transport="kafka",
+        source_uri="kafka://broker:9092/in",
+        dest_uri="kafka://broker:9092/out",
+        dest_partitions=8,
+    )
+    mgr.create(spec, start=False)
+    assert mgr.get("kprov").name == "kprov"
+    mgr.delete("kprov")
