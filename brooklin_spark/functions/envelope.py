@@ -35,15 +35,16 @@ def broadcast_to_partitions(df: DataFrame, n_partitions: int) -> DataFrame:
     message broadcast send (TransportProvider.broadcast, TransportProvider
     .java:65; KafkaTransportProvider.java:152-187 loops the partition list;
     here it's one JVM-side explode, no loop, no driver round-trips)."""
-    part = (
-        F.explode(F.sequence(F.lit(0), F.lit(n_partitions - 1)))
-        .cast("int")
-        .alias("partition")
+    # generators can't nest inside other expressions: explode bare, then cast
+    exploded = df.select(
+        *[F.col(c) for c in df.columns if c != "partition"],
+        F.explode(F.sequence(F.lit(0), F.lit(n_partitions - 1))).alias("_bp"),
     )
+    part = F.col("_bp").cast("int").alias("partition")
     cols = [part if c == "partition" else F.col(c) for c in df.columns]
     if "partition" not in df.columns:
         cols.append(part)
-    return df.select(*cols)
+    return exploded.select(*cols)
 
 
 def topic_rewrite(topic: Column | str, prefix: str) -> Column:
