@@ -99,3 +99,14 @@ def test_salted_join_is_shuffled_hash(spark, sf_correct):
     plan = executed_plan(_q(spark, sf_correct, "join_salted_skew_supplier_revenue"))
     assert "ShuffledHashJoin" in plan
     assert "BroadcastHashJoin" not in plan
+
+
+def test_q7_q9_broadcast_dims(spark, sf_correct):
+    """Multi-way fact joins broadcast every dimension side — the fact table
+    is never shuffled for a dim lookup."""
+    assert broadcast_join_count(_q(spark, sf_correct, "q7_nation_volume")) >= 3
+    assert broadcast_join_count(_q(spark, sf_correct, "q9_product_profit")) >= 3
+
+
+def test_q17_correlated_avg_broadcasts_part(spark, sf_correct):
+    assert broadcast_join_count(_q(spark, sf_correct, "q17_small_quantity_revenue")) >= 1
