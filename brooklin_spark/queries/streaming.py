@@ -50,6 +50,26 @@ def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_completion(deduped, mode="append")
 
 
+@query("streaming_sliding_counts")
+def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (1-hour window, 30-minute slide): each
+    event lands in two overlapping windows; state per (window, type) is
+    bounded by the watermark horizon."""
+    s = events_stream(spark, sf_dir)
+    agg = (
+        s.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour", "30 minutes"), F.col("event_type"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            F.date_format("window.end", "yyyy-MM-dd HH:mm:ss").alias("window_end"),
+            "event_type",
+            "n_events",
+        )
+    )
+    return run_to_completion(agg, mode="complete")
+
+
 @query("streaming_stream_stream_join")
 def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream time-interval join: purchases joined to the clicks that

@@ -100,3 +100,26 @@ def test_stateful_user_totals_match_batch(spark, sf_smoke):
         n, tv = final[r.user_id]
         assert n == r.n
         assert abs(tv - r.tv) < 1e-4
+
+
+def test_sliding_counts_match_batch(spark, sf_smoke):
+    """Every event must appear in exactly two overlapping sliding windows;
+    totals match the batch window() aggregation."""
+    from brooklin_spark.io import table
+
+    out = registry.QUERIES["streaming_sliding_counts"](spark, sf_smoke)
+    ev = table(spark, sf_smoke, "events")
+    batch = (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes"), F.col("event_type"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            F.date_format("window.end", "yyyy-MM-dd HH:mm:ss").alias("window_end"),
+            "event_type",
+            "n_events",
+        )
+    )
+    got = sorted(map(tuple, out.collect()))
+    want = sorted(map(tuple, batch.collect()))
+    assert got == want and len(got) > 0
+    assert sum(r[-1] for r in got) == 2 * ev.count()
