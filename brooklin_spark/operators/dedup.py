@@ -289,6 +289,61 @@ def simhash_signature(shingles: DataFrame, bits: int = 32) -> DataFrame:
     return agg.select("id", sig.alias("sig"))
 
 
+def connected_components(
+    pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b", max_iter: int = 20
+) -> DataFrame:
+    """Connected components over near-duplicate pairs -> (id, component)
+    where component = min id reachable (the canonical doc of the cluster).
+
+    Min-label propagation: each iteration joins current labels across the
+    (symmetrized) edge list and takes the min neighbor label; converges in
+    O(cluster diameter) iterations — near-dup clusters are shallow (dup
+    pairs chain through shared content), so a handful of rounds suffice.
+    Each round is two shuffles (join + groupBy); labels are checkpointed
+    per round to keep lineage flat. For web-scale graphs with deep
+    components swap in large-star/small-star (same API).
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("comp"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("comp").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))).alias(
+                    "comp"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 def simhash_signature_int(shingles: DataFrame, bits: int = 32) -> DataFrame:
     """SimHash as a BIGINT signature: bit b (MSB-first) set iff the majority
     of the doc's shingles votes odd on md5 hex digit b. Integer signatures

@@ -155,6 +155,65 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BITS, _SH_BANDS, _MAX_D = 32, 4, 3
 
 
+# ---------------------------------------------------------------------------
+# Cluster canonicalization: near-dup pairs → connected components → keep the
+# min-id doc per cluster. The step that turns pair detection into an actual
+# dedup decision. Oracle = DuckDB recursive-CTE transitive closure.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_canonical_clusters",
+    oracle=f"""
+    WITH RECURSIVE {G.shingle_cte(3)},
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    cpairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    dup_pairs AS (
+      SELECT doc_a, doc_b FROM cpairs
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE common * 1.0 / (sa.n_sh + sb.n_sh - common) >= 0.7),
+    nodes AS (
+      SELECT DISTINCT id FROM (
+        SELECT doc_a AS id FROM dup_pairs UNION SELECT doc_b FROM dup_pairs)),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM dup_pairs
+      UNION SELECT doc_b, doc_a FROM dup_pairs),
+    reach(id, r) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r)
+    SELECT id AS doc_id, MIN(r) AS component,
+           CAST(MIN(r) = id AS BOOLEAN) AS keep
+    FROM reach GROUP BY id
+    """,
+)
+def dedup_canonical_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    arr = D.shingle_arrays(docs, n=3).localCheckpoint()
+    sh = arr.select("id", F.explode("shingles").alias("shingle"))
+    common = D.pair_common_counts(sh)
+    sizes = arr.select("id", F.size("shingles").alias("n_sh"))
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb"))
+    jac = F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
+    pairs = (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(jac >= 0.7)
+        .select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+    )
+    comps = D.connected_components(pairs)
+    return comps.select(
+        F.col("id").alias("doc_id"),
+        F.col("comp").alias("component"),
+        (F.col("comp") == F.col("id")).alias("keep"),
+    )
+
+
 @query(
     "dedup_simhash",
     oracle=f"""

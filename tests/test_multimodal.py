@@ -68,3 +68,15 @@ def test_video_frame_sampling_jvm_side(spark, sf_smoke):
     plan = frames._sc._jvm.PythonSQLUtils if False else None  # noqa: F841
     explained = frames._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in explained and "mapInPandas" not in explained.lower()
+
+
+def test_connected_components_chain(spark):
+    """Chain graph needs multiple propagation rounds: 1-2, 2-3, 3-4 all
+    collapse to component 1; disjoint 10-11 keeps its own min."""
+    from brooklin_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "doc_a long, doc_b long"
+    )
+    got = {r.id: r.comp for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
