@@ -60,6 +60,37 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Per-label centroid vectors: the vector-aggregation kernel (k-means update
+# step / class prototypes). posexplode → (label, dim) partial-avg — the
+# shuffle carries (label, dim, partial sums), never whole vectors.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "embedding_label_centroids",
+    oracle="""
+    SELECT label, CAST(i - 1 AS INTEGER) AS dim,
+           round(AVG(x), 6) AS centroid,
+           COUNT(*) AS n_vectors
+    FROM (SELECT label, generate_subscripts(embedding, 1) AS i,
+                 unnest(embedding)::DOUBLE AS x
+          FROM embeddings)
+    WHERE i <= 8
+    GROUP BY label, i
+    """,
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "label", F.posexplode(F.col("embedding")).alias("dim", "x")
+    ).filter(F.col("dim") < 8)
+    return flat.groupBy("label", "dim").agg(
+        F.round(F.avg(F.col("x").cast("double")), 6).alias("centroid"),
+        F.count("*").alias("n_vectors"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # IVF approximate top-k: 8 fixed centroids, probe the 2 nearest buckets per
 # query, exact rerank within candidates. Fully deterministic, so the whole
 # approximation (including its misses vs brute force) is oracle-checkable.

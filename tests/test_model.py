@@ -117,3 +117,17 @@ def test_kafka_provisioning_gated_noop(spark, tmp_path):
     mgr.create(spec, start=False)
     assert mgr.get("kprov").name == "kprov"
     mgr.delete("kprov")
+
+
+def test_task_count_estimator():
+    """Mirrors TestLoadBasedTaskCountEstimator: defaults-only partitions fit
+    one task; heavy inflow scales up; cap applies."""
+    from brooklin_spark.planning import PartitionThroughput, estimate_task_count
+
+    assert estimate_task_count([]) == 0
+    light = [PartitionThroughput(f"t-{i}") for i in range(10)]  # 50 KB/s total
+    assert estimate_task_count(light) == 1
+    # 100 partitions × 500 KB/s = 50000 KB/s; capacity 4 MB/s @ 90% = 3686 KB/s
+    heavy = [PartitionThroughput(f"t-{i}", bytes_in_kb_per_sec=500) for i in range(100)]
+    assert estimate_task_count(heavy) == 14
+    assert estimate_task_count(heavy, max_tasks=8) == 8
