@@ -200,6 +200,25 @@ def minhash_signature_arrays(arrays: DataFrame, num_hashes: int = 16) -> DataFra
     return arrays.select("id", *cols)
 
 
+def minhash_signature_km(shingles: DataFrame, num_hashes: int = 16) -> DataFrame:
+    """MinHash via Kirsch-Mitzenmacher double hashing: ONE md5 per shingle
+    yields two 32-bit ints (a, b); hash family h_k = (a + k·b) mod 2^32.
+    Same uniformity guarantees for minhash, 1/16th the hashing cost of the
+    per-k md5 family. Numeric mins, integer band keys.
+    """
+    h = F.md5(F.col("shingle"))
+    base = shingles.select(
+        "id",
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint").alias("h1"),
+        F.conv(F.substring(h, 9, 8), 16, 10).cast("bigint").alias("h2"),
+    )
+    aggs = [
+        F.min((F.col("h1") + k * F.col("h2")) % F.lit(4294967296)).alias(f"h{k}")
+        for k in range(num_hashes)
+    ]
+    return base.groupBy("id").agg(*aggs)
+
+
 def minhash_signature(shingles: DataFrame, num_hashes: int = 16) -> DataFrame:
     """MinHash signature: h_k = min(md5(k || ':' || shingle)) per doc.
 

@@ -22,6 +22,29 @@ def shingle_cte(n: int = 3) -> str:
     """
 
 
+def minhash_km_select(num_hashes: int) -> str:
+    """Kirsch-Mitzenmacher signature: one md5 → two 32-bit ints → k derived
+    hashes (mirrors minhash_signature_km)."""
+    cols = ",\n             ".join(
+        f"min((h1 + {k} * h2) % 4294967296) AS h{k}" for k in range(num_hashes)
+    )
+    return f"""SELECT doc_id, {cols} FROM (
+      SELECT doc_id,
+             ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h1,
+             ('0x' || substr(md5(shingle), 9, 8))::BIGINT AS h2
+      FROM sh) base GROUP BY doc_id"""
+
+
+def band_int_exprs(bands: int, rows_per_band: int) -> list[str]:
+    out = []
+    for j in range(bands):
+        rows = " || '|' || ".join(
+            f"CAST(h{j * rows_per_band + r} AS VARCHAR)" for r in range(rows_per_band)
+        )
+        out.append(f"SELECT doc_id, {j} AS band_id, md5({rows}) AS band_key FROM sig")
+    return out
+
+
 def minhash_select(num_hashes: int) -> str:
     cols = ",\n             ".join(
         f"min(md5('{k}:' || shingle)) AS h{k}" for k in range(num_hashes)

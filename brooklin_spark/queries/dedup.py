@@ -110,8 +110,8 @@ _MH, _BANDS, _ROWS = 16, 4, 4
     "dedup_minhash_lsh",
     oracle=f"""
     WITH {G.shingle_cte(3)},
-    sig AS ({G.minhash_select(_MH)}),
-    banded AS ({" UNION ALL ".join(G.band_exprs(_BANDS, _ROWS))}),
+    sig AS ({G.minhash_km_select(_MH)}),
+    banded AS ({" UNION ALL ".join(G.band_int_exprs(_BANDS, _ROWS))}),
     cand AS (
       SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
       FROM banded x JOIN banded y
@@ -141,7 +141,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # then per-pair array-intersect verify — work is O(candidates)
     arr = D.shingle_arrays(docs, n=3).localCheckpoint()
     sh = arr.select("id", F.explode("shingles").alias("shingle"))
-    sig = D.minhash_signature(sh, num_hashes=_MH).localCheckpoint()
+    sig = D.minhash_signature_km(sh, num_hashes=_MH).localCheckpoint()
     cand = D.lsh_candidate_pairs(sig, bands=_BANDS, rows_per_band=_ROWS)
     return D.jaccard_verify(arr, cand, threshold=0.7)
 
