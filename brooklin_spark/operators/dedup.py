@@ -367,13 +367,27 @@ def simhash_signature_int(shingles: DataFrame, bits: int = 32) -> DataFrame:
     """SimHash as a BIGINT signature: bit b (MSB-first) set iff the majority
     of the doc's shingles votes odd on md5 hex digit b. Integer signatures
     make banding a shift+mask and hamming a single bit_count(xor) — no
-    string slicing anywhere in the verify path."""
+    string slicing anywhere in the verify path.
+
+    Vote extraction parses the md5 hex into 8-digit ints once, then reads
+    each digit's parity as the LSB of its nibble (shift+and) — integer ops
+    instead of per-digit substring/ascii."""
     h = F.md5(F.col("shingle"))
-    sums = [
-        F.sum(2 * (F.ascii(F.substring(h, b, 1)) % 2) - 1).alias(f"s{b}")
-        for b in range(1, bits + 1)
-    ]
-    agg = shingles.groupBy("id").agg(*sums)
+    n_words = (bits + 7) // 8
+    base = shingles.select(
+        "id",
+        *[
+            F.conv(F.substring(h, 8 * g + 1, 8), 16, 10).cast("bigint").alias(f"w{g}")
+            for g in range(n_words)
+        ],
+    )
+    sums = []
+    for b in range(1, bits + 1):
+        g = (b - 1) // 8
+        off = 4 * (7 - ((b - 1) % 8))  # nibble offset inside the 32-bit word
+        parity = F.shiftright(F.col(f"w{g}"), off).bitwiseAND(F.lit(1))
+        sums.append(F.sum(2 * parity - 1).alias(f"s{b}"))
+    agg = base.groupBy("id").agg(*sums)
     sig = functools.reduce(
         pyop.add,
         [

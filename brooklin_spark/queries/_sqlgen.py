@@ -69,6 +69,25 @@ def simhash_sum_cols(bits: int, feature: str = "shingle") -> str:
     )
 
 
+def simhash_base_int(bits: int, feature: str = "shingle") -> str:
+    """Parse md5 hex into 8-digit ints (mirrors simhash_signature_int)."""
+    n_words = (bits + 7) // 8
+    cols = ", ".join(
+        f"('0x' || substr(md5({feature}), {8 * g + 1}, 8))::BIGINT AS w{g}"
+        for g in range(n_words)
+    )
+    return f"SELECT doc_id, {cols} FROM sh"
+
+
+def simhash_sum_cols_int(bits: int) -> str:
+    out = []
+    for b in range(1, bits + 1):
+        g = (b - 1) // 8
+        off = 4 * (7 - ((b - 1) % 8))
+        out.append(f"sum(2 * ((w{g} >> {off}) & 1) - 1) AS s{b}")
+    return ",\n             ".join(out)
+
+
 def simhash_band_selects(bits: int, bands: int) -> list[str]:
     width = bits // bands
     return [

@@ -218,9 +218,10 @@ def dedup_canonical_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_simhash",
     oracle=f"""
     WITH {G.shingle_cte(3)},
+    base AS ({G.simhash_base_int(_BITS)}),
     sums AS (
-      SELECT doc_id, {G.simhash_sum_cols(_BITS, "shingle")}
-      FROM sh GROUP BY doc_id),
+      SELECT doc_id, {G.simhash_sum_cols_int(_BITS)}
+      FROM base GROUP BY doc_id),
     sigs AS (SELECT doc_id, {G.simhash_sig_int_expr(_BITS)} AS sig FROM sums),
     banded AS ({" UNION ALL ".join(G.simhash_band_int_selects(_BITS, _SH_BANDS))}),
     cand AS (
