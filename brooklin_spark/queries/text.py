@@ -205,3 +205,72 @@ def text_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("fp").alias("n_fingerprints"),
         (F.count("*") - F.countDistinct("fp")).cast("bigint").alias("n_bag_dups"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus vocabulary top-k (heavy hitters): explode tokens, count, top 20 —
+# partial aggregation bounds the shuffle by |vocab|, TakeOrdered by k.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_vocab_topk",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest({_TOK}) AS token FROM documents)
+    SELECT token, COUNT(*) AS freq
+    FROM toks GROUP BY token
+    ORDER BY freq DESC, token ASC LIMIT 20
+    """,
+)
+def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(X.tokens()).alias("token"))
+    return (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("token"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic hash-based corpus sampling: reproducible bernoulli per doc
+# (md5 mod) with per-language rates — the "sample 10% of English, 50% of
+# the tail" training-mix op. Deterministic ⇒ identical sample on re-runs
+# and across engines (no Math.random in the DAG).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sample_documents_deterministic",
+    oracle="""
+    WITH sampled AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000 AS bucket
+      FROM documents)
+    SELECT lang,
+           COUNT(*) AS n_sampled,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM sampled
+    WHERE bucket < (CASE WHEN lang = 'en' THEN 100 ELSE 500 END)
+    GROUP BY lang
+    """,
+)
+def sample_documents_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 1000
+    )
+    rate = F.when(F.col("lang") == "en", 100).otherwise(500)
+    return (
+        docs.select("doc_id", "lang", bucket.alias("bucket"), rate.alias("rate"))
+        .filter(F.col("bucket") < F.col("rate"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+        )
+    )
