@@ -30,6 +30,11 @@ TABLES = (
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}")
+    if name == "events":
+        # events.parquet is TIMESTAMP(NANOS); Spark 4 refuses it unless read
+        # as long. Set at runtime so externally-created sessions (the
+        # driver's) work too — not only our session.py sessions.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         # ts is parquet TIMESTAMP(NANOS) read as long (see session.py conf);

@@ -32,6 +32,7 @@ EVENTS_SCHEMA = T.StructType(
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events parquet (bounded replay → deterministic
     micro-batches), ts converted from nanos-long to a real timestamp."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")  # see io.table
     raw = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("pathGlobFilter", "events.parquet")
