@@ -30,10 +30,12 @@ TABLES = (
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}")
+    # engine invariants, set at runtime so externally-created sessions (the
+    # correctness driver's) behave like session.py sessions: UTC event-time
+    # semantics (matches the timezone-naive DuckDB oracle) and nanos-as-long
+    # for the events table (Spark 4 refuses TIMESTAMP(NANOS) otherwise)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        # events.parquet is TIMESTAMP(NANOS); Spark 4 refuses it unless read
-        # as long. Set at runtime so externally-created sessions (the
-        # driver's) work too — not only our session.py sessions.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
