@@ -75,11 +75,15 @@ def dedup_exact_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    # arrays feed pair-gen (exploded) and the size lookup; the shared
-    # repartition exchange is reused by Catalyst (ReuseExchange), so the
-    # shingle build happens once — no checkpoint materialization needed
+    # checkpointed arrays feed pair-gen (exploded) and the size lookup.
+    # Shingles group-key by xxhash64 (codegen, 8-byte shuffle keys instead
+    # of 3-word strings — measured ~1.5s faster at sf0.1; a 64-bit
+    # collision inside one doc pair is the accepted ~1e-10 risk, standard
+    # for shingle tables at scale)
     arr = D.shingle_arrays(docs, n=3).localCheckpoint()
-    sh = arr.select("id", F.explode("shingles").alias("shingle"))
+    sh = arr.select("id", F.explode("shingles").alias("shingle")).select(
+        "id", F.xxhash64("shingle").alias("shingle")
+    )
     common = D.pair_common_counts(sh)
     sizes = arr.select("id", F.size("shingles").alias("n_sh"))
     sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na"))
@@ -194,7 +198,9 @@ _BITS, _SH_BANDS, _MAX_D = 32, 4, 3
 def dedup_canonical_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     arr = D.shingle_arrays(docs, n=3).localCheckpoint()
-    sh = arr.select("id", F.explode("shingles").alias("shingle"))
+    sh = arr.select("id", F.explode("shingles").alias("shingle")).select(
+        "id", F.xxhash64("shingle").alias("shingle")
+    )
     common = D.pair_common_counts(sh)
     sizes = arr.select("id", F.size("shingles").alias("n_sh"))
     sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na"))
