@@ -405,6 +405,34 @@ def window_analytic_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q16 shape (adapted — supplier relationships come from lineitem instead of
+# partsupp): distinct supplier count per part attribute — a distinct
+# aggregate over a join, planned as the two-phase expand/agg.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q16_supplier_part_counts",
+    oracle="""
+    SELECT p.p_brand, p.p_type, COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_size IN (1, 5, 9, 13) AND p.p_brand <> 'Brand#3'
+    GROUP BY p.p_brand, p.p_type
+    """,
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(
+        F.col("p_size").isin(1, 5, 9, 13) & (F.col("p_brand") != "Brand#3")
+    )
+    return (
+        li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # q9 shape (adapted — no partsupp): product-line profit by supplier nation
 # and year; profit = revenue − 10% of retail value of goods moved. Exact
 # decimal arithmetic end-to-end, name LIKE filter on the part dim.
