@@ -274,3 +274,49 @@ def sample_documents_deterministic(spark: SparkSession, sf_dir: str) -> DataFram
             F.min("doc_id").cast("bigint").alias("first_doc"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling-hash document fingerprint (Rabin-Karp / Horner over token hashes,
+# B=31 mod 2^31-1): ORDER-SENSITIVE — permutations of the same vocabulary
+# get different prints (the complement of the bag-of-words fingerprint
+# above). Both engines fold left with identical integer arithmetic.
+# ---------------------------------------------------------------------------
+
+_RH_B, _RH_M = 31, 2147483647
+
+
+@query(
+    "text_rolling_fingerprint",
+    oracle=f"""
+    WITH fp AS (
+      SELECT source,
+             list_reduce(
+               list_prepend(0, list_transform({_TOK},
+                 t -> ('0x' || substr(md5(t), 1, 8))::BIGINT)),
+               (acc, x) -> (acc * {_RH_B} + x) % {_RH_M}) AS print
+      FROM documents)
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT print) AS n_unique,
+           CAST(COUNT(*) - COUNT(DISTINCT print) AS BIGINT) AS n_dup_docs
+    FROM fp GROUP BY source
+    """,
+)
+def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    tok_hash = F.transform(
+        X.tokens(),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint"),
+    )
+    rolling = F.aggregate(
+        tok_hash,
+        F.lit(0).cast("bigint"),
+        lambda acc, x: (acc * _RH_B + x) % _RH_M,
+    )
+    fp = docs.select("source", rolling.alias("print"))
+    return fp.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.count_distinct("print").alias("n_unique"),
+        (F.count("*") - F.count_distinct("print")).cast("bigint").alias("n_dup_docs"),
+    )
