@@ -522,3 +522,44 @@ def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("l_partkey").alias("exact_parts"),
         F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bucketed range join: overlapping 45-day promo windows × orders — the
+# equi-join scale path for interval containment (see operators/rangejoin.py;
+# contrast with join_band_price_histogram's broadcast-nested-loop, which is
+# only right because its build side is 5 rows).
+# ---------------------------------------------------------------------------
+
+_PROMO_WINDOWS = [(f"w{k:02d}", 150 + 30 * k, 150 + 30 * k + 44) for k in range(24)]
+
+
+@query(
+    "range_join_promo_windows",
+    oracle=f"""
+    WITH wins(window_id, lo, hi) AS (VALUES
+      {", ".join(f"('{w}', {lo}, {hi})" for w, lo, hi in _PROMO_WINDOWS)}),
+    o AS (
+      SELECT o_orderkey, o_totalprice,
+             DATEDIFF('day', TIMESTAMP '1995-01-01', o_orderdate) AS d
+      FROM orders)
+    SELECT window_id, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+    FROM o JOIN wins ON o.d >= wins.lo AND o.d <= wins.hi
+    GROUP BY window_id
+    """,
+)
+def range_join_promo_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from brooklin_spark.operators.rangejoin import bucketed_range_join
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")).alias("d"),
+    )
+    wins = spark.createDataFrame(_PROMO_WINDOWS, ["window_id", "lo", "hi"])
+    j = bucketed_range_join(o, wins, value_col="d", lo_col="lo", hi_col="hi", width=30)
+    return j.groupBy("window_id").agg(
+        F.count("*").alias("n_orders"),
+        dsum(dec("o_totalprice"), "total_price"),
+    )

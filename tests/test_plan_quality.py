@@ -110,3 +110,11 @@ def test_q7_q9_broadcast_dims(spark, sf_correct):
 
 def test_q17_correlated_avg_broadcasts_part(spark, sf_correct):
     assert broadcast_join_count(_q(spark, sf_correct, "q17_small_quantity_revenue")) >= 1
+
+
+def test_bucketed_range_join_avoids_nested_loop(spark, sf_correct):
+    """The bucketed range join must plan as a hash equi-join on the bucket
+    key — the whole point of the bucketing rewrite."""
+    plan = executed_plan(_q(spark, sf_correct, "range_join_promo_windows"))
+    assert "NestedLoop" not in plan
+    assert "HashJoin" in plan
