@@ -1,0 +1,102 @@
+"""Event-stream product analytics: funnel conversion and cohort retention —
+the aggregate shapes an events pipeline feeds downstream. Single-shuffle
+per-user aggregations; timestamps compared as raw values (no formatting in
+the comparison path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from brooklin_spark.io import table
+from brooklin_spark.registry import query
+
+# ---------------------------------------------------------------------------
+# Funnel: signup → click → purchase, strictly ordered by first occurrence.
+# One groupBy(user) with conditional-min timestamps, then one global agg.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_funnel_conversion",
+    oracle="""
+    WITH stage AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id)
+    SELECT COUNT(*) AS n_users,
+           CAST(SUM(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS reached_signup,
+           CAST(SUM(CASE WHEN t_signup IS NOT NULL AND t_click > t_signup THEN 1 ELSE 0 END) AS BIGINT) AS reached_click,
+           CAST(SUM(CASE WHEN t_signup IS NOT NULL AND t_click > t_signup AND t_purchase > t_click THEN 1 ELSE 0 END) AS BIGINT) AS reached_purchase
+    FROM stage
+    """,
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+
+    def first_ts(t: str):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    stage = e.groupBy("user_id").agg(
+        first_ts("signup").alias("t_signup"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    signed = F.col("t_signup").isNotNull()
+    clicked = signed & (F.col("t_click") > F.col("t_signup"))
+    purchased = clicked & (F.col("t_purchase") > F.col("t_click"))
+    return stage.agg(
+        F.count("*").alias("n_users"),
+        F.sum(signed.cast("int")).cast("bigint").alias("reached_signup"),
+        F.sum(clicked.cast("int")).cast("bigint").alias("reached_click"),
+        F.sum(purchased.cast("int")).cast("bigint").alias("reached_purchase"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention: users grouped by first-activity day; how many are active
+# k days later. Two aggregations, one broadcast-back of the cohort map.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_cohort_retention",
+    oracle="""
+    WITH firstday AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day FROM events GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_day,
+             DATEDIFF('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset
+      FROM events e JOIN firstday f ON f.user_id = e.user_id)
+    SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort,
+           CAST(day_offset AS BIGINT) AS day_offset,
+           COUNT(*) AS active_users
+    FROM activity WHERE day_offset <= 7
+    GROUP BY cohort_day, day_offset
+    """,
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    firstday = e.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("cohort_day")
+    )
+    activity = (
+        e.join(F.broadcast(firstday), "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.col("ts").cast("date"), F.col("cohort_day")).alias("day_offset"),
+        )
+        .distinct()
+    )
+    return (
+        activity.filter(F.col("day_offset") <= 7)
+        .groupBy(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort"),
+            F.col("day_offset").cast("bigint").alias("day_offset"),
+        )
+        .agg(F.count("*").alias("active_users"))
+    )

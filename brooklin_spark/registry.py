@@ -36,6 +36,7 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 def load_all() -> None:
     """Import every query-defining module (idempotent)."""
     from brooklin_spark.queries import (  # noqa: F401
+        analytics,
         cdc,
         dedup,
         multimodal,
