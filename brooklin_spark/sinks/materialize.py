@@ -56,8 +56,11 @@ def merge_batch(batch_df: DataFrame, root: str, spark=None) -> None:
     spark = spark or batch_df.sparkSession
     if batch_df.isEmpty():
         return  # don't rewrite the snapshot for an empty micro-batch
+    # keyless records (e.g. file lines) merge by content hash: re-delivered
+    # duplicates collapse (at-least-once → effectively-once for keyless
+    # streams), distinct payloads stay distinct rows
     upd = batch_df.select(
-        F.col("key").cast("string").alias("k"),
+        F.coalesce(F.col("key").cast("string"), F.md5(F.col("value"))).alias("k"),
         F.col("value").alias("value"),
         F.col("op_code").alias("op_code"),
         F.coalesce(F.col("scn"), F.col("offset")).alias("scn"),

@@ -106,3 +106,44 @@ def test_streaming_materialize_from_rate(spark, tmp_path):
     m = mgr.metrics_summary()
     assert m["active_queries"] >= 1 and m["recent_input_rows"] > 0
     mgr.delete("ratemat")
+
+
+def test_materialize_restart_continues_incrementally(spark, tmp_path):
+    """Crash/restart: restore() resumes the pipeline from its checkpoint;
+    committed batches are not re-applied (version stable), new data still
+    merges (version advances, state grows)."""
+    import os
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    with open(os.path.join(src, "a.txt"), "w") as f:
+        f.write("k1\nk2\n")
+    root = str(tmp_path / "state")
+    mgr = PipelineManager(spark, str(tmp_path / "mgr"))
+    mgr.create(
+        PipelineSpec(
+            name="restmat",
+            connector="file",
+            transport="materialize",
+            source_uri=f"file://{src}",
+            dest_uri=f"parquet://{root}",
+        )
+    )
+    mgr.process_available("restmat")
+    v1 = current_version(root)
+    n1 = read_state(spark, root).count()
+    assert v1 >= 1 and n1 == 2
+
+    mgr.query_of("restmat").stop()  # simulate crash
+    mgr2 = PipelineManager(spark, str(tmp_path / "mgr"))
+    assert mgr2.restore() == 1
+    mgr2.process_available("restmat")
+    # nothing new: committed batches are not replayed
+    assert current_version(root) == v1
+    assert read_state(spark, root).count() == n1
+    with open(os.path.join(src, "b.txt"), "w") as f:
+        f.write("k3\n")
+    mgr2.process_available("restmat")
+    assert current_version(root) == v1 + 1
+    assert read_state(spark, root).count() == 3
+    mgr2.delete("restmat")
