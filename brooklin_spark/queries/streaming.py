@@ -146,6 +146,52 @@ def streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFram
     return run_to_completion(out, mode="update")
 
 
+@query("streaming_cdc_before_image")
+def streaming_cdc_before_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful CDC before-image population: per key, attach the previous
+    payload to every change (BrooklinEnvelope._previousValue semantics,
+    SURVEY §1.2) — state is one (last_scn, last_value) tuple per key, so
+    it's O(keys) on an unbounded stream. Events within a batch are applied
+    in scn order."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    s = events_stream(spark, sf_dir).select(
+        F.col("user_id"), F.col("event_id").alias("scn"), F.col("props").alias("value")
+    )
+
+    def attach_prev(key: tuple, pdfs, state: GroupState):
+        last_scn, last_val = state.get if state.exists else (-1, None)
+        rows = []
+        batch = pd.concat(list(pdfs), ignore_index=True) if pdfs else pd.DataFrame()
+        if len(batch):
+            for _, r in batch.sort_values("scn").iterrows():
+                rows.append(
+                    {
+                        "user_id": key[0],
+                        "scn": int(r["scn"]),
+                        "value": r["value"],
+                        "previous_value": last_val,
+                    }
+                )
+                last_scn, last_val = int(r["scn"]), r["value"]
+            state.update((last_scn, last_val))
+        yield pd.DataFrame(
+            rows,
+            columns=["user_id", "scn", "value", "previous_value"],
+        )
+
+    out = s.groupBy("user_id").applyInPandasWithState(
+        attach_prev,
+        outputStructType="user_id bigint, scn bigint, value string, previous_value string",
+        stateStructType="last_scn bigint, last_value string",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return run_to_completion(out, mode="append")
+
+
 @query("streaming_session_windows")
 def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based session windows (session_window, 30-minute gap) — the

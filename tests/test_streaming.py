@@ -123,3 +123,23 @@ def test_sliding_counts_match_batch(spark, sf_smoke):
     want = sorted(map(tuple, batch.collect()))
     assert got == want and len(got) > 0
     assert sum(r[-1] for r in got) == 2 * ev.count()
+
+
+def test_streaming_cdc_before_image_matches_batch_lag(spark, sf_smoke):
+    """Stateful previous-value attachment equals the batch lag() window."""
+    from pyspark.sql import Window as W
+
+    from brooklin_spark.io import table
+
+    out = registry.QUERIES["streaming_cdc_before_image"](spark, sf_smoke)
+    ev = table(spark, sf_smoke, "events")
+    w = W.partitionBy("user_id").orderBy("event_id")
+    batch = ev.select(
+        "user_id",
+        F.col("event_id").alias("scn"),
+        F.col("props").alias("value"),
+        F.lag("props").over(w).alias("previous_value"),
+    )
+    got = sorted(map(tuple, out.collect()))
+    want = sorted(map(tuple, batch.collect()))
+    assert got == want and len(got) > 0
