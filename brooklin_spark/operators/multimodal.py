@@ -45,16 +45,21 @@ AUDIO_FEATURES_DDL = (
 
 
 def _fake_pixels(payload: bytes, width: int, height: int) -> np.ndarray:
-    """DETERMINISTIC FAKE decode (codec libs absent): md5-seeded byte
+    """DETERMINISTIC FAKE decode (codec libs absent): md5-chain byte
     expansion standing in for a decoded grayscale image. Replace the body
-    with PIL.Image.open when the container has it."""
+    with PIL.Image.open when the container has it.
+
+    Chunk k's 16 bytes are md5(seed_text + ':' + str(k)) where seed_text is
+    the payload decoded as latin-1 — text-domain hashing so the expansion
+    is expressible in ANSI SQL (md5(seed || ':' || k)) and the features are
+    cross-engine oracle-checkable."""
     n = width * height
     out = np.empty(n, dtype=np.uint8)
-    seed = payload or b"\x00"
+    seed = (payload or b"\x00").decode("latin-1")
     pos = 0
     counter = 0
     while pos < n:
-        h = hashlib.md5(seed + counter.to_bytes(4, "little")).digest()
+        h = hashlib.md5(f"{seed}:{counter}".encode("latin-1")).digest()
         take = min(16, n - pos)
         out[pos : pos + take] = np.frombuffer(h[:take], dtype=np.uint8)
         pos += take

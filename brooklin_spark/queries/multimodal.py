@@ -96,13 +96,35 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Image decode + feature extraction (rows-only: the md5-seeded fake decode
-# is the codec stand-in and not SQL-expressible; numerics pinned in
-# tests/test_multimodal.py against an independent numpy computation).
+# Image decode + feature extraction, oracle-checked: the md5-chain fake
+# decode expands seed := md5(text) into 48 chunks of md5(seed || ':' || k),
+# 16 bytes each = 768 pixels; DuckDB recomputes every pixel byte from the
+# same hex math, so mean/median intensities match exactly. (The real-codec
+# path stays gated behind the PIL import; numerics are additionally pinned
+# in tests/test_multimodal.py against an independent numpy computation.)
 # ---------------------------------------------------------------------------
 
 
-@query("multimodal_image_features")
+@query(
+    "multimodal_image_features",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, md5(text) AS seed FROM documents WHERE doc_id < 200),
+    chunks AS (
+      SELECT doc_id, c.range AS c, md5(seed || ':' || c.range) AS dh
+      FROM base, range(48) c),
+    px AS (
+      SELECT doc_id, (('0x' || substr(dh, p.range * 2 + 1, 2))::INT) AS v
+      FROM chunks, range(16) p)
+    SELECT doc_id,
+           CAST(32 AS INT) AS width,
+           CAST(24 AS INT) AS height,
+           AVG(v) AS mean_intensity,
+           CAST(MEDIAN(v) AS DOUBLE) AS intensity_p50,
+           COUNT(*) AS n_pixels
+    FROM px GROUP BY doc_id
+    """,
+)
 def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     media = M.synthesize_media_table(docs, width=32, height=24)

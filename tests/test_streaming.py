@@ -87,19 +87,22 @@ def test_stateful_user_totals_match_batch(spark, sf_smoke):
     from brooklin_spark.io import table
 
     out = registry.QUERIES["streaming_stateful_user_totals"](spark, sf_smoke)
-    # update-mode emits one row per user per batch; keep the last per user
-    final = {r.user_id: (r.n_events, r.total_value) for r in out.collect()}
+    # update-mode emits one row per user per batch; the drain keeps the last
+    final = {r.user_id: (r.n_events, r.total_cents) for r in out.collect()}
     ev = table(spark, sf_smoke, "events")
     batch = (
         ev.groupBy("user_id")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("tv"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"),
+        )
         .collect()
     )
     assert len(final) == len(batch) > 0
     for r in batch:
-        n, tv = final[r.user_id]
+        n, cents = final[r.user_id]
         assert n == r.n
-        assert abs(tv - r.tv) < 1e-4
+        assert cents == r.cents
 
 
 def test_sliding_counts_match_batch(spark, sf_smoke):
