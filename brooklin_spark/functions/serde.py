@@ -25,9 +25,22 @@ MAGIC_BYTE = b"\x00"
 FRAME_PREFIX_LEN = 17
 
 
+_HEX_DIGITS = set("0123456789abcdefABCDEF")
+
+
 def schema_digest(schema_id: str) -> bytes:
-    """16-byte MD5 of the schema id string (the registry key embedded in
-    every framed message)."""
+    """16 digest bytes embedded in every framed message.
+
+    Registry ids ARE hex(md5(schema)) — the reference
+    (AvroMessageEncoderUtil.encode -> hexToMd5, AvroMessageEncoderUtil.java:42-60)
+    embeds the hex-DECODED id bytes, so a 32-char hex id is decoded, not
+    re-hashed; frames produced here are byte-compatible with
+    reference-encoded messages and frame_schema_md5() round-trips to the
+    registry id. Free-form (non-hex) ids fall back to md5 of the string so
+    framing still works for ad-hoc schemas."""
+    s = schema_id.strip()
+    if len(s) == 32 and set(s) <= _HEX_DIGITS:
+        return bytes.fromhex(s)
     return hashlib.md5(schema_id.encode("utf-8")).digest()
 
 

@@ -61,7 +61,16 @@ class PipelineManager:
             raise ValueError(f"pipeline {spec.name!r} already exists")
         dup = self._find_duplicate(spec)
         if dup is not None:
-            # reuse the existing group's physical query (SourceBasedDeduper)
+            # reuse the existing group's physical query (SourceBasedDeduper),
+            # and assign the group's ACTUAL destination back to the new spec
+            # (SourceBasedDeduper.java:142-163 reuses the found datastream's
+            # destination) — otherwise the member advertises a dest_uri that
+            # never receives data (ADVICE r1 #5)
+            leader = self._running[dup].spec
+            spec.transport = leader.transport
+            spec.dest_uri = leader.dest_uri
+            if "memory.table" in leader.metadata:  # memory dest = table name
+                spec.metadata["memory.table"] = leader.metadata["memory.table"]
             spec.status = PipelineStatus.READY
             self._persist(spec)
             self._running[dup].group.append(spec.name)
@@ -92,14 +101,35 @@ class PipelineManager:
         spec = self.get(name)
         self._transition(spec, PipelineStatus.DELETING)
         r = self._running.pop(name, None)
-        if r and r.query is not None and r.query.isActive:
-            r.query.stop()
-        if spec.transport == "memory":
-            from brooklin_spark.sinks.registry import drop_memory_table
+        promoted = False
+        if r is not None and r.group:
+            # deleting a group LEADER with live members: promote the first
+            # member instead of orphaning the group (ADVICE r1 #5 — the
+            # reference's deduper keeps the shared task set alive as long
+            # as any group member exists). The physical query and its
+            # checkpoint keep running under the new leader; the deleted
+            # name's checkpoint dir is retained because the query owns it.
+            new_leader = r.group[0]
+            self._running[new_leader] = _Running(
+                spec=self.get(new_leader), query=r.query, group=r.group[1:]
+            )
+            promoted = True
+        elif r is None:
+            # maybe a group MEMBER: drop it from its leader's group list so
+            # diagnostics/promotion never see a stale name
+            for lr in self._running.values():
+                if name in lr.group:
+                    lr.group.remove(name)
+                    break
+        if not promoted:
+            if r and r.query is not None and r.query.isActive:
+                r.query.stop()
+            if spec.transport == "memory":
+                from brooklin_spark.sinks.registry import drop_memory_table
 
-            drop_memory_table(self.spark, spec.metadata.get("memory.table", name))
+                drop_memory_table(self.spark, spec.metadata.get("memory.table", name))
+            shutil.rmtree(os.path.join(self.checkpoint_root, name), ignore_errors=True)
         os.remove(self._spec_path(name))
-        shutil.rmtree(os.path.join(self.checkpoint_root, name), ignore_errors=True)
         shutil.rmtree(self._holding_dir(name), ignore_errors=True)
         shutil.rmtree(self._deadletter_dir(name), ignore_errors=True)
 
@@ -332,6 +362,20 @@ class PipelineManager:
         return None
 
     def _start(self, spec: PipelineSpec, already_ready: bool = False) -> None:
+        # Validate the lifecycle transition BEFORE any side effect (ADVICE
+        # r1 #3): resume() on an already-READY pipeline must fail here, not
+        # after re-running a bounded bootstrap (duplicating the whole write)
+        # or attempting a duplicate query start against the same checkpoint.
+        if not already_ready and not can_transition(spec.status, PipelineStatus.READY):
+            raise ValueError(
+                f"illegal transition {spec.status.value} -> ready "
+                f"for pipeline {spec.name!r}"
+            )
+        existing = self._running.get(spec.name)
+        if existing is not None and (
+            existing.query is None or existing.query.isActive
+        ):
+            raise ValueError(f"pipeline {spec.name!r} is already running")
         df = build_source(self.spark, spec)
         paused = [int(p) for p in json.loads(spec.metadata.get("system.paused.partitions", "[]"))]
         # skip-on-error dead-lettering (EventProducer.java:320-336 parity):

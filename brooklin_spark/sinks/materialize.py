@@ -44,11 +44,24 @@ def current_version(root: str) -> int | None:
         return int(f.read().strip())
 
 
-def read_state(spark, root: str) -> DataFrame | None:
+def read_raw_state(spark, root: str) -> DataFrame | None:
+    """Stored state INCLUDING delete tombstones — the merge input. A
+    winning DELETE stays on disk as a tombstone so a lower-scn change for
+    the same key arriving in a LATER micro-batch (at-least-once
+    re-delivery, cross-partition scn skew) loses against it instead of
+    resurrecting the deleted row."""
     v = current_version(root)
     if v is None:
         return None
     return spark.read.parquet(os.path.join(root, f"v{v}"))
+
+
+def read_state(spark, root: str) -> DataFrame | None:
+    """Reader view of the state table: tombstones filtered out."""
+    raw = read_raw_state(spark, root)
+    if raw is None:
+        return None
+    return raw.filter(F.col("op_code") != "DELETE")
 
 
 def merge_batch(batch_df: DataFrame, root: str, spark=None) -> None:
@@ -65,12 +78,15 @@ def merge_batch(batch_df: DataFrame, root: str, spark=None) -> None:
         F.col("op_code").alias("op_code"),
         F.coalesce(F.col("scn"), F.col("offset")).alias("scn"),
     )
-    cur = read_state(spark, root)
+    cur = read_raw_state(spark, root)
     merged = cur.unionByName(upd) if cur is not None else upd
     w = W.partitionBy("k").orderBy(F.desc("scn"))
+    # highest scn wins; DELETE winners are RETAINED as tombstones (filtered
+    # only in read_state). Compaction after a retention horizon would drop
+    # tombstones older than the source's max re-delivery lag.
     new_state = (
         merged.withColumn("_rn", F.row_number().over(w))
-        .filter((F.col("_rn") == 1) & (F.col("op_code") != "DELETE"))
+        .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
     v = (current_version(root) or 0) + 1

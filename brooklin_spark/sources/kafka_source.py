@@ -52,8 +52,31 @@ def kafka_reader_options(spec: PipelineSpec) -> dict[str, str]:
     }
     start_pos = spec.metadata.get("system.start.position")
     if start_pos:
-        # {partition: offset} json → Kafka source startingOffsets json shape
+        # {partition: offset} json → Kafka source startingOffsets json shape.
+        # Spark's Kafka source asserts that EVERY TopicPartition is listed
+        # when specific offsets are given, while the reference allows a
+        # PARTIAL map with auto.offset.reset fallback for the rest
+        # (KafkaConnector.java:118-131). Bridge: fill unlisted partitions
+        # with the -2/-1 sentinels (earliest/latest per the configured
+        # reset policy) using the spec's declared partition count. Without
+        # source_partitions a partial map would fail on a real broker, so
+        # reject it eagerly with an actionable message.
         offsets = {str(p): int(o) for p, o in json.loads(start_pos).items()}
+        n_parts = spec.source_partitions or 0
+        if n_parts:
+            sentinel = -1 if opts["startingOffsets"] == "latest" else -2
+            for p in range(n_parts):
+                offsets.setdefault(str(p), sentinel)
+        elif len(offsets) > 0:
+            listed = sorted(int(p) for p in offsets)
+            if listed != list(range(len(listed))):
+                raise ValueError(
+                    "system.start.position lists a partial partition map "
+                    f"({listed}) but spec.source_partitions is unset; Spark's "
+                    "Kafka source requires offsets for ALL partitions — set "
+                    "source_partitions so the rest can be filled with "
+                    "earliest/latest sentinels"
+                )
         opts["startingOffsets"] = json.dumps({topic: offsets})
     # flow control (maxInFlightMessagesThreshold analog): bound per-trigger intake
     if "max.offsets.per.trigger" in spec.metadata:

@@ -48,11 +48,37 @@ def test_mirror_pattern_options():
 
 def test_start_position_json_shape():
     """{partition: offset} metadata → Kafka startingOffsets json
-    (KafkaConnector.java:118-131 parity)."""
+    (KafkaConnector.java:118-131 parity). A contiguous full map passes
+    through unchanged."""
     opts = kafka_reader_options(
-        _spec("kafka://h:9092/t", **{"system.start.position": '{"0": 23, "2": 7}'})
+        _spec("kafka://h:9092/t", **{"system.start.position": '{"0": 23, "1": 7}'})
     )
-    assert json.loads(opts["startingOffsets"]) == {"t": {"0": 23, "2": 7}}
+    assert json.loads(opts["startingOffsets"]) == {"t": {"0": 23, "1": 7}}
+
+
+def test_start_position_partial_map_filled_with_sentinels():
+    """The reference allows PARTIAL start-position maps with
+    auto.offset.reset fallback; Spark requires every partition listed —
+    unlisted partitions are filled with -2 (earliest) / -1 (latest)
+    sentinels from the spec's declared partition count (ADVICE r1 #4)."""
+    spec = _spec("kafka://h:9092/t", **{"system.start.position": '{"2": 7}'})
+    spec.source_partitions = 4
+    opts = kafka_reader_options(spec)
+    assert json.loads(opts["startingOffsets"]) == {
+        "t": {"0": -2, "1": -2, "2": 7, "3": -2}
+    }
+    spec.metadata["system.auto.offset.reset"] = "latest"
+    opts = kafka_reader_options(spec)
+    assert json.loads(opts["startingOffsets"]) == {
+        "t": {"0": -1, "1": -1, "2": 7, "3": -1}
+    }
+
+
+def test_start_position_partial_map_without_partition_count_rejected():
+    with pytest.raises(ValueError, match="partial partition map"):
+        kafka_reader_options(
+            _spec("kafka://h:9092/t", **{"system.start.position": '{"0": 23, "2": 7}'})
+        )
 
 
 def test_flow_control_options():

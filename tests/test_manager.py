@@ -92,17 +92,90 @@ def test_pause_resume_continues_from_checkpoint(spark, workdir, tmp_path):
 
 def test_dedup_by_source_reuses_query(spark, workdir, tmp_path):
     """Same (connector, source) → second spec joins the first group instead
-    of a second physical query (SourceBasedDeduper.java:142-163)."""
+    of a second physical query (SourceBasedDeduper.java:142-163); the
+    member is assigned the group's ACTUAL destination (the deduper reuses
+    the found datastream's destination)."""
     src = str(tmp_path / "in")
     _write_lines(src + "/a.txt", ["v"])
     mgr = PipelineManager(spark, workdir)
     mgr.create(_file_spec("d1", src))
-    mgr.create(_file_spec("d2", src))
+    d2 = _file_spec("d2", src)
+    d2.dest_uri = "memory://other-place"
+    mgr.create(d2)
     assert mgr.query_of("d2") is None
+    assert mgr.get("d2").dest_uri == mgr.get("d1").dest_uri  # dest reuse
     diag = {d["name"]: d for d in mgr.diagnostics()}
     assert diag["d1"]["group"] == ["d2"]
     assert diag["d2"]["active"] is False and diag["d2"]["status"] == "READY"
     mgr.delete("d1")
+    mgr.delete("d2")
+
+
+def test_dedup_group_leader_delete_promotes_member(spark, workdir, tmp_path):
+    """Deleting the group leader promotes a member: the shared physical
+    query keeps running under the new leader, no member is orphaned with an
+    empty checkpoint (ADVICE r1 #5)."""
+    src = str(tmp_path / "in")
+    _write_lines(src + "/a.txt", ["v1"])
+    mgr = PipelineManager(spark, workdir)
+    mgr.create(_file_spec("g1", src))
+    mgr.create(_file_spec("g2", src))
+    mgr.create(_file_spec("g3", src))
+    q = mgr.query_of("g1")
+    mgr.delete("g1")
+    # g2 promoted: owns the SAME query object; g3 still in its group
+    assert mgr.query_of("g2") is q and q.isActive
+    diag = {d["name"]: d for d in mgr.diagnostics()}
+    assert "g1" not in diag and diag["g2"]["group"] == ["g3"]
+    # the promoted query still consumes: new data flows to the shared dest
+    _write_lines(src + "/b.txt", ["v2"])
+    mgr.process_available("g2")
+    vals = sorted(
+        r.v for r in spark.sql("SELECT CAST(value AS STRING) v FROM g1").collect()
+    )
+    assert vals == ["v1", "v2"]
+    mgr.delete("g2")
+    mgr.delete("g3")
+
+
+def test_dedup_group_member_delete_removes_from_group(spark, workdir, tmp_path):
+    src = str(tmp_path / "in")
+    _write_lines(src + "/a.txt", ["v"])
+    mgr = PipelineManager(spark, workdir)
+    mgr.create(_file_spec("m1", src))
+    mgr.create(_file_spec("m2", src))
+    mgr.delete("m2")  # member delete must not leave a stale group entry
+    diag = {d["name"]: d for d in mgr.diagnostics()}
+    assert diag["m1"]["group"] == []
+    assert mgr.query_of("m1").isActive
+    mgr.delete("m1")
+
+
+def test_resume_on_ready_pipeline_rejected_without_side_effects(
+    spark, workdir, tmp_path
+):
+    """resume() on an already-READY bounded pipeline must raise BEFORE any
+    side effect — no duplicate bootstrap write (ADVICE r1 #3)."""
+    import pytest as _pytest
+
+    src = str(tmp_path / "in")
+    _write_lines(src + "/a.txt", ["x1", "x2"])
+    mgr = PipelineManager(spark, workdir)
+    spec = PipelineSpec(
+        name="bounded",
+        connector="parquet",
+        transport="memory",
+        source_uri=f"file://{src}",
+        metadata={"memory.table": "bounded"},
+    )
+    spec.connector = "file"
+    mgr.create(spec)
+    mgr.process_available("bounded")
+    n0 = spark.sql("SELECT * FROM bounded").count()
+    with _pytest.raises(ValueError, match="already running|illegal transition"):
+        mgr.resume("bounded")
+    assert spark.sql("SELECT * FROM bounded").count() == n0  # nothing re-written
+    mgr.delete("bounded")
 
 
 def test_duplicate_name_rejected(spark, workdir, tmp_path):

@@ -52,6 +52,29 @@ def test_merge_batches_upsert_and_delete(spark, tmp_path):
     assert current_version(root) == 2
 
 
+def test_delete_tombstone_survives_late_redelivery(spark, tmp_path):
+    """A winning DELETE must persist as a tombstone across batches: a
+    lower-scn change for that key arriving in a LATER micro-batch
+    (at-least-once re-delivery / cross-partition scn skew) may not
+    resurrect the deleted row (ADVICE r1 #2)."""
+    root = str(tmp_path / "state")
+    os.makedirs(root)
+    merge_batch(
+        _envelope_rows(spark, [("a", "v1", "INSERT", 1), ("b", "v1", "INSERT", 2)]),
+        root, spark,
+    )
+    merge_batch(_envelope_rows(spark, [("b", None, "DELETE", 20)]), root, spark)
+    assert {r.k for r in read_state(spark, root).collect()} == {"a"}
+    # late re-delivery of an OLD update for b in a later batch
+    merge_batch(_envelope_rows(spark, [("b", "stale", "UPDATE", 5)]), root, spark)
+    st = {r.k: r.value for r in read_state(spark, root).collect()}
+    assert st == {"a": b"v1"}, "deleted key must stay deleted"
+    # a genuinely NEWER insert for b revives the key past the tombstone
+    merge_batch(_envelope_rows(spark, [("b", "reborn", "INSERT", 30)]), root, spark)
+    st = {r.k: r.value for r in read_state(spark, root).collect()}
+    assert st == {"a": b"v1", "b": b"reborn"}
+
+
 def test_bootstrap_events_materialize_matches_batch_query(spark, tmp_path, sf_smoke):
     """Pipeline: parquet events bootstrap → materialize transport; final
     state table == the oracle-checked cdc_apply_upserts query."""

@@ -18,6 +18,31 @@ def test_frame_bytes_golden(spark):
     assert len(bytes(out)) == serde.FRAME_PREFIX_LEN + len(b"payload-bytes")
 
 
+def test_frame_bytes_golden_registry_hex_id(spark):
+    """Registry ids are hex(md5(schema)); the reference layout
+    (AvroMessageEncoderUtil.encode: MAGIC + hexToMd5(schemaId) + payload)
+    embeds the hex-DECODED id bytes. Frames must be byte-compatible with a
+    reference-produced message and the digest must round-trip to the id."""
+    schema_json = '{"type":"record","name":"E","fields":[]}'
+    schema_id = hashlib.md5(schema_json.encode()).hexdigest()  # registry id
+    reference_frame = b"\x00" + bytes.fromhex(schema_id) + b"body"
+
+    df = spark.createDataFrame([(b"body",)], "v binary")
+    out = df.select(serde.frame(F.col("v"), schema_id).alias("f")).first().f
+    assert bytes(out) == reference_frame
+
+    digest = (
+        spark.createDataFrame([(reference_frame,)], "f binary")
+        .select(serde.frame_schema_md5(F.col("f")).alias("d"))
+        .first()
+        .d
+    )
+    assert digest == schema_id  # registry lookup key matches the id
+    # free-form (non-hex) ids still hash; uppercase hex ids decode too
+    assert serde.schema_digest("not-a-hex-id") == hashlib.md5(b"not-a-hex-id").digest()
+    assert serde.schema_digest(schema_id.upper()) == bytes.fromhex(schema_id)
+
+
 def test_unframe_roundtrip(spark):
     df = spark.createDataFrame([(b"abc",), (b"",)], "v binary")
     framed = df.select(serde.frame(F.col("v"), "s1").alias("f"), "v")
