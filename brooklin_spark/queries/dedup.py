@@ -76,29 +76,25 @@ def dedup_exact_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     # checkpointed arrays feed pair-gen (exploded) and the size lookup.
-    # Shingles group-key by xxhash64 (codegen, 8-byte shuffle keys instead
-    # of 3-word strings — measured ~1.5s faster at sf0.1; a 64-bit
-    # collision inside one doc pair is the accepted ~1e-10 risk, standard
-    # for shingle tables at scale)
-    arr = D.shingle_arrays(docs, n=3).localCheckpoint()
-    sh = arr.select("id", F.explode("shingles").alias("shingle")).select(
-        "id", F.xxhash64("shingle").alias("shingle")
-    )
-    common = D.pair_common_counts(sh)
-    sizes = arr.select("id", F.size("shingles").alias("n_sh"))
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb"))
-    jac = F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
-    return (
-        common.join(sa, "id_a")
-        .join(sb, "id_b")
+    # Shingling via the Arrow-batched pandas kernel (HOFs are interpreted —
+    # measured 3x). Shingles group-key by xxhash64 (codegen, 8-byte shuffle
+    # keys instead of 3-word strings — measured ~1.5s faster at sf0.1; a
+    # 64-bit collision inside one doc pair is the accepted ~1e-10 risk,
+    # standard for shingle tables at scale)
+    sh = (
+        D.shingle_arrays_pandas(docs, n=3)
         .select(
-            F.col("id_a").alias("doc_a"),
-            F.col("id_b").alias("doc_b"),
-            jac.alias("jaccard"),
+            "id",
+            F.size("shingles").alias("n"),
+            F.explode("shingles").alias("s"),
         )
-        .filter(F.col("jaccard") >= 0.7)
+        .select("id", "n", F.xxhash64("s").alias("shingle"))
+        # checkpoint: Spark never reuses exchanges across pandas-UDF
+        # subtrees, so without it BOTH self-join sides re-run the shingle
+        # UDF; 260k skinny rows is a cheap materialization
+        .localCheckpoint()
     )
+    return D.jaccard_pairs_selfjoin(sh, threshold=0.7)
 
 
 # ---------------------------------------------------------------------------
@@ -139,13 +135,17 @@ _MH, _BANDS, _ROWS = 16, 4, 4
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     # measured fastest combination (see operators/dedup.py scale notes):
-    # checkpointed shingle arrays (computed once, reused by sig + verify),
-    # signatures via codegen'd md5 + one groupBy shuffle (beats the
-    # interpreted map-side HOF variant locally), candidates from banding,
+    # checkpointed shingle arrays (computed once, reused by sig + both
+    # verify sides; per-call localCheckpoint, NOT persist() — persist
+    # registers with the CacheManager and would silently serve later calls
+    # from cache; at real scale materialize to a table instead, SCALING.md),
+    # signatures via the zero-shuffle Arrow kernel (same KM hash family as
+    # the groupBy variant, bit-identical), sig checkpointed too because the
+    # band self-join would otherwise re-run the UDF on both sides (no
+    # exchange reuse across pandas-UDF subtrees), candidates from banding,
     # then per-pair array-intersect verify — work is O(candidates)
-    arr = D.shingle_arrays(docs, n=3).localCheckpoint()
-    sh = arr.select("id", F.explode("shingles").alias("shingle"))
-    sig = D.minhash_signature_km(sh, num_hashes=_MH).localCheckpoint()
+    arr = D.shingle_arrays_pandas(docs, n=3).localCheckpoint()
+    sig = D.minhash_signature_pandas(arr, num_hashes=_MH).localCheckpoint()
     cand = D.lsh_candidate_pairs(sig, bands=_BANDS, rows_per_band=_ROWS)
     return D.jaccard_verify(arr, cand, threshold=0.7)
 
@@ -197,21 +197,17 @@ _BITS, _SH_BANDS, _MAX_D = 32, 4, 3
 )
 def dedup_canonical_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    arr = D.shingle_arrays(docs, n=3).localCheckpoint()
-    sh = arr.select("id", F.explode("shingles").alias("shingle")).select(
-        "id", F.xxhash64("shingle").alias("shingle")
+    sh = (
+        D.shingle_arrays_pandas(docs, n=3)
+        .select(
+            "id",
+            F.size("shingles").alias("n"),
+            F.explode("shingles").alias("s"),
+        )
+        .select("id", "n", F.xxhash64("s").alias("shingle"))
+        .localCheckpoint()  # see dedup_ngram_jaccard: UDF would run twice
     )
-    common = D.pair_common_counts(sh)
-    sizes = arr.select("id", F.size("shingles").alias("n_sh"))
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb"))
-    jac = F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
-    pairs = (
-        common.join(sa, "id_a")
-        .join(sb, "id_b")
-        .filter(jac >= 0.7)
-        .select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
-    )
+    pairs = D.jaccard_pairs_selfjoin(sh, threshold=0.7).select("doc_a", "doc_b")
     comps = D.connected_components(pairs)
     return comps.select(
         F.col("id").alias("doc_id"),
@@ -241,10 +237,13 @@ def dedup_canonical_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    # integer signatures: banding = shift+mask, hamming = bit_count(xor) —
-    # no string slicing; checkpoint because the sig feeds three consumers
-    # in the banding/verify joins (recompute otherwise)
-    arr = D.shingle_arrays(docs, n=3)
-    sh = arr.select("id", F.explode("shingles").alias("shingle"))
-    sig = D.simhash_signature_int(sh, bits=_BITS).localCheckpoint()
-    return D.banded_hamming_pairs_int(sig, bits=_BITS, bands=_SH_BANDS, max_distance=_MAX_D)
+    # integer signatures from the zero-shuffle Arrow kernel (bit-identical
+    # to the groupBy variant), then ONE band join with inline
+    # bit_count(xor) verify. The sig is checkpointed because Spark never
+    # reuses exchanges across pandas-UDF subtrees (measured: without it
+    # both self-join sides re-run the whole UDF chain — 4 ArrowEvalPython
+    # nodes, 0 ReusedExchange; with it the band join is ~0.3s). 8 bytes ×
+    # n_docs, the cheapest possible materialization point.
+    arr = D.shingle_arrays_pandas(docs, n=3)
+    sig = D.simhash_signature_int_pandas(arr, bits=_BITS).localCheckpoint()
+    return D.simhash_pairs_onepass(sig, bits=_BITS, bands=_SH_BANDS, max_distance=_MAX_D)
