@@ -8,14 +8,19 @@ Reference parity:
   {key, value, envelope} serde set; here a small registry of column-level
   encode/decode builders.
 
-Avro body decode uses spark-avro's from_avro/to_avro when the jar is on the
-classpath (gated — not bundled in this container); the JSON serde is the
-always-available path and shares the same framing.
+Avro body (de)serialization uses spark-avro's from_avro/to_avro when the
+'avro' data source is registered; otherwise the engine's pure-Python binary
+codec (functions/avro_codec.py, cross-checked byte-for-byte against the JVM
+org.apache.avro implementation) runs in Arrow-batched pandas UDFs — Avro is
+fully functional either way. The JSON serde shares the same framing.
 """
 
 from __future__ import annotations
 
 import hashlib
+import json as _json
+
+import pandas as pd
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -91,34 +96,160 @@ def json_deserialize(payload: Column, schema: str) -> Column:
 
 
 def avro_available() -> bool:
+    """True iff spark-avro's JVM side is actually usable. The Python
+    module pyspark.sql.avro.functions always imports — from_avro fails at
+    ANALYSIS time without the jar — so probe the classpath for the jar's
+    classes instead."""
     try:
-        from pyspark.sql.avro.functions import from_avro  # noqa: F401
+        from pyspark.sql import SparkSession
 
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            return False
+        # the exact lookup from_avro/to_avro analysis performs: resolves
+        # the registered 'avro' data source or throws FAILED_TO_FIND_...
+        spark._jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(  # noqa: SLF001
+            "avro", spark._jsparkSession.sessionState().conf()  # noqa: SLF001
+        )
         return True
-    except ImportError:
+    except Exception:
         return False
 
 
-def avro_deserialize(payload: Column, avro_schema_json: str) -> Column:
-    """Avro bytes -> struct via spark-avro (registry framing already
-    stripped by unframe()). Requires org.apache.spark:spark-avro on the
-    classpath; raises a clear error otherwise."""
-    try:
+def avro_deserialize(payload: Column, avro_schema_json: str, ddl: str | None = None) -> Column:
+    """Avro bytes -> struct (registry framing already stripped by
+    unframe()). Uses spark-avro's from_avro when the jar is on the
+    classpath; otherwise decodes with the engine's pure-Python binary
+    codec (functions/avro_codec.py) in an Arrow-batched pandas UDF —
+    ``ddl`` (the struct DDL matching the record schema) is required for
+    that path so the output type is known without the jar."""
+    if avro_available():
         from pyspark.sql.avro.functions import from_avro
-    except ImportError as e:  # pragma: no cover - environment-dependent
-        raise RuntimeError(
-            "avro serde requires the spark-avro package "
-            "(org.apache.spark:spark-avro_2.13 via spark.jars.packages)"
-        ) from e
-    return from_avro(payload, avro_schema_json)
+
+        return from_avro(payload, avro_schema_json)
+    if ddl is None:
+        raise ValueError(
+            "spark-avro jar absent: avro_deserialize needs the struct `ddl` "
+            "for the pure-Python decode path"
+        )
+    from pyspark.sql.functions import pandas_udf
+
+    from brooklin_spark.functions import avro_codec
+
+    schema = _json.loads(avro_schema_json)
+    field_names = [f["name"] for f in schema["fields"]]
+
+    @pandas_udf(ddl)
+    def _dec(payloads: pd.Series) -> pd.DataFrame:
+        rows = []
+        for p in payloads:
+            if p is None:
+                rows.append({n: None for n in field_names})
+            else:
+                rows.append(avro_codec.decode(schema, bytes(p)))
+        return pd.DataFrame(rows, columns=field_names)
+
+    return _dec(payload)
 
 
-def avro_serialize(struct: Column) -> Column:
-    try:
+def avro_serialize(struct: Column, avro_schema_json: str | None = None) -> Column:
+    """struct -> Avro bytes. spark-avro's to_avro when present, else the
+    pure-Python codec (needs ``avro_schema_json`` for the record layout)."""
+    if avro_available():
         from pyspark.sql.avro.functions import to_avro
-    except ImportError as e:  # pragma: no cover - environment-dependent
-        raise RuntimeError(
-            "avro serde requires the spark-avro package "
-            "(org.apache.spark:spark-avro_2.13 via spark.jars.packages)"
-        ) from e
-    return to_avro(struct)
+
+        return to_avro(struct)
+    if avro_schema_json is None:
+        raise ValueError(
+            "spark-avro jar absent: avro_serialize needs `avro_schema_json` "
+            "for the pure-Python encode path"
+        )
+    from pyspark.sql.functions import pandas_udf
+
+    from brooklin_spark.functions import avro_codec
+
+    schema = _json.loads(avro_schema_json)
+
+    @pandas_udf("binary")
+    def _enc(structs: pd.DataFrame) -> pd.Series:
+        # a struct column crosses Arrow as a pd.DataFrame of its fields
+        return pd.Series(
+            [avro_codec.encode(schema, rec) for rec in structs.to_dict("records")]
+        )
+
+    return _enc(struct)
+
+
+# ----------------------------------------------------------- envelope serde
+
+#: the reference's wire record, field-for-field (DatastreamEvent.avsc:1-38):
+#: free-form string metadata + byte-opaque key/payload/previous_payload —
+#: all REQUIRED (the avsc declares plain map/bytes, not unions), so absent
+#: values travel as empty bytes like the reference's serialized events
+DATASTREAM_EVENT_AVRO = _json.dumps(
+    {
+        "name": "DatastreamEvent",
+        "namespace": "com.linkedin.datastream.common",
+        "type": "record",
+        "fields": [
+            {"name": "metadata", "type": {"type": "map", "values": "string"}},
+            {"name": "key", "type": "bytes"},
+            {"name": "payload", "type": "bytes"},
+            {"name": "previous_payload", "type": "bytes"},
+        ],
+    }
+)
+DATASTREAM_EVENT_DDL = (
+    "metadata map<string,string>, key binary, payload binary, "
+    "previous_payload binary"
+)
+
+
+def envelope_event_struct(df) -> Column:
+    """Envelope frame -> DatastreamEvent struct: CDC columns fold back into
+    the metadata map (BrooklinEnvelopeMetadataConstants.java:19-45 keys),
+    byte columns map 1:1 (DatastreamProducerRecord.serializeEvents
+    prepares exactly this record before the SerDe runs)."""
+    meta = F.map_concat(
+        F.coalesce(F.col("metadata"), F.create_map().cast("map<string,string>")),
+        F.map_from_arrays(
+            F.array(F.lit("OpCode"), F.lit("Scn"), F.lit("SourcePartition")),
+            F.array(
+                F.coalesce(F.col("op_code"), F.lit("")),
+                F.coalesce(F.col("scn").cast("string"), F.lit("")),
+                F.col("partition").cast("string"),
+            ),
+        ),
+    )
+    empty = F.lit(b"")
+    return F.struct(
+        meta.alias("metadata"),
+        F.coalesce(F.col("key"), empty).alias("key"),
+        F.coalesce(F.col("value"), empty).alias("payload"),
+        F.coalesce(F.col("previous_value"), empty).alias("previous_payload"),
+    )
+
+
+def apply_envelope_serde(df, spec):
+    """Apply the spec's envelope serde before the transport (the
+    DatastreamProducerRecord.serializeEvents step,
+    DatastreamProducerRecord.java:73-88): the envelope serializes into the
+    ``value`` byte column as a registry-framed message; routing columns
+    (topic/partition/key/offset) stay native for the sink."""
+    name = getattr(spec, "envelope_serde", None)
+    if not name:
+        return df
+    schema_id = spec.metadata.get("serde.schema.id", "") if spec.metadata else ""
+    ev = envelope_event_struct(df)
+    if name == "json":
+        body = json_serialize(ev)
+        sid = schema_id or "datastream-event-json-v1"
+    elif name == "avro":
+        avro_schema = (
+            spec.metadata.get("serde.avro.schema") if spec.metadata else None
+        ) or DATASTREAM_EVENT_AVRO
+        body = avro_serialize(ev, avro_schema)
+        sid = schema_id or hashlib.md5(avro_schema.encode()).hexdigest()
+    else:
+        raise ValueError(f"unknown envelope serde {name!r}")
+    return df.withColumn("value", frame(body, sid))

@@ -42,6 +42,7 @@ def load_all() -> None:
         multimodal,
         pandas_udfs,
         relational,
+        serde_queries,
         similarity,
         streaming,
         text,

@@ -28,11 +28,23 @@ def sink(name: str) -> Callable[[SinkBuilder], SinkBuilder]:
     return deco
 
 
+def _serde_applied(df: DataFrame, spec: PipelineSpec) -> DataFrame:
+    """Serialize the envelope into `value` when the spec declares an
+    envelope serde (DatastreamProducerRecord.java:73-88 — serdes run at
+    send time, per destination). The materialize transport consumes raw
+    CDC values (it IS the deserializing consumer), so it skips serdes."""
+    if spec.transport == "materialize":
+        return df
+    from brooklin_spark.functions.serde import apply_envelope_serde
+
+    return apply_envelope_serde(df, spec)
+
+
 def build_writer(df: DataFrame, spec: PipelineSpec) -> DataStreamWriter:
     """Streaming writer for the spec's transport."""
     if spec.transport not in SINKS:
         raise ValueError(f"no sink builder for transport {spec.transport!r}")
-    return SINKS[spec.transport](df, spec)
+    return SINKS[spec.transport](_serde_applied(df, spec), spec)
 
 
 def write_batch(df: DataFrame, spec: PipelineSpec, spark=None) -> None:
@@ -40,6 +52,7 @@ def write_batch(df: DataFrame, spec: PipelineSpec, spark=None) -> None:
     spec's transport (the same destinations, batch API). ``spark`` pins the
     session used for memory-table view registration when df comes from a
     foreachBatch clone."""
+    df = _serde_applied(df, spec)
     t = spec.transport
     if t == "memory":
         _memory_append(spec.metadata.get("memory.table", spec.name), df, spark)

