@@ -52,6 +52,9 @@ class PipelineManager:
         os.makedirs(self.catalog_dir, exist_ok=True)
         os.makedirs(self.checkpoint_root, exist_ok=True)
         self._running: dict[str, _Running] = {}
+        # consecutive send-failure counts per (pipeline, partition) — the
+        # auto-pause trigger state (in-memory like the reference's task)
+        self._send_failures: dict[tuple[str, int], int] = {}
 
     # ------------------------------------------------------------------ CRUD
     def create(self, spec: PipelineSpec, start: bool = True) -> PipelineSpec:
@@ -79,7 +82,18 @@ class PipelineManager:
         self._persist(spec)
         self._provision_destination(spec)
         if start:
-            self._start(spec)
+            try:
+                self._start(spec)
+            except Exception:
+                # reject the datastream like the reference's create-path
+                # validation (DatastreamResources.java:904 → 4xx, nothing
+                # stored) — a connector that fails to build must not leave
+                # a half-created INITIALIZING spec in the catalog
+                try:
+                    os.remove(self._spec_path(spec.name))
+                except FileNotFoundError:
+                    pass
+                raise
         return spec
 
     def get(self, name: str) -> PipelineSpec:
@@ -193,6 +207,88 @@ class PipelineManager:
         spec = self.get(name)
         return list(json.loads(spec.metadata.get("system.paused.partitions", "[]")))
 
+    # ----------------------------------------------- auto-pause / auto-resume
+    def _auto_pause_conf(self, spec: PipelineSpec) -> dict | None:
+        """Auto-pause-on-send-error config (KafkaBasedConnectorConfig.java:33,50:
+        pauseErrorPartitionDurationMs, default 10 min; the reference pauses
+        on the first send error — AbstractKafkaBasedConnectorTask.java:326)."""
+        if spec.metadata.get("system.auto.pause.on.error", "false") != "true":
+            return None
+        return {
+            "threshold": int(spec.metadata.get("system.auto.pause.error.threshold", "1")),
+            "duration_ms": int(
+                spec.metadata.get("system.auto.pause.duration.ms", "600000")
+            ),
+        }
+
+    def auto_paused_partitions(self, name: str) -> dict[int, float]:
+        """partition -> resume-at epoch-millis (the PausedSourcePartition
+        Metadata.sendError state, PausedSourcePartitionMetadata.java:28-33,81)."""
+        spec = self.get(name)
+        raw = json.loads(spec.metadata.get("system.auto.paused.partitions", "{}"))
+        return {int(k): float(v) for k, v in raw.items()}
+
+    def _set_auto_paused(self, name: str, auto: dict[int, float]) -> None:
+        spec = self.get(name)
+        spec.metadata["system.auto.paused.partitions"] = json.dumps(
+            {str(k): v for k, v in sorted(auto.items())}
+        )
+        self._persist(spec)
+
+    def poll_auto_resume(self, name: str) -> list[int]:
+        """Re-admit auto-paused partitions whose pause duration elapsed and
+        re-deliver their held rows (the shouldResume check the reference
+        runs in its poll loop, PausedSourcePartitionMetadata.java:55-60).
+        Returns the partitions resumed. Also called at every micro-batch."""
+        import time as _time
+
+        auto = self.auto_paused_partitions(name)
+        now_ms = _time.time() * 1000
+        expired = sorted(p for p, t in auto.items() if t <= now_ms)
+        if not expired:
+            return []
+        for p in expired:
+            auto.pop(p)
+        spec = self.get(name)
+        still = sorted(
+            set(auto) | set(json.loads(spec.metadata.get("system.paused.partitions", "[]")))
+        )
+        self._flush_holding(spec, still_paused=still)
+        self._set_auto_paused(name, auto)
+        return expired
+
+    def _deliver_with_auto_pause(
+        self, spec: PipelineSpec, rest, conf: dict, hd: str
+    ) -> None:
+        """Deliver per partition; a failing partition's rows divert to the
+        durable holding pen (no loss) and the partition auto-pauses with a
+        resume-at timestamp once its consecutive failures hit the threshold."""
+        import time as _time
+
+        from pyspark.sql import functions as F
+
+        self.poll_auto_resume(spec.name)
+        auto = self.auto_paused_partitions(spec.name)
+        if auto:
+            held = rest.filter(F.col("partition").isin(sorted(auto)))
+            held.write.mode("append").parquet(hd)
+            rest = rest.filter(~F.col("partition").isin(sorted(auto)))
+        parts = sorted(r.partition for r in rest.select("partition").distinct().collect())
+        for p in parts:
+            slice_df = rest.filter(F.col("partition") == p)
+            try:
+                write_batch(slice_df, spec, self.spark)
+                self._send_failures.pop((spec.name, p), None)
+            except Exception:
+                n = self._send_failures.get((spec.name, p), 0) + 1
+                self._send_failures[(spec.name, p)] = n
+                slice_df.write.mode("append").parquet(hd)  # held, not lost
+                if n >= conf["threshold"]:
+                    auto = self.auto_paused_partitions(spec.name)
+                    auto[p] = _time.time() * 1000 + conf["duration_ms"]
+                    self._set_auto_paused(spec.name, auto)
+                    self._send_failures.pop((spec.name, p), None)
+
     def _restart(self, spec: PipelineSpec) -> None:
         """Stop the running query (if any) and rebuild it from the same
         checkpoint; status is unchanged (READY stays READY)."""
@@ -300,6 +396,17 @@ class PipelineManager:
         if q is not None:
             q.processAllAvailable()
 
+    def poll(self, name: str) -> None:
+        """Drive one poll of a snapshot-diff connector (dirwatch) through
+        the transport — the Spark-side analog of the reference's watcher
+        thread iteration (DirectoryChangeProcessor.java:89-140): diff the
+        source, send the change batch, advance the snapshot state."""
+        spec = self.get(name)
+        df = build_source(self.spark, spec)
+        if df.isStreaming:
+            raise ValueError(f"poll() is for bounded/poll connectors, {name!r} streams")
+        write_batch(df, spec, self.spark)
+
     def diagnostics(self) -> list[dict]:
         """Scatter-gather health/progress across pipelines (the /diag
         analog, DiagnosticsAware process/reduce — SURVEY.md §3.3)."""
@@ -383,11 +490,13 @@ class PipelineManager:
         # side store instead of poisoning the pipeline; count surfaces in
         # diagnostics (the reference's skip counter)
         dl_pred = spec.metadata.get("system.deadletter.predicate")
+        auto_conf = self._auto_pause_conf(spec)
         if df.isStreaming:
             ckpt = os.path.join(self.checkpoint_root, spec.name)
-            if paused or dl_pred:
+            if paused or dl_pred or auto_conf:
                 # composed splitting sink: paused rows → holding pen,
-                # invalid rows → dead-letter store, rest → transport
+                # invalid rows → dead-letter store, auto-pause on send
+                # error, rest → transport
                 from pyspark.sql import functions as F
 
                 hd = self._holding_dir(spec.name)
@@ -395,20 +504,25 @@ class PipelineManager:
 
                 def split(
                     batch_df, _epoch, _spec=spec, _paused=paused, _hd=hd,
-                    _pred=dl_pred, _dl=dl, _spark=self.spark,
+                    _pred=dl_pred, _dl=dl, _spark=self.spark, _auto=auto_conf,
                 ):
                     batch_df.persist()
-                    rest = batch_df
-                    if _paused:
-                        rest.filter(F.col("partition").isin(_paused)).write.mode(
-                            "append"
-                        ).parquet(_hd)
-                        rest = rest.filter(~F.col("partition").isin(_paused))
-                    if _pred:
-                        rest.filter(~F.expr(_pred)).write.mode("append").parquet(_dl)
-                        rest = rest.filter(F.expr(_pred))
-                    write_batch(rest, _spec, _spark)
-                    batch_df.unpersist()
+                    try:
+                        rest = batch_df
+                        if _paused:
+                            rest.filter(F.col("partition").isin(_paused)).write.mode(
+                                "append"
+                            ).parquet(_hd)
+                            rest = rest.filter(~F.col("partition").isin(_paused))
+                        if _pred:
+                            rest.filter(~F.expr(_pred)).write.mode("append").parquet(_dl)
+                            rest = rest.filter(F.expr(_pred))
+                        if _auto:
+                            self._deliver_with_auto_pause(_spec, rest, _auto, _hd)
+                        else:
+                            write_batch(rest, _spec, _spark)
+                    finally:
+                        batch_df.unpersist()
 
                 writer = df.writeStream.foreachBatch(split).outputMode("append")
             else:

@@ -99,8 +99,14 @@ CHECKPOINT_FORMAT = "{partition}-{offset}"
 
 _URI_RE = re.compile(r"^(?P<scheme>[a-z][a-z0-9+._-]*)://(?P<rest>.+)$", re.I)
 
-KNOWN_CONNECTORS = {"kafka", "kafkaMirror", "file", "directory", "rate", "parquet", "jdbc"}
-KNOWN_TRANSPORTS = {"kafka", "file", "parquet", "memory", "console", "noop", "materialize"}
+KNOWN_CONNECTORS = {
+    "kafka", "kafkaMirror", "file", "directory", "dirwatch", "rate", "parquet",
+    "jdbc", "dummy", "broken",
+}
+KNOWN_TRANSPORTS = {
+    "kafka", "file", "parquet", "memory", "console", "noop", "materialize",
+    "directory", "broken",
+}
 
 
 @dataclass

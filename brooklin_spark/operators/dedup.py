@@ -629,6 +629,95 @@ def simhash_pairs_onepass(
     )
 
 
+def connected_components_star(
+    pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b", max_iter: int = 50
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) -> (id, comp) with comp = min id of the component. Same API
+    and output as connected_components (min-label propagation); swap in
+    for graphs with DEEP components: convergence is O(log² n) rounds in
+    the worst case instead of O(diameter), and each round's shuffle is
+    keyed on node id with per-node fan-in (no frontier growth).
+
+    large-star: every neighbor v > u re-links to min(Γ(u) ∪ {u});
+    small-star: every neighbor v <= u re-links to that minimum. The edge
+    set converges to stars centered at component minima.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        edges.select(F.col("u").alias("id"))
+        .union(edges.select(F.col("v").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def fingerprint(e: DataFrame) -> tuple[int, int]:
+        row = e.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.sum(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
+        ).first()
+        return row.n, row.h
+
+    def canon(e: DataFrame) -> DataFrame:
+        # unordered pair -> (u, v) with u > v, no self loops, distinct
+        return (
+            e.select(
+                F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    edges = canon(edges).localCheckpoint()
+    prev_fp = fingerprint(edges)
+    for _ in range(max_iter):
+        sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        # large-star
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least("u", "mv").alias("m"))
+        )
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        kept = sym.filter(F.col("v") <= F.col("u"))
+        edges = canon(large.union(kept)).localCheckpoint()
+        # small-star
+        sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        smallnb = sym.filter(F.col("v") <= F.col("u"))
+        mins2 = smallnb.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            smallnb.join(mins2, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(mins2.select(F.col("u").alias("u"), F.col("m").alias("v")))
+        )
+        kept2 = sym.filter(F.col("v") > F.col("u")).select(
+            F.col("v").alias("u"), F.col("u").alias("v")
+        )
+        edges = canon(small.union(kept2)).localCheckpoint()
+        fp = fingerprint(edges)
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+    # converged stars: every non-center node u links to its center v=min
+    centers = edges.groupBy("u").agg(F.min("v").alias("comp")).select(
+        F.col("u").alias("id"), "comp"
+    )
+    return (
+        nodes.join(centers, "id", "left")
+        .select("id", F.coalesce(F.col("comp"), F.col("id")).alias("comp"))
+    )
+
+
 def simhash_signature_int(shingles: DataFrame, bits: int = 32) -> DataFrame:
     """SimHash as a BIGINT signature: bit b (MSB-first) set iff the majority
     of the doc's shingles votes odd on md5 hex digit b. Integer signatures

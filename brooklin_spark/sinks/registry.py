@@ -31,9 +31,10 @@ def sink(name: str) -> Callable[[SinkBuilder], SinkBuilder]:
 def _serde_applied(df: DataFrame, spec: PipelineSpec) -> DataFrame:
     """Serialize the envelope into `value` when the spec declares an
     envelope serde (DatastreamProducerRecord.java:73-88 — serdes run at
-    send time, per destination). The materialize transport consumes raw
-    CDC values (it IS the deserializing consumer), so it skips serdes."""
-    if spec.transport == "materialize":
+    send time, per destination). The materialize and directory transports
+    consume raw values (they ARE the deserializing consumers), so they
+    skip serdes."""
+    if spec.transport in ("materialize", "directory"):
         return df
     from brooklin_spark.functions.serde import apply_envelope_serde
 
@@ -69,6 +70,10 @@ def write_batch(df: DataFrame, spec: PipelineSpec, spark=None) -> None:
         from brooklin_spark.sinks.materialize import _state_root, merge_batch
 
         merge_batch(df, _state_root(spec), spark)
+    elif t == "directory":
+        _directory_mirror(df, spec)
+    elif t == "broken":
+        _broken_send(df, spec, spark)
     elif t == "kafka":
         dest = (spec.dest_uri or "").removeprefix("kafka://")
         servers, _, topic = dest.partition("/")
@@ -169,6 +174,81 @@ def materialize_sink(df: DataFrame, spec: PipelineSpec) -> DataStreamWriter:
     spark = df.sparkSession
     return df.writeStream.foreachBatch(
         lambda batch_df, _epoch: merge_batch(batch_df, root, spark)
+    ).outputMode("append")
+
+
+# ---------------------------------------------------------------------------
+# Directory mirroring transport (DirectoryTransportProvider.java:48-98):
+# reflect ENTRY_CREATED / ENTRY_MODIFIED / ENTRY_DELETED change events into
+# the destination directory — copy on create, delete+copy on modify, delete
+# on delete. File ops run on the driver per micro-batch, like the
+# reference's send() (change batches are small by nature — they are
+# directory events, not data volume).
+# ---------------------------------------------------------------------------
+
+
+def _directory_mirror(df: DataFrame, spec: PipelineSpec) -> None:
+    import os
+
+    dest = (spec.dest_uri or "").removeprefix("dir://").removeprefix("file://")
+    if not dest:
+        raise ValueError(f"directory sink needs dest_uri, got {spec.dest_uri!r}")
+    os.makedirs(dest, exist_ok=True)
+    for r in df.select("key", "value", "op_code").collect():
+        name = bytes(r.key or b"").decode()
+        if not name or os.sep in name:
+            continue  # defensive: only mirror flat names inside dest
+        target = os.path.join(dest, name)
+        if r.op_code == "DELETE":
+            try:
+                os.remove(target)
+            except FileNotFoundError:
+                pass  # reference logs 'did not exist' and moves on
+        else:  # INSERT = copy; UPDATE = delete+copy (same final state)
+            with open(target, "wb") as f:
+                f.write(bytes(r.value or b""))
+
+
+@sink("directory")
+def directory_sink(df: DataFrame, spec: PipelineSpec) -> DataStreamWriter:
+    return df.writeStream.foreachBatch(
+        lambda batch_df, _epoch: _directory_mirror(batch_df, spec)
+    ).outputMode("append")
+
+
+# ---------------------------------------------------------------------------
+# Broken transport (BrokenConnector.java test-fixture philosophy applied to
+# the send side): delivers to a memory table but raises on configured
+# partitions while the module-level switch is set — drives the auto-pause /
+# auto-resume paths in tests.
+# ---------------------------------------------------------------------------
+
+#: test switch: partitions whose sends fail (empty = healthy)
+BROKEN_FAIL_PARTITIONS: set[int] = set()
+
+
+def _broken_send(df: DataFrame, spec: PipelineSpec, spark=None) -> None:
+    if BROKEN_FAIL_PARTITIONS:
+        bad = df.filter(
+            F.col("partition").isin(sorted(BROKEN_FAIL_PARTITIONS))
+        ).count()
+        if bad:
+            raise RuntimeError(
+                f"broken transport: simulated send error ({bad} rows)"
+            )
+    _memory_append(spec.metadata.get("memory.table", spec.name), df, spark)
+
+
+@sink("broken")
+def broken_sink(df: DataFrame, spec: PipelineSpec) -> DataStreamWriter:
+    spark = df.sparkSession
+    name = spec.metadata.get("memory.table", spec.name)
+    if name not in _MEMORY_ROWS:  # queryable-before-first-delivery, like memory
+        _MEMORY_ROWS[name] = []
+        _MEMORY_SCHEMA[name] = df.schema
+        spark.createDataFrame([], df.schema).createOrReplaceTempView(name)
+    return df.writeStream.foreachBatch(
+        lambda batch_df, _epoch: _broken_send(batch_df, spec, spark)
     ).outputMode("append")
 
 

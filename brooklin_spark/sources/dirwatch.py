@@ -1,0 +1,114 @@
+"""Directory-watch CHANGE source: emits ENTRY_CREATED / ENTRY_MODIFIED /
+ENTRY_DELETED events for a watched directory.
+
+Reference parity: DirectoryChangeProcessor (datastream-directory/.../
+DirectoryChangeProcessor.java:42,89-140) watches a directory with a
+WatchService and emits (path, DirectoryEvent) records; paired with
+DirectoryTransportProvider (DirectoryTransportProvider.java:48-66) the
+pipeline MIRRORS the directory — copy on create/modify, delete on delete.
+Like the reference, the initial contents are NOT replayed: the first
+build snapshots the directory as the starting state and emits nothing.
+
+Spark's file source cannot observe deletions (it only lists new files), so
+this connector is snapshot-diff based: each build_source() call lists the
+directory, diffs against the persisted snapshot (a JSON state file — the
+WatchService-registration analog), emits one envelope per change, and
+advances the snapshot. Drive it with PipelineManager.poll(). The listing
+runs on the driver (like the reference's single watcher thread); the
+resulting change batch is a normal envelope DataFrame, so everything
+downstream (serdes, routing, transports) is shared.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from brooklin_spark.model import ENVELOPE_SCHEMA, PipelineSpec
+from brooklin_spark.sources.registry import source
+
+#: DirectoryChangeProcessor.DirectoryEvent names, mapped to CDC op-codes
+_EVENT_OPS = {
+    "ENTRY_CREATED": "INSERT",
+    "ENTRY_MODIFIED": "UPDATE",
+    "ENTRY_DELETED": "DELETE",
+}
+
+
+def _state_path(spec: PipelineSpec) -> str:
+    p = spec.metadata.get("dirwatch.state.path")
+    if not p:
+        raise ValueError(
+            "dirwatch connector needs metadata['dirwatch.state.path'] "
+            "(snapshot file location outside the watched directory)"
+        )
+    return p
+
+
+def _snapshot(root: str) -> dict[str, float]:
+    out = {}
+    for name in sorted(os.listdir(root)):
+        full = os.path.join(root, name)
+        if os.path.isfile(full):
+            out[name] = os.path.getmtime(full)
+    return out
+
+
+@source("dirwatch")
+def dirwatch_source(spark: SparkSession, spec: PipelineSpec) -> DataFrame:
+    """dir://<path> → bounded batch of change envelopes since last poll."""
+    root = spec.source_uri.removeprefix("dir://").removeprefix("file://")
+    state_path = _state_path(spec)
+    prev: dict[str, float] | None = None
+    if os.path.exists(state_path):
+        with open(state_path) as f:
+            prev = json.load(f)
+    cur = _snapshot(root)
+
+    changes: list[tuple[str, str]] = []  # (filename, DirectoryEvent)
+    if prev is None:
+        # first registration: initial contents are NOT replayed
+        changes = []
+    else:
+        for name in cur:
+            if name not in prev:
+                changes.append((name, "ENTRY_CREATED"))
+            elif cur[name] != prev[name]:
+                changes.append((name, "ENTRY_MODIFIED"))
+        for name in prev:
+            if name not in cur:
+                changes.append((name, "ENTRY_DELETED"))
+
+    tmp = state_path + ".tmp"
+    os.makedirs(os.path.dirname(state_path) or ".", exist_ok=True)
+    with open(tmp, "w") as f:
+        json.dump(cur, f)
+    os.replace(tmp, state_path)
+
+    topic = spec.metadata.get("topic", spec.name)
+    rows = []
+    for offset, (name, event) in enumerate(sorted(changes)):
+        full = os.path.join(root, name)
+        content = None
+        if event != "ENTRY_DELETED":
+            with open(full, "rb") as f:
+                content = f.read()
+        rows.append(
+            (
+                topic,
+                0,
+                offset,
+                name.encode(),  # key = path (relative), like the reference
+                content,
+                None,
+                _EVENT_OPS[event],
+                None,
+                None,
+                None,
+                None,
+                {"DirectoryEvent": event, "file-path": full},
+            )
+        )
+    return spark.createDataFrame(rows, ENVELOPE_SCHEMA)

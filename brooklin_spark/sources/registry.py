@@ -28,7 +28,13 @@ def source(name: str) -> Callable[[SourceBuilder], SourceBuilder]:
 
 
 def build_source(spark: SparkSession, spec: PipelineSpec) -> DataFrame:
-    from brooklin_spark.sources import file_source, kafka_source, rate_source  # noqa: F401
+    from brooklin_spark.sources import (  # noqa: F401
+        dirwatch,
+        file_source,
+        fixtures,
+        kafka_source,
+        rate_source,
+    )
 
     if spec.connector not in SOURCES:
         raise ValueError(f"no source builder for connector {spec.connector!r}")

@@ -1,0 +1,179 @@
+"""Round-2 control-plane additions:
+
+- auto-pause on send error + timed auto-resume with zero loss
+  (PausedSourcePartitionMetadata.java:28-33,81;
+  AbstractKafkaBasedConnectorTask.java:309-368 parity)
+- directory mirroring transport driven by the dirwatch change connector
+  (DirectoryChangeProcessor + DirectoryTransportProvider parity)
+- Dummy/Broken connector fixtures (datastream-testcommon parity)
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from brooklin_spark.manager import PipelineManager
+from brooklin_spark.model import PipelineSpec
+from brooklin_spark.sinks import registry as sinks
+
+
+def _write(path: str, text: str) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        f.write(text)
+
+
+def _delivered(spark, name: str) -> int:
+    """Rows delivered to the memory destination (0 before any successful
+    send — the split sink registers the view on first delivery)."""
+    if not spark.catalog.tableExists(name):
+        return 0
+    return spark.sql(f"SELECT * FROM {name}").count()
+
+
+def test_auto_pause_and_timed_auto_resume_no_loss(spark, tmp_path):
+    """A partition whose sends fail auto-pauses (rows held, not lost);
+    after the configured duration it auto-resumes and the held rows are
+    re-delivered."""
+    src = str(tmp_path / "in")
+    _write(src + "/a.txt", "a1\n")
+    mgr = PipelineManager(spark, str(tmp_path / "mgr"))
+    spec = PipelineSpec(
+        name="ap",
+        connector="file",
+        transport="broken",
+        source_uri=f"file://{src}",
+        metadata={
+            "memory.table": "ap",
+            "system.auto.pause.on.error": "true",
+            "system.auto.pause.duration.ms": "800",
+        },
+    )
+    mgr.create(spec)
+    # find the partition the file hashes to, then break exactly that one
+    part = (
+        spark.read.format("text")
+        .load(src)
+        .select(
+            F.pmod(F.crc32(F.col("_metadata.file_path").cast("binary")), F.lit(32))
+            .cast("int")
+            .alias("p")
+        )
+        .first()
+        .p
+    )
+    sinks.BROKEN_FAIL_PARTITIONS.add(part)
+    try:
+        mgr.process_available("ap")
+        # send failed → partition auto-paused with a resume-at timestamp
+        auto = mgr.auto_paused_partitions("ap")
+        assert list(auto) == [part]
+        assert _delivered(spark, "ap") == 0  # held, not delivered
+        # new data ON THE PAUSED PARTITION diverts straight to the holding
+        # pen (pick a filename that crc32-hashes to the same partition —
+        # Spark reports paths as file:/abs/path)
+        import zlib
+
+        bname = next(
+            f"b{i}.txt"
+            for i in range(1000)
+            if zlib.crc32(f"file:{src}/b{i}.txt".encode()) % 32 == part
+        )
+        _write(f"{src}/{bname}", "a2\n")
+        mgr.process_available("ap")
+        assert _delivered(spark, "ap") == 0
+    finally:
+        sinks.BROKEN_FAIL_PARTITIONS.discard(part)
+    # transport healthy again; pause expires → poll re-admits + re-delivers
+    time.sleep(1.0)
+    assert mgr.poll_auto_resume("ap") == [part]
+    assert mgr.auto_paused_partitions("ap") == {}
+    vals = sorted(
+        bytes(r.value).decode()
+        for r in spark.sql("SELECT value FROM ap").collect()
+    )
+    assert vals == ["a1", "a2"], "held rows must re-deliver on auto-resume"
+    mgr.delete("ap")
+
+
+def test_directory_mirroring_create_modify_delete(spark, tmp_path):
+    """dirwatch → directory transport mirrors create/modify/delete into the
+    destination dir; initial contents are NOT replayed (reference
+    semantics, DirectoryTransportProvider.java:30-34)."""
+    src = str(tmp_path / "srcdir")
+    dest = str(tmp_path / "destdir")
+    os.makedirs(src)
+    _write(src + "/pre.txt", "pre-existing\n")
+    mgr = PipelineManager(spark, str(tmp_path / "mgr"))
+    mgr.create(
+        PipelineSpec(
+            name="mirror",
+            connector="dirwatch",
+            transport="directory",
+            source_uri=f"dir://{src}",
+            dest_uri=f"dir://{dest}",
+            metadata={"dirwatch.state.path": str(tmp_path / "state" / "mirror.json")},
+        )
+    )
+    # initial snapshot emits nothing (no initial copy)
+    assert not os.path.exists(os.path.join(dest, "pre.txt"))
+
+    _write(src + "/a.txt", "v1")
+    mgr.poll("mirror")
+    assert open(os.path.join(dest, "a.txt")).read() == "v1"
+
+    time.sleep(0.02)
+    _write(src + "/a.txt", "v2-modified")
+    os.utime(os.path.join(src, "a.txt"))
+    mgr.poll("mirror")
+    assert open(os.path.join(dest, "a.txt")).read() == "v2-modified"
+
+    os.remove(os.path.join(src, "a.txt"))
+    mgr.poll("mirror")
+    assert not os.path.exists(os.path.join(dest, "a.txt"))
+    # pre-existing file was never mirrored and never deleted at the source
+    assert os.path.exists(os.path.join(src, "pre.txt"))
+    mgr.delete("mirror")
+
+
+def test_dummy_connector_fixture(spark, tmp_path):
+    """DummyConnector parity: wrong config rejected, valid config creates a
+    no-op pipeline."""
+    mgr = PipelineManager(spark, str(tmp_path / "mgr"))
+    bad = PipelineSpec(
+        name="dummybad", connector="dummy", transport="memory",
+        source_uri="dummy://DummySource", metadata={"memory.table": "dummybad"},
+    )
+    with pytest.raises(ValueError, match="dummyProperty"):
+        mgr.create(bad)
+    with pytest.raises(KeyError):
+        mgr.get("dummybad")  # rejected → nothing stored
+
+    good = PipelineSpec(
+        name="dummyok", connector="dummy", transport="memory",
+        source_uri="dummy://DummySource",
+        metadata={"memory.table": "dummyok", "dummyProperty": "dummyValue"},
+    )
+    mgr.create(good)
+    assert spark.sql("SELECT * FROM dummyok").count() == 0
+    mgr.delete("dummyok")
+
+
+def test_broken_connector_fixture_rejects_create(spark, tmp_path):
+    """BrokenConnector parity: create fails AND leaves no half-created
+    catalog entry (the reference rejects the datastream)."""
+    mgr = PipelineManager(spark, str(tmp_path / "mgr"))
+    spec = PipelineSpec(
+        name="brk", connector="broken", transport="memory",
+        source_uri="broken://x", metadata={},
+    )
+    with pytest.raises(RuntimeError, match="BrokenConnector"):
+        mgr.create(spec)
+    with pytest.raises(KeyError):
+        mgr.get("brk")
+    assert mgr.list() == []

@@ -1,0 +1,86 @@
+"""Property tests for the dedup scale hardening (VERDICT r1 #9):
+
+- the enforced posting-list cap: with the cap above the corpus's max
+  posting size results are IDENTICAL to uncapped; with a tiny cap the
+  result is a SUBSET (hot shingles only ever remove pairs, never corrupt
+  surviving ones).
+- large-star/small-star connected components == min-label propagation on
+  randomized graphs (chains, cliques, forests).
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from brooklin_spark.io import table
+from brooklin_spark.operators import dedup as D
+
+
+def _sh(spark, sf):
+    docs = table(spark, sf, "documents")
+    return (
+        D.shingle_arrays_pandas(docs, n=3)
+        .select("id", F.size("shingles").alias("n"), F.explode("shingles").alias("s"))
+        .select("id", "n", F.xxhash64("s").alias("shingle"))
+        .localCheckpoint()
+    )
+
+
+def test_posting_cap_identity_and_subset(spark, sf_smoke):
+    sh = _sh(spark, sf_smoke)
+    uncapped = set(
+        (r.doc_a, r.doc_b) for r in D.jaccard_pairs_selfjoin(sh, 0.7, max_posting=1 << 30).collect()
+    )
+    default = set(
+        (r.doc_a, r.doc_b) for r in D.jaccard_pairs_selfjoin(sh, 0.7).collect()
+    )
+    assert default == uncapped, "default cap must not drop pairs on this corpus"
+    assert len(default) > 0
+    tiny = set(
+        (r.doc_a, r.doc_b) for r in D.jaccard_pairs_selfjoin(sh, 0.7, max_posting=2).collect()
+    )
+    assert tiny <= uncapped, "capping may only REMOVE pairs"
+
+
+def _labels(df):
+    return {r.id: r.comp for r in df.collect()}
+
+
+@pytest.mark.parametrize("seed", [7, 21])
+def test_star_cc_matches_label_propagation_random(spark, seed):
+    rng = random.Random(seed)
+    edges = set()
+    # several components: a long chain (deep), a clique, random trees
+    base = 0
+    chain = [base + i for i in range(30)]
+    edges |= {(a, b) for a, b in zip(chain, chain[1:])}
+    base = 100
+    clique = [base + i for i in range(6)]
+    edges |= {(a, b) for i, a in enumerate(clique) for b in clique[i + 1:]}
+    base = 200
+    for _ in range(40):
+        a = base + rng.randrange(50)
+        b = base + rng.randrange(50)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    df = spark.createDataFrame(sorted(edges), "doc_a bigint, doc_b bigint")
+    want = _labels(D.connected_components(df, max_iter=60))
+    got = _labels(D.connected_components_star(df))
+    assert got == want
+
+
+def test_star_cc_deep_chain_converges(spark):
+    """A 120-node chain: diameter 119 — label propagation needs many
+    rounds; the star algorithm must converge within its round budget and
+    agree."""
+    n = 120
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a bigint, doc_b bigint"
+    )
+    got = _labels(D.connected_components_star(df))
+    assert set(got) == set(range(n))
+    assert set(got.values()) == {0}
