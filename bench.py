@@ -70,6 +70,8 @@ def main() -> None:
     # compares against the DuckDB baseline
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
+    import gc
+
     for name in BENCH_QUERIES:
         fn = registry.QUERIES[name]
         best = float("inf")
@@ -79,6 +81,13 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
         print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)
+        # release the finished query's checkpoint/cache blocks BETWEEN
+        # timed queries: gc drops the py4j refs, letting ContextCleaner
+        # free localCheckpoint RDDs — without this the dedup queries'
+        # materializations accumulate across the run and later queries
+        # measure memory pressure, not their plans
+        gc.collect()
+        spark.catalog.clearCache()
 
     sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
     out = {

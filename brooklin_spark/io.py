@@ -38,9 +38,11 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events":
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # ts is parquet TIMESTAMP(NANOS) read as long (see session.py conf);
-        # truncate to micros — same conversion DuckDB applies natively
+        # truncate to micros — same conversion DuckDB applies natively.
+        # Derived corpora (scripts/make_benchdata.py) store micros already
+        # and skip this.
         from pyspark.sql import functions as F
 
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
