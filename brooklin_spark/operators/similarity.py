@@ -313,6 +313,100 @@ def ivf_topk(
     )
 
 
+def kmeans_refine(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    rounds: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means refinement with cosine assignment — the iterative
+    companion to ivf_assign (the IVF index build step SCALING.md promises:
+    'centroid refinement slots in by re-calling assign with updated
+    centroids'). Each round: assign every vector to its nearest centroid
+    (rounded-6 cosine, cid tie-break), then recompute each surviving
+    centroid as the per-dimension mean of its members, rounded to 6
+    decimals so the next round's assignment is bit-reproducible across
+    engines.
+
+    Plan per round: one centroid-matrix mapInPandas over the corpus (no
+    shuffle) + one posexplode/groupBy((cid, dim)) partial-agg shuffle whose
+    payload is |centroids|·|dims| partial sums, never vectors. The rounded
+    centroid components are collected between rounds (k·d doubles — the
+    broadcast-small model state, exactly what a driver-side iterative
+    algorithm holds).
+
+    Returns the final model, exploded for inspection/oracle comparison:
+    (cid, dim, centroid, n_vectors) with n_vectors from the final
+    assignment. Empty clusters drop out (deterministic on both engines).
+    """
+    spark = corpus.sparkSession
+    cur = centroids.select(F.col(id_col), F.col(vec_col))
+    assign = None
+    for _ in range(rounds):
+        assign = ivf_assign(corpus, cur, id_col, vec_col)
+        joined = assign.join(
+            corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")),
+            "vec_id",
+        )
+        comp = (
+            joined.select("cid", F.posexplode("v").alias("dim", "x"))
+            .groupBy("cid", "dim")
+            .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("c"))
+        )
+        rows = comp.collect()  # k·d rounded doubles — model state, tiny
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in rows:
+            by_cid.setdefault(int(r.cid), {})[int(r.dim)] = float(r.c)
+        cur = spark.createDataFrame(
+            [
+                (cid, [comps[d] for d in sorted(comps)])
+                for cid, comps in sorted(by_cid.items())
+            ],
+            f"{id_col} bigint, {vec_col} array<double>",
+        )
+    counts = assign.groupBy("cid").agg(F.count("*").alias("n_vectors"))
+    final = cur.select(
+        F.col(id_col).alias("cid"), F.posexplode(vec_col).alias("dim", "centroid")
+    )
+    return final.join(counts, "cid").select(
+        "cid", F.col("dim").cast("int").alias("dim"), "centroid", "n_vectors"
+    )
+
+
+def srp_bucket_pairs(
+    corpus: DataFrame,
+    planes: int,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup pairs restricted to SRP-LSH buckets — the 100 TB
+    path for similar_pairs: ONE shuffle keyed on bucket, then per-bucket
+    applyInPandas computes the within-bucket matmul and emits only pairs
+    with cosine >= threshold (vec_a < vec_b). Pairs split across buckets
+    are missed by design (recall ↔ planes dial); everything emitted is
+    exact."""
+    b = srp_bucket_pandas(corpus, planes, id_col, vec_col)
+
+    def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "sim": []}).astype(
+                {"vec_a": "int64", "vec_b": "int64", "sim": "float64"}
+            )
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        mat = _batch_matrix(pdf["vec"])
+        sims = np.round(mat @ mat.T, 6)
+        keep = (sims >= threshold) & (ids[:, None] < ids[None, :])
+        r, c = np.nonzero(keep)
+        return pd.DataFrame({"vec_a": ids[r], "vec_b": ids[c], "sim": sims[r, c]})
+
+    return b.groupBy("bucket").applyInPandas(
+        pairs, schema="vec_a bigint, vec_b bigint, sim double"
+    )
+
+
 def _srp_coeff_matrix(planes: int, dim: int) -> np.ndarray:
     """Deterministic ±1 hyperplane coefficients: coeff[p, i] derives from
     the parity of the first hex char of md5('{p}:{i+1}') — identical to

@@ -172,6 +172,77 @@ def _srp_bits_sql(planes: int) -> str:
 
 
 @query(
+    "dedup_embedding_srp_pairs",
+    oracle=f"""
+    WITH {_srp_bits_sql(_PLANES)},
+    pairs AS (
+      SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+             round(list_cosine_similarity(ex.embedding::DOUBLE[], ey.embedding::DOUBLE[]), 6) AS sim
+      FROM bucketed x
+      JOIN bucketed y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+      JOIN embeddings ex ON ex.vec_id = x.vec_id
+      JOIN embeddings ey ON ey.vec_id = y.vec_id)
+    SELECT vec_a, vec_b, sim FROM pairs WHERE sim >= 0.4
+    """,
+)
+def dedup_embedding_srp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed embedding near-dup pairs — the scale path feeding the
+    all-pairs verify kernel (similar_pairs) candidates from SRP buckets."""
+    emb = table(spark, sf_dir, "embeddings")
+    return S.srp_bucket_pairs(emb, planes=_PLANES, threshold=0.4)
+
+
+def _kmeans_oracle(rounds: int, n_cent: int) -> str:
+    """DuckDB twin of kmeans_refine: assign by rounded-6 cosine (cid
+    tie-break), recompute rounded-6 per-dim means, repeat."""
+    parts = [
+        f"""cent0 AS (
+      SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+      FROM embeddings WHERE vec_id < {n_cent})"""
+    ]
+    for r in range(rounds):
+        parts.append(f"""scored{r} AS (
+      SELECT e.vec_id, c.cid,
+             round(list_cosine_similarity(e.embedding::DOUBLE[], c.cvec), 6) AS sim
+      FROM embeddings e CROSS JOIN cent{r} c)""")
+        parts.append(f"""assign{r} AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
+        FROM scored{r}) t WHERE rn = 1)""")
+        parts.append(f"""comp{r + 1} AS (
+      SELECT cid, dim - 1 AS dim, round(AVG(x), 6) AS c FROM (
+        SELECT a.cid, generate_subscripts(e.embedding, 1) AS dim,
+               unnest(e.embedding)::DOUBLE AS x
+        FROM assign{r} a JOIN embeddings e ON e.vec_id = a.vec_id) flat
+      GROUP BY cid, dim)""")
+        parts.append(f"""cent{r + 1} AS (
+      SELECT cid, list(c ORDER BY dim) AS cvec FROM comp{r + 1} GROUP BY cid)""")
+    last = rounds
+    joined = ",\n    ".join(parts)
+    return f"""
+    WITH {joined},
+    counts AS (SELECT cid, COUNT(*) AS n_vectors FROM assign{rounds - 1} GROUP BY cid)
+    SELECT comp{last}.cid, CAST(comp{last}.dim AS INTEGER) AS dim,
+           comp{last}.c AS centroid, counts.n_vectors
+    FROM comp{last} JOIN counts ON counts.cid = comp{last}.cid
+    """
+
+
+_KM_ROUNDS = 2
+
+
+@query("ivf_kmeans_refine", oracle=_kmeans_oracle(_KM_ROUNDS, _IVF_C))
+def ivf_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Lloyd rounds refining the IVF seed centroids — the iterative
+    index-build step; fully deterministic (rounded sims/means, id
+    tie-breaks), so even the iteration trajectory is oracle-checked."""
+    emb = table(spark, sf_dir, "embeddings")
+    seeds = emb.filter(F.col("vec_id") < _IVF_C)
+    return S.kmeans_refine(emb, seeds, rounds=_KM_ROUNDS)
+
+
+@query(
     "ann_srp_lsh_top1",
     oracle=f"""
     WITH {_srp_bits_sql(_PLANES)},

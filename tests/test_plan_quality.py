@@ -118,3 +118,89 @@ def test_bucketed_range_join_avoids_nested_loop(spark, sf_correct):
     plan = executed_plan(_q(spark, sf_correct, "range_join_promo_windows"))
     assert "NestedLoop" not in plan
     assert "HashJoin" in plan
+
+
+# ------------------------------------------------- round-2 operator shapes
+
+
+def test_ivf_assign_no_shuffle_no_window(spark, sf_correct):
+    """IVF index build must be map-side: centroid matrix rides in the
+    closure; the corpus is never shuffled or windowed."""
+    from brooklin_spark.io import table
+    from brooklin_spark.operators import similarity as S
+    from pyspark.sql import functions as F
+
+    emb = table(spark, sf_correct, "embeddings")
+    assign = S.ivf_assign(emb, emb.filter(F.col("vec_id") < 8))
+    plan = executed_plan(assign)
+    assert shuffle_count(assign) == 0, plan
+    assert "Window" not in plan, plan
+
+
+def test_brute_force_topk_corpus_not_joined(spark, sf_correct):
+    """Brute-force ANN: no join materializing |Q|x|C| rows — batch-local
+    top-k via mapInPandas, then one window over the emitted triples."""
+    from brooklin_spark.io import table
+    from brooklin_spark.operators import similarity as S
+    from pyspark.sql import functions as F
+
+    emb = table(spark, sf_correct, "embeddings")
+    df = S.brute_force_topk(emb.filter(F.col("vec_id") < 10), emb, k=5)
+    plan = executed_plan(df)
+    assert "Join" not in plan, plan  # matmul in the map task, not a join
+    assert shuffle_count(df) <= 1, plan  # only the global-top-k window
+
+
+def test_srp_top1_single_shuffle(spark, sf_correct):
+    """SRP ANN: one exchange keyed on bucket; per-bucket top-1 needs no
+    global window and no self-join."""
+    from brooklin_spark.io import table
+    from brooklin_spark.operators import similarity as S
+
+    emb = table(spark, sf_correct, "embeddings")
+    df = S.srp_ann_top1(emb, planes=6)
+    plan = executed_plan(df)
+    assert shuffle_count(df) == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_jaccard_cap_rides_join_exchange(spark, sf_correct):
+    """The posting cap is a count window over the SAME shingle-keyed
+    exchange the self-join consumes — capping must not add a shuffle
+    beyond window + pair groupBy."""
+    from brooklin_spark.io import table
+    from brooklin_spark.operators import dedup as D
+    from pyspark.sql import functions as F
+
+    docs = table(spark, sf_correct, "documents")
+    sh = (
+        D.shingle_arrays_pandas(docs, n=3)
+        .select("id", F.size("shingles").alias("n"), F.explode("shingles").alias("s"))
+        .select("id", "n", F.xxhash64("s").alias("shingle"))
+        .localCheckpoint()
+    )
+    df = D.jaccard_pairs_selfjoin(sh, 0.7)
+    plan = executed_plan(df)
+    assert "Window" in plan, plan  # the enforced cap
+    # shuffles: the window partitioning per join side (AQE broadcasts one
+    # side at this scale instead of reusing the exchange) + pair groupBy —
+    # anything more means the cap bought an extra pass over the shingles
+    assert shuffle_count(df) <= 4, plan
+
+
+def test_simhash_onepass_single_join(spark, sf_correct):
+    """SimHash banding carries the signature: exactly one self-join, no
+    re-join against a signature table."""
+    from brooklin_spark.io import table
+    from brooklin_spark.operators import dedup as D
+
+    docs = table(spark, sf_correct, "documents")
+    sig = D.simhash_signature_int_pandas(
+        D.shingle_arrays_pandas(docs, n=3), bits=32
+    ).localCheckpoint()
+    df = D.simhash_pairs_onepass(sig, bits=32, bands=4, max_distance=3)
+    plan = executed_plan(df)
+    import re
+
+    join_nodes = re.findall(r"\(\d+\) [A-Za-z]*Join", plan)
+    assert len(join_nodes) == 1, plan
