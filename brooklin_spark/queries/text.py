@@ -320,3 +320,65 @@ def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("print").alias("n_unique"),
         (F.count("*") - F.count_distinct("print")).cast("bigint").alias("n_dup_docs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per document: the sparse-vector text kernel (feature
+# extraction for retrieval / near-dup weighting). Shape: one explode +
+# groupBy(doc, term) shuffle; document frequency rides a window over the
+# SAME term-keyed data; N is a broadcast scalar. tfidf rounded to 8 (libm
+# ln fold policy, queries/__init__ float parity notes); rank ties break on
+# the term string so the top-k is engine-deterministic.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_tfidf_top_terms",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOK}) AS term
+      FROM documents WHERE doc_id < 500),
+    lens AS (SELECT doc_id, COUNT(*) AS doc_len FROM toks GROUP BY doc_id),
+    tf AS (SELECT doc_id, term, COUNT(*) AS cnt FROM toks GROUP BY doc_id, term),
+    n AS (SELECT COUNT(*) AS n_docs FROM lens),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             round((tf.cnt * 1.0 / lens.doc_len)
+                   * ln(n.n_docs * 1.0 / COUNT(*) OVER (PARTITION BY tf.term)), 8)
+               AS tfidf
+      FROM tf JOIN lens ON lens.doc_id = tf.doc_id CROSS JOIN n),
+    ranked AS (
+      SELECT doc_id, term, tfidf,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC)
+               AS rank
+      FROM scored)
+    SELECT doc_id, term, tfidf, rank FROM ranked WHERE rank <= 3
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    toks = docs.select("doc_id", F.explode(X.tokens()).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("cnt"))
+    lens = toks.groupBy("doc_id").agg(F.count("*").alias("doc_len"))
+    n_docs = lens.count()  # broadcast scalar (corpus subset is fixed)
+    df_w = W.partitionBy("term")
+    scored = (
+        tf.join(F.broadcast(lens), "doc_id")
+        .withColumn("df", F.count("*").over(df_w))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                (F.col("cnt") / F.col("doc_len"))
+                * F.log(F.lit(float(n_docs)) / F.col("df")),
+                8,
+            ).alias("tfidf"),
+        )
+    )
+    rank_w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(rank_w).cast("long"))
+        .filter(F.col("rank") <= 3)
+    )

@@ -204,3 +204,31 @@ def test_simhash_onepass_single_join(spark, sf_correct):
 
     join_nodes = re.findall(r"\(\d+\) [A-Za-z]*Join", plan)
     assert len(join_nodes) == 1, plan
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_smoke, tmp_path):
+    """Both sides bucketed by the join key with equal bucket counts →
+    Catalyst plans the join with ZERO Exchange (the pay-the-shuffle-once
+    story for repeated fact-fact joins at scale)."""
+    from brooklin_spark.io import table
+    from brooklin_spark.operators.bucketing import bucketed_join, write_bucketed
+
+    orders = table(spark, sf_smoke, "orders").select("o_orderkey", "o_totalprice")
+    li = table(spark, sf_smoke, "lineitem").select("l_orderkey", "l_quantity")
+    write_bucketed(orders, "bkt_orders", "o_orderkey", 8)
+    write_bucketed(li, "bkt_lineitem", "l_orderkey", 8)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    # at toy scale the optimizer would broadcast instead; disable it so the
+    # plan shows what a fact-fact join does at real scale
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = bucketed_join(spark, "bkt_orders", "bkt_lineitem", "o_orderkey", "l_orderkey")
+        n = j.count()
+        assert n == li.count()  # every lineitem matches its order
+        plan = executed_plan(j)
+        assert shuffle_count(j) == 0, plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bkt_orders")
+        spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
