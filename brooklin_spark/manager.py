@@ -44,9 +44,14 @@ class _Running:
 
 
 class PipelineManager:
-    def __init__(self, spark: SparkSession, workdir: str):
+    def __init__(self, spark: SparkSession, workdir: str, authorizer=None):
+        from brooklin_spark.security import allow_all
+
         self.spark = spark
         self.workdir = workdir
+        # Authorizer SPI (api/security/Authorizer.java parity): consulted
+        # before CRUD mutations; default allows everything
+        self.authorizer = authorizer or allow_all
         self.catalog_dir = os.path.join(workdir, "catalog")
         self.checkpoint_root = os.path.join(workdir, "checkpoints")
         os.makedirs(self.catalog_dir, exist_ok=True)
@@ -57,9 +62,21 @@ class PipelineManager:
         self._send_failures: dict[tuple[str, int], int] = {}
 
     # ------------------------------------------------------------------ CRUD
-    def create(self, spec: PipelineSpec, start: bool = True) -> PipelineSpec:
-        """Validate → dedup-by-source → persist → provision → start."""
+    def create(
+        self, spec: PipelineSpec, start: bool = True, principal: str = "anonymous"
+    ) -> PipelineSpec:
+        """Validate → authorize → dedup-by-source → persist → provision →
+        start. Authorization is the reference's two-step create check
+        (Authorizer.java:18-24): CREATE on the pipeline object, then READ
+        for the owner against the data source being consumed."""
+        from brooklin_spark.security import Operation, check
+
         spec.validate()
+        check(self.authorizer, spec, Operation.CREATE, principal)
+        check(
+            self.authorizer, spec, Operation.READ,
+            (spec.metadata or {}).get("owner", principal),
+        )
         if self._spec_path_exists(spec.name):
             raise ValueError(f"pipeline {spec.name!r} already exists")
         dup = self._find_duplicate(spec)
@@ -111,8 +128,11 @@ class PipelineManager:
                     out.append(PipelineSpec.from_json(f.read()))
         return out
 
-    def delete(self, name: str) -> None:
+    def delete(self, name: str, principal: str = "anonymous") -> None:
+        from brooklin_spark.security import Operation, check
+
         spec = self.get(name)
+        check(self.authorizer, spec, Operation.DELETE, principal)
         self._transition(spec, PipelineStatus.DELETING)
         r = self._running.pop(name, None)
         promoted = False
@@ -148,18 +168,24 @@ class PipelineManager:
         shutil.rmtree(self._deadletter_dir(name), ignore_errors=True)
 
     # ------------------------------------------------------------- lifecycle
-    def pause(self, name: str) -> None:
+    def pause(self, name: str, principal: str = "anonymous") -> None:
         """Stop the query, keep the checkpoint — resume continues from the
         committed offsets (pause/resume, DatastreamResources.java:358-601)."""
+        from brooklin_spark.security import Operation, check
+
         spec = self.get(name)
+        check(self.authorizer, spec, Operation.UPDATE, principal)
         self._transition(spec, PipelineStatus.PAUSED)
         self._persist(spec)
         r = self._running.get(name)
         if r and r.query is not None and r.query.isActive:
             r.query.stop()
 
-    def resume(self, name: str) -> None:
+    def resume(self, name: str, principal: str = "anonymous") -> None:
+        from brooklin_spark.security import Operation, check
+
         spec = self.get(name)
+        check(self.authorizer, spec, Operation.UPDATE, principal)
         self._start(spec)  # transitions PAUSED/STOPPED -> READY (validated)
 
     def stop(self, name: str) -> None:

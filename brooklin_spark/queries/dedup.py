@@ -247,3 +247,51 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     arr = D.shingle_arrays_pandas(docs, n=3)
     sig = D.simhash_signature_int_pandas(arr, bits=_BITS).localCheckpoint()
     return D.simhash_pairs_onepass(sig, bits=_BITS, bands=_SH_BANDS, max_distance=_MAX_D)
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination: flag corpus documents sharing >= K distinct
+# shingles with ANY document of a held-out benchmark set (here: doc_id <
+# 50). The asymmetric cousin of near-dup detection every training-data
+# pipeline runs before a model ships. Scale shape: the benchmark side's
+# shingles are a broadcast-small set — the corpus streams through one
+# semi-join-style aggregation keyed on shingle, no corpus self-join at all.
+# ---------------------------------------------------------------------------
+
+_DECON_K = 5
+
+
+@query(
+    "dedup_decontamination_flags",
+    oracle=f"""
+    WITH {G.shingle_cte(3)},
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 50),
+    hits AS (
+      SELECT s.doc_id, COUNT(*) AS n_shared
+      FROM sh s JOIN bench b ON b.shingle = s.shingle
+      WHERE s.doc_id >= 50
+      GROUP BY s.doc_id)
+    SELECT doc_id, n_shared,
+           CAST(n_shared >= {_DECON_K} AS BOOLEAN) AS contaminated
+    FROM hits
+    """,
+)
+def dedup_decontamination_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    sh = D.shingle_arrays_pandas(docs, n=3).select(
+        "id", F.explode("shingles").alias("shingle")
+    )
+    bench = (
+        sh.filter(F.col("id") < 50).select("shingle").distinct()
+    )
+    return (
+        sh.filter(F.col("id") >= 50)
+        .join(F.broadcast(bench), "shingle")
+        .groupBy(F.col("id").alias("doc_id"))
+        .agg(F.count("*").alias("n_shared"))
+        .select(
+            "doc_id",
+            "n_shared",
+            (F.col("n_shared") >= _DECON_K).alias("contaminated"),
+        )
+    )

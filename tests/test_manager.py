@@ -328,3 +328,32 @@ def test_deadletter_predicate_diverts_bad_rows(spark, workdir, tmp_path):
     assert diag["dlq"]["dead_letters"] == 1
     mgr.delete("dlq")
     assert mgr.dead_letters("dlq") is None
+
+
+def test_authorizer_spi_enforced(spark, workdir, tmp_path):
+    """Authorizer SPI (api/security/Authorizer.java parity): CREATE checked
+    before any state exists, DELETE/UPDATE checked per principal; denial
+    raises PermissionError and leaves the catalog untouched."""
+    import pytest as _pytest
+
+    from brooklin_spark.manager import PipelineManager
+    from brooklin_spark.security import owner_only
+
+    src = str(tmp_path / "in")
+    _write_lines(src + "/a.txt", ["x"])
+    mgr = PipelineManager(spark, workdir, authorizer=owner_only)
+    spec = _file_spec("authz", src)
+    spec.metadata["owner"] = "alice"
+    with _pytest.raises(PermissionError):
+        mgr.create(spec, principal="mallory")
+    assert mgr.list() == []  # denial left nothing behind
+    mgr.create(spec, principal="alice")
+    with _pytest.raises(PermissionError):
+        mgr.pause("authz", principal="mallory")
+    with _pytest.raises(PermissionError):
+        mgr.delete("authz", principal="mallory")
+    assert mgr.get("authz").status == PipelineStatus.READY
+    mgr.pause("authz", principal="alice")
+    mgr.resume("authz", principal="alice")
+    mgr.delete("authz", principal="alice")
+    assert mgr.list() == []
