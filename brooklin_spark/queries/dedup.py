@@ -75,10 +75,10 @@ def dedup_exact_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    # checkpointed arrays feed pair-gen (exploded) and the size lookup.
     # Shingling via the Arrow-batched pandas kernel (HOFs are interpreted —
-    # measured 3x). Shingles group-key by xxhash64 (codegen, 8-byte shuffle
-    # keys instead of 3-word strings — measured ~1.5s faster at sf0.1; a
+    # measured 3x); per-doc set size rides on every shingle row so the pair
+    # groupBy emits jaccard directly (no size-lookup joins). Shingles key by
+    # xxhash64 (codegen, 8-byte shuffle keys instead of 3-word strings; a
     # 64-bit collision inside one doc pair is the accepted ~1e-10 risk,
     # standard for shingle tables at scale)
     sh = (

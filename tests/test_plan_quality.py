@@ -232,3 +232,28 @@ def test_bucketed_join_is_shuffle_free(spark, sf_smoke, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bkt_orders")
         spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+
+
+def test_date_partitioned_layout_prunes_partitions(spark, sf_smoke, tmp_path):
+    """A date filter over a date-partitioned events table must prune at
+    PLANNING time (PartitionFilters on the scan) — the layout decision
+    that turns '100 TB scanned' into 'the selected days scanned'."""
+    from brooklin_spark.io import table
+    from brooklin_spark.operators.layout import read_partitioned, write_date_partitioned
+    from pyspark.sql import functions as F
+
+    ev = table(spark, sf_smoke, "events")
+    path = str(tmp_path / "ev_by_day")
+    write_date_partitioned(ev, path, ts_col="ts", sort_cols=["user_id"])
+    df = read_partitioned(spark, path)
+    one_day = df.select("dt").distinct().orderBy("dt").first().dt
+    q = df.filter(F.col("dt") == one_day).groupBy("event_type").count()
+    plan = executed_plan(q)
+    assert "PartitionFilters: [" in plan, plan
+    # the dt predicate must appear as a PARTITION filter, not a data filter
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "dt" in pf, plan
+    # and pruning actually works: rows == that day's rows only
+    want = ev.filter(F.date_format("ts", "yyyy-MM-dd") == one_day).count()
+    got = q.agg({"count": "sum"}).first()[0]
+    assert got == want > 0
