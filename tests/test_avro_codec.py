@@ -173,3 +173,49 @@ def test_trailing_bytes_rejected():
     good = avro_codec.encode(sch, {"x": 5})
     with pytest.raises(ValueError, match="trailing"):
         avro_codec.decode(sch, good + b"\x00")
+
+
+# ---------------------------------------------------------- property tests
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_VALUE_SCHEMA = {
+    "type": "record",
+    "name": "P",
+    "fields": [
+        {"name": "b", "type": "boolean"},
+        {"name": "l", "type": "long"},
+        {"name": "d", "type": "double"},
+        {"name": "s", "type": "string"},
+        {"name": "by", "type": "bytes"},
+        {"name": "n", "type": ["null", "long"]},
+        {"name": "a", "type": {"type": "array", "items": "string"}},
+        {"name": "m", "type": {"type": "map", "values": "long"}},
+    ],
+}
+
+_values = st.fixed_dictionaries(
+    {
+        "b": st.booleans(),
+        "l": st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        "d": st.floats(allow_nan=False),
+        "s": st.text(max_size=40),
+        "by": st.binary(max_size=40),
+        "n": st.one_of(st.none(), st.integers(min_value=-(2**40), max_value=2**40)),
+        "a": st.lists(st.text(max_size=10), max_size=6),
+        "m": st.dictionaries(
+            st.text(max_size=8), st.integers(min_value=-(2**40), max_value=2**40),
+            max_size=6,
+        ),
+    }
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_values)
+def test_codec_roundtrip_property(value):
+    """encode∘decode == identity for arbitrary records across every
+    supported type (zigzag edges, empty collections, unicode, null
+    branches)."""
+    assert avro_codec.decode(_VALUE_SCHEMA, avro_codec.encode(_VALUE_SCHEMA, value)) == value
