@@ -77,11 +77,9 @@ def write_batch(df: DataFrame, spec: PipelineSpec, spark=None) -> None:
     elif t == "kafka":
         dest = (spec.dest_uri or "").removeprefix("kafka://")
         servers, _, topic = dest.partition("/")
-        df.select(
-            F.col("key"),
-            F.col("value"),
-            (F.lit(topic) if topic else F.col("topic")).alias("topic"),
-        ).write.format("kafka").option("kafka.bootstrap.servers", servers).save()
+        kafka_out_projection(df, topic or None).write.format("kafka").option(
+            "kafka.bootstrap.servers", servers
+        ).option("includeHeaders", "true").save()
     else:
         raise ValueError(f"transport {t!r} has no batch path")
 
@@ -252,6 +250,27 @@ def broken_sink(df: DataFrame, spec: PipelineSpec) -> DataStreamWriter:
     ).outputMode("append")
 
 
+def kafka_out_projection(df: DataFrame, dest_topic: str | None) -> DataFrame:
+    """Envelope → the Kafka sink's record shape: key/value bytes, topic
+    routing, and HEADERS — the envelope's map<string,binary> converts to
+    the array<struct<key,value>> the Spark Kafka writer expects
+    (BrooklinEnvelope._headers parity, BrooklinEnvelope.java:22-32; the
+    reference's producer forwards headers on every send)."""
+    headers = F.when(
+        F.col("headers").isNotNull(),
+        F.transform(
+            F.map_entries(F.col("headers")),
+            lambda e: F.struct(e["key"].alias("key"), e["value"].alias("value")),
+        ),
+    )
+    return df.select(
+        F.col("key").alias("key"),
+        F.col("value").alias("value"),
+        (F.lit(dest_topic) if dest_topic else F.col("topic")).alias("topic"),
+        headers.alias("headers"),
+    )
+
+
 @sink("kafka")
 def kafka_sink(df: DataFrame, spec: PipelineSpec) -> DataStreamWriter:
     """Kafka transport (KafkaTransportProvider.java:46,106-146 analog).
@@ -260,18 +279,16 @@ def kafka_sink(df: DataFrame, spec: PipelineSpec) -> DataStreamWriter:
     partition routing, DatastreamProducerRecord.java:23), else the Kafka
     producer hashes the key (key-hash routing, KafkaTransportProvider
     .java:138-146). The `topic` column routes per-record destinations
-    (mirror rewrite already applied by the source translate).
-    Requires spark-sql-kafka on the classpath.
+    (mirror rewrite already applied by the source translate); headers
+    forward as Kafka record headers. Requires spark-sql-kafka on the
+    classpath plus `kafka.includeHeaders` on the writer.
     """
     dest = (spec.dest_uri or "").removeprefix("kafka://")
     servers, _, topic = dest.partition("/")
-    out = df.select(
-        F.col("key").alias("key"),
-        F.col("value").alias("value"),
-        (F.lit(topic) if topic else F.col("topic")).alias("topic"),
-    )
+    out = kafka_out_projection(df, topic or None)
     return (
         out.writeStream.format("kafka")
         .option("kafka.bootstrap.servers", servers)
+        .option("includeHeaders", "true")
         .outputMode("append")
     )

@@ -95,3 +95,28 @@ def test_offset_reset_override():
         _spec("kafka://h:9092/t", **{"system.auto.offset.reset": "latest"})
     )
     assert opts["startingOffsets"] == "latest"
+
+
+def test_kafka_out_projection_headers(spark):
+    """Envelope headers (map<string,binary>) must reach the Kafka writer
+    as array<struct<key:string,value:binary>> records; null maps stay
+    null (BrooklinEnvelope._headers forwarding parity)."""
+    from brooklin_spark.sinks.registry import kafka_out_projection
+
+    df = spark.createDataFrame(
+        [
+            (b"k1", b"v1", "t1", {"h1": b"\x01", "h2": b"\x02"}),
+            (b"k2", b"v2", "t2", None),
+        ],
+        "key binary, value binary, topic string, headers map<string,binary>",
+    )
+    out = kafka_out_projection(df, None)
+    assert [f.name for f in out.schema.fields] == ["key", "value", "topic", "headers"]
+    htype = out.schema["headers"].dataType.simpleString()
+    assert htype == "array<struct<key:string,value:binary>>", htype
+    rows = {bytes(r.key): r for r in out.collect()}
+    got = {h.key: bytes(h.value) for h in rows[b"k1"].headers}
+    assert got == {"h1": b"\x01", "h2": b"\x02"}
+    assert rows[b"k2"].headers is None
+    # explicit destination topic overrides the per-record column
+    assert {r.topic for r in kafka_out_projection(df, "fixed").collect()} == {"fixed"}
