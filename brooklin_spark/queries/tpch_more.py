@@ -563,3 +563,41 @@ def range_join_promo_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         dsum(dec("o_totalprice"), "total_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact percentile battery: interpolated quantiles per group (Spark
+# percentile() == DuckDB quantile_cont — both exact linear interpolation
+# over the sorted values; round-8 for the libm division). The exact twin
+# of the sketchy approx_percentile family; at scale the exact form costs a
+# per-group sort, which is why approx_distinct_sketch exists beside it.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "percentile_battery",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.25), 8) AS price_p25,
+           round(quantile_cont(l_extendedprice, 0.5), 8) AS price_p50,
+           round(quantile_cont(l_extendedprice, 0.75), 8) AS price_p75,
+           round(quantile_cont(l_extendedprice, 0.99), 8) AS price_p99,
+           round(quantile_cont(l_quantity, 0.5), 8) AS qty_median,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def percentile_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+
+    def pct(col: str, q: float, alias: str):
+        return F.round(F.percentile(F.col(col), F.lit(q)), 8).alias(alias)
+
+    return li.groupBy("l_returnflag").agg(
+        pct("l_extendedprice", 0.25, "price_p25"),
+        pct("l_extendedprice", 0.5, "price_p50"),
+        pct("l_extendedprice", 0.75, "price_p75"),
+        pct("l_extendedprice", 0.99, "price_p99"),
+        pct("l_quantity", 0.5, "qty_median"),
+        F.count("*").alias("n"),
+    )

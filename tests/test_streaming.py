@@ -146,3 +146,72 @@ def test_streaming_cdc_before_image_matches_batch_lag(spark, sf_smoke):
     got = sorted(map(tuple, out.collect()))
     want = sorted(map(tuple, batch.collect()))
     assert got == want and len(got) > 0
+
+
+def test_watermark_drops_late_data_across_batches(spark, tmp_path):
+    """Late-data semantics, demonstrated concretely: batch 1 advances the
+    watermark past an hour window; batch 2 delivers an event OLDER than
+    the watermark — the engine must drop it (its window is closed) while
+    still accepting in-order data. This is the bounded-state guarantee
+    that makes event-time aggregation viable on an unbounded stream."""
+    import os
+    import time as _time
+
+    from brooklin_spark.streaming.pipelines import run_to_completion
+
+    src = str(tmp_path / "stream")
+    os.makedirs(src)
+    sch = "ts timestamp, k string"
+
+    def write_file(name, rows, mtime):
+        spark.createDataFrame(rows, sch).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / ("tmp_" + name)))
+        # move the single part file into the stream dir with a pinned mtime
+        part = next(
+            f
+            for f in os.listdir(str(tmp_path / ("tmp_" + name)))
+            if f.endswith(".parquet")
+        )
+        dst = os.path.join(src, name)
+        os.rename(os.path.join(str(tmp_path / ("tmp_" + name)), part), dst)
+        os.utime(dst, (mtime, mtime))
+
+    import datetime as dt
+
+    def t(h, m):
+        return dt.datetime(2024, 1, 1, h, m)
+
+    now = _time.time()
+    # batch 0: two events in the 10:00 window + one at 11:40 that drags
+    # the watermark (30 min) up to 11:10 — past the 10:00 window's end
+    write_file("f1.parquet", [(t(10, 0), "a"), (t(10, 10), "b"), (t(11, 40), "c")], now - 30)
+    # batch 1: in-order filler (Spark applies the late filter with the
+    # PREVIOUS batch's operative watermark, so the advancement from batch
+    # 0 takes effect for data arriving from batch 2 on)
+    write_file("f2.parquet", [(t(11, 45), "d")], now - 20)
+    # batch 2: a LATE event at 09:30 (window closed — must be dropped) and
+    # an in-order one at 11:50 (accepted into the still-open 11:00 window)
+    write_file("f3.parquet", [(t(9, 30), "late"), (t(11, 50), "e")], now - 10)
+
+    from pyspark.sql import functions as F
+
+    s = (
+        spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    agg = (
+        s.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format("window.start", "HH:mm").alias("w"), "n"
+        )
+    )
+    out = run_to_completion(agg, mode="append")
+    got = {r.w: r.n for r in out.collect()}
+    # only the finalized 10:00 window is emitted; the late 09:30 event
+    # created no 09:00 window (dropped), and the open 11:00 window is not
+    # yet final in append mode
+    assert got == {"10:00": 2}, got
