@@ -177,3 +177,56 @@ def test_broken_connector_fixture_rejects_create(spark, tmp_path):
     with pytest.raises(KeyError):
         mgr.get("brk")
     assert mgr.list() == []
+
+
+def test_auto_pause_state_survives_manager_restart(spark, tmp_path):
+    """Auto-pause state is durable: the resume-at timestamp lives in the
+    persisted spec and the held rows in the on-disk holding pen, so a
+    restarted manager (crash recovery) still auto-resumes and re-delivers
+    — the reference keeps this in ZK for the same reason."""
+    src = str(tmp_path / "in")
+    _write(src + "/a.txt", "r1\n")
+    mgr = PipelineManager(spark, str(tmp_path / "mgr"))
+    mgr.create(
+        PipelineSpec(
+            name="apr",
+            connector="file",
+            transport="broken",
+            source_uri=f"file://{src}",
+            metadata={
+                "memory.table": "apr",
+                "system.auto.pause.on.error": "true",
+                "system.auto.pause.duration.ms": "500",
+            },
+        )
+    )
+    part = (
+        spark.read.format("text")
+        .load(src)
+        .select(
+            F.pmod(F.crc32(F.col("_metadata.file_path").cast("binary")), F.lit(32))
+            .cast("int")
+            .alias("p")
+        )
+        .first()
+        .p
+    )
+    sinks.BROKEN_FAIL_PARTITIONS.add(part)
+    try:
+        mgr.process_available("apr")
+        assert list(mgr.auto_paused_partitions("apr")) == [part]
+    finally:
+        sinks.BROKEN_FAIL_PARTITIONS.discard(part)
+    # crash: stop the query, build a FRESH manager over the same workdir
+    mgr.query_of("apr").stop()
+    mgr2 = PipelineManager(spark, str(tmp_path / "mgr"))
+    assert mgr2.restore() == 1
+    assert list(mgr2.auto_paused_partitions("apr")) == [part]  # durable
+    time.sleep(0.7)
+    assert mgr2.poll_auto_resume("apr") == [part]
+    vals = [
+        bytes(r.value).decode()
+        for r in spark.sql("SELECT value FROM apr").collect()
+    ]
+    assert vals == ["r1"], "held row re-delivered after restart + expiry"
+    mgr2.delete("apr")
