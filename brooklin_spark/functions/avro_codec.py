@@ -224,3 +224,32 @@ def decode(schema: Any, payload: bytes) -> Any:
     if pos != len(payload):
         raise ValueError(f"trailing bytes: consumed {pos} of {len(payload)}")
     return value
+
+
+def resolve(writer_schema: Any, reader_schema: Any, payload: bytes) -> Any:
+    """Schema-resolution decode (the Avro spec's 'Schema Resolution'
+    section, as the reference's registry consumers rely on it): decode
+    with the WRITER schema (which the registry frame identifies), then
+    project onto the READER record — writer-only fields drop, reader-only
+    fields take their declared defaults (error if a missing field has no
+    default). Supports the record-level evolution the envelope needs;
+    nested promotion rules beyond that are out of scope."""
+    if isinstance(writer_schema, str):
+        writer_schema = json.loads(writer_schema)
+    if isinstance(reader_schema, str):
+        reader_schema = json.loads(reader_schema)
+    value = decode(writer_schema, payload)
+    if _schema_type(reader_schema) != "record":
+        return value
+    out = {}
+    for field in reader_schema["fields"]:
+        name = field["name"]
+        if name in value:
+            out[name] = value[name]
+        elif "default" in field:
+            out[name] = field["default"]
+        else:
+            raise ValueError(
+                f"reader field {name!r} absent from writer data and has no default"
+            )
+    return out

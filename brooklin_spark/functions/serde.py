@@ -180,6 +180,46 @@ def avro_serialize(struct: Column, avro_schema_json: str | None = None) -> Colum
     return _enc(struct)
 
 
+# ---------------------------------------------------------- schema registry
+
+
+class SchemaRegistry:
+    """In-memory schema registry keyed by the FRAME digest (the reference's
+    registry client analog: AvroMessageEncoderUtil embeds hex-decoded
+    registry ids, so looking a frame up means hex(digest) -> schema).
+
+    register() returns the id to frame outgoing messages with;
+    decode_framed() resolves an incoming frame's writer schema and decodes
+    its body — optionally onto a newer reader schema (Avro schema
+    resolution: dropped fields vanish, added fields take defaults)."""
+
+    def __init__(self) -> None:
+        self._by_id: dict[str, str] = {}
+
+    def register(self, schema_json: str) -> str:
+        schema_id = hashlib.md5(schema_json.encode("utf-8")).hexdigest()
+        self._by_id[schema_id] = schema_json
+        return schema_id
+
+    def get(self, schema_id: str) -> str:
+        return self._by_id[schema_id]
+
+    def decode_framed(self, framed: bytes, reader_schema_json: str | None = None):
+        from brooklin_spark.functions import avro_codec
+
+        framed = bytes(framed)
+        if framed[:1] != MAGIC_BYTE:
+            raise ValueError("not a registry-framed message (bad magic byte)")
+        schema_id = framed[1:FRAME_PREFIX_LEN].hex()
+        if schema_id not in self._by_id:
+            raise KeyError(f"unknown schema id {schema_id!r}")
+        writer = self._by_id[schema_id]
+        body = framed[FRAME_PREFIX_LEN:]
+        if reader_schema_json is None:
+            return avro_codec.decode(writer, body)
+        return avro_codec.resolve(writer, reader_schema_json, body)
+
+
 # ----------------------------------------------------------- envelope serde
 
 #: the reference's wire record, field-for-field (DatastreamEvent.avsc:1-38):

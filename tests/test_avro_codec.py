@@ -219,3 +219,56 @@ def test_codec_roundtrip_property(value):
     supported type (zigzag edges, empty collections, unicode, null
     branches)."""
     assert avro_codec.decode(_VALUE_SCHEMA, avro_codec.encode(_VALUE_SCHEMA, value)) == value
+
+
+def test_schema_registry_roundtrip_and_evolution(spark):
+    """Registry lookup by frame digest + Avro schema resolution: an old
+    (v1) frame decodes onto the evolved v2 reader — dropped fields vanish,
+    added fields take their defaults; unknown frames are rejected."""
+    from pyspark.sql import functions as F
+
+    reg = serde.SchemaRegistry()
+    v1 = json.dumps({
+        "type": "record", "name": "Ev", "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "src", "type": "string"},
+            {"name": "legacy", "type": "string"},
+        ],
+    })
+    v2 = json.dumps({
+        "type": "record", "name": "Ev", "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "src", "type": "string"},
+            {"name": "priority", "type": "long", "default": 0},
+        ],
+    })
+    v1_id = reg.register(v1)
+    reg.register(v2)
+
+    df = spark.createDataFrame([(7, "s1", "old")], "id long, src string, legacy string")
+    framed = bytes(
+        df.select(
+            serde.frame(
+                serde.avro_serialize(F.struct("id", "src", "legacy"), v1), v1_id
+            ).alias("f")
+        ).first().f
+    )
+    # writer-schema decode via digest lookup
+    assert reg.decode_framed(framed) == {"id": 7, "src": "s1", "legacy": "old"}
+    # evolution: v1 data read with the v2 reader
+    assert reg.decode_framed(framed, reader_schema_json=v2) == {
+        "id": 7, "src": "s1", "priority": 0,
+    }
+    # reader field without default and absent from writer → error
+    v3 = json.dumps({
+        "type": "record", "name": "Ev", "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "mandatory_new", "type": "string"},
+        ],
+    })
+    with pytest.raises(ValueError, match="no default"):
+        reg.decode_framed(framed, reader_schema_json=v3)
+    # unknown schema id rejected
+    unknown = b"\x00" + b"\xab" * 16 + b"body"
+    with pytest.raises(KeyError, match="unknown schema id"):
+        reg.decode_framed(unknown)
