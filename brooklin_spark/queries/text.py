@@ -382,3 +382,46 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(rank_w).cast("long"))
         .filter(F.col("rank") <= 3)
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram log-probability scoring: rank documents by how "typical" their
+# tokens are under the corpus's own unigram distribution — the statistical
+# cousin of the heuristic quality score (low scorers are boilerplate/noise
+# candidates in a training-data pipeline). Shape: one token groupBy builds
+# the unigram table; docs re-join it on token (broadcast at this vocab
+# size, shuffle join at web scale) and average log p per doc. round-8 for
+# the libm ln; integer token counts keep everything else exact.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_unigram_logprob",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOK}) AS term
+      FROM documents WHERE doc_id < 1000),
+    uni AS (SELECT term, COUNT(*) AS cnt FROM toks GROUP BY term),
+    tot AS (SELECT SUM(cnt) AS total FROM uni)
+    SELECT t.doc_id,
+           COUNT(*) AS n_tokens,
+           round(AVG(ln(u.cnt * 1.0 / tot.total)), 8) AS avg_logprob
+    FROM toks t JOIN uni u ON u.term = t.term CROSS JOIN tot
+    GROUP BY t.doc_id
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    toks = docs.select("doc_id", F.explode(X.tokens()).alias("term"))
+    uni = toks.groupBy("term").agg(F.count("*").alias("cnt"))
+    total = uni.agg(F.sum("cnt")).first()[0]  # broadcast scalar
+    return (
+        toks.join(F.broadcast(uni), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg(F.log(F.col("cnt") / F.lit(float(total)))), 8).alias(
+                "avg_logprob"
+            ),
+        )
+    )
