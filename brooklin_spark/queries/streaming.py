@@ -282,6 +282,68 @@ def streaming_cdc_before_image(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_change_detector",
+    oracle="""
+    WITH x AS (
+      SELECT user_id, event_id AS scn, props AS value,
+             LAG(props) OVER (PARTITION BY user_id ORDER BY event_id) AS prev
+      FROM events)
+    SELECT user_id, scn, value FROM x WHERE prev IS NULL OR prev <> value
+    """,
+)
+def streaming_change_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key change detection: emit a row only when the payload actually
+    CHANGED vs the last seen value — squashes no-op updates out of a CDC
+    stream (the redundant-update suppression consumers bolt onto the
+    reference's envelope stream; state is one (scn, value) per key).
+
+    Note: Spark 4's transformWithStateInPandas would be the native home
+    for this operator, but its driver worker requires google.protobuf
+    (absent in this container) — applyInPandasWithState expresses the
+    identical state machine and is the portable path."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    s = events_stream(spark, sf_dir).select(
+        F.col("user_id"), F.col("event_id").alias("scn"), F.col("props").alias("value")
+    )
+
+    def detect(key: tuple, pdfs, state: GroupState):
+        last_scn, last_val = state.get if state.exists else (-1, None)
+        batch = pd.concat(list(pdfs), ignore_index=True) if pdfs else pd.DataFrame()
+        if len(batch):
+            batch = batch.sort_values("scn", ignore_index=True)
+            prev = batch["value"].astype(object).shift(1)
+            prev.iloc[0] = last_val
+            changed = batch[
+                prev.isna() & batch["value"].notna()
+                | (prev != batch["value"])
+            ]
+            state.update(
+                (int(batch["scn"].iloc[-1]), batch["value"].iloc[-1])
+            )
+            yield pd.DataFrame(
+                {
+                    "user_id": key[0],
+                    "scn": changed["scn"].astype("int64"),
+                    "value": changed["value"],
+                }
+            )
+        else:
+            yield pd.DataFrame(columns=["user_id", "scn", "value"])
+
+    out = s.groupBy("user_id").applyInPandasWithState(
+        detect,
+        outputStructType="user_id bigint, scn bigint, value string",
+        stateStructType="last_scn bigint, last_value string",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return run_to_completion(out, mode="append")
+
+
+@query(
     "streaming_session_windows",
     oracle="""
     WITH flagged AS (
