@@ -270,6 +270,39 @@ def envelope_event_struct(df) -> Column:
     )
 
 
+def apply_serdes(df, spec):
+    """The full SerDeSet application (SerDeSet.java:16-40 +
+    DatastreamProducerRecord.serializeEvents ordering: key serde, then
+    payload serde, then envelope serde). Key/payload serdes frame the raw
+    byte columns individually; the envelope serde (if set) then serializes
+    the WHOLE envelope into `value` — matching the reference, where an
+    envelope serde subsumes the payload's wire format."""
+    key_serde = getattr(spec, "key_serde", None)
+    payload_serde = getattr(spec, "payload_serde", None)
+    schema_id = spec.metadata.get("serde.schema.id", "") if spec.metadata else ""
+    if key_serde:
+        if key_serde != "framedBytes":
+            raise ValueError(f"unknown key serde {key_serde!r}")
+        sid = schema_id or "key-bytes-v1"
+        df = df.withColumn(
+            "key",
+            F.when(
+                F.col("key").isNotNull(), frame(F.col("key"), sid)
+            ),
+        )
+    if payload_serde:
+        if payload_serde != "framedBytes":
+            raise ValueError(f"unknown payload serde {payload_serde!r}")
+        sid = schema_id or "payload-bytes-v1"
+        df = df.withColumn(
+            "value",
+            F.when(
+                F.col("value").isNotNull(), frame(F.col("value"), sid)
+            ),
+        )
+    return apply_envelope_serde(df, spec)
+
+
 def apply_envelope_serde(df, spec):
     """Apply the spec's envelope serde before the transport (the
     DatastreamProducerRecord.serializeEvents step,

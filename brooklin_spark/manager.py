@@ -452,6 +452,10 @@ class PipelineManager:
                     "dead_letters": (
                         dl.count() if (dl := self.dead_letters(spec.name)) is not None else 0
                     ),
+                    # pausedSourcePartitions surface (manual + auto with
+                    # resume-at, the /datastream diag payload analog)
+                    "paused_partitions": self.paused_source_partitions(spec.name),
+                    "auto_paused": self.auto_paused_partitions(spec.name),
                 }
             )
         return out

@@ -36,9 +36,9 @@ def _serde_applied(df: DataFrame, spec: PipelineSpec) -> DataFrame:
     skip serdes."""
     if spec.transport in ("materialize", "directory"):
         return df
-    from brooklin_spark.functions.serde import apply_envelope_serde
+    from brooklin_spark.functions.serde import apply_serdes
 
-    return apply_envelope_serde(df, spec)
+    return apply_serdes(df, spec)
 
 
 def build_writer(df: DataFrame, spec: PipelineSpec) -> DataStreamWriter:

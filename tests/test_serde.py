@@ -85,3 +85,36 @@ def test_json_serde_roundtrip(spark):
 def test_avro_gated():
     # spark-avro may or may not be present; the probe must not raise
     assert serde.avro_available() in (True, False)
+
+
+def test_key_and_payload_serdes_applied_in_order(spark, tmp_path):
+    """SerDeSet application order (key → payload → envelope,
+    DatastreamProducerRecord.java:73-88): framedBytes key/payload serdes
+    wrap the raw byte columns in the registry frame; null keys stay null."""
+    from brooklin_spark.manager import PipelineManager
+    from brooklin_spark.model import PipelineSpec
+    import os
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    with open(os.path.join(src, "a.txt"), "w") as f:
+        f.write("payload-1\n")
+    mgr = PipelineManager(spark, str(tmp_path / "mgr"))
+    spec = PipelineSpec(
+        name="serdes",
+        connector="file",
+        transport="memory",
+        source_uri=f"file://{src}",
+        metadata={"memory.table": "serdes", "serde.schema.id": "ab" * 16},
+    )
+    spec.payload_serde = "framedBytes"
+    spec.key_serde = "framedBytes"  # file source keys are null → stay null
+    mgr.create(spec)
+    mgr.process_available("serdes")
+    row = spark.sql("SELECT key, value FROM serdes").first()
+    assert row.key is None  # null key not framed
+    framed = bytes(row.value)
+    assert framed[0:1] == serde.MAGIC_BYTE
+    assert framed[1:17] == bytes.fromhex("ab" * 16)
+    assert framed[17:] == b"payload-1"
+    mgr.delete("serdes")
