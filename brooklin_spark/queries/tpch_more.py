@@ -509,18 +509,45 @@ def join_salted_skew_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataF
 
 
 # ---------------------------------------------------------------------------
-# Sketch aggregates (rows-only: HLL implementations differ across engines by
-# design; the exact twin is oracle-checked in distinct_parts_per_brand).
+# Sketch aggregates. HLL sketch VALUES differ across engines by design, so
+# the oracle-checked contract is the sketch's accuracy GUARANTEE: exact
+# distinct counts carry the values, and booleans assert the 1%-rsd
+# estimates landed within 5% (5 standard deviations — deterministically
+# true for a correct HLL, and the property a user of the sketch relies on).
 # ---------------------------------------------------------------------------
 
 
-@query("approx_distinct_sketch")
+@query(
+    "approx_distinct_sketch",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS exact_parts,
+           COUNT(DISTINCT l_orderkey) AS exact_orders,
+           TRUE AS parts_within_5pct,
+           TRUE AS orders_within_5pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    agg = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
         F.count_distinct("l_partkey").alias("exact_parts"),
         F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
+        F.count_distinct("l_orderkey").alias("exact_orders"),
+    )
+
+    def within(approx: str, exact: str):
+        return (
+            F.abs(F.col(approx) - F.col(exact)) / F.col(exact) <= 0.05
+        ).alias(approx.replace("approx_", "") + "_within_5pct")
+
+    return agg.select(
+        "l_returnflag",
+        "exact_parts",
+        "exact_orders",
+        within("approx_parts", "exact_parts"),
+        within("approx_orders", "exact_orders"),
     )
 
 
