@@ -39,6 +39,13 @@ BENCH_QUERIES = [
     "text_quality_by_lang",
     "q7_nation_volume",
     "join_salted_skew_supplier_revenue",
+    # round-2 additions: the new data-heavy operator families
+    "text_tfidf_top_terms",
+    "text_unigram_logprob",
+    "dedup_decontamination_flags",
+    "dedup_embedding_srp_pairs",
+    "ivf_kmeans_refine",
+    "percentile_battery",
 ]
 
 

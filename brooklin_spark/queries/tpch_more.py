@@ -616,15 +616,22 @@ def range_join_promo_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def percentile_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
-
-    def pct(col: str, q: float, alias: str):
-        return F.round(F.percentile(F.col(col), F.lit(q)), 8).alias(alias)
-
-    return li.groupBy("l_returnflag").agg(
-        pct("l_extendedprice", 0.25, "price_p25"),
-        pct("l_extendedprice", 0.5, "price_p50"),
-        pct("l_extendedprice", 0.75, "price_p75"),
-        pct("l_extendedprice", 0.99, "price_p99"),
-        pct("l_quantity", 0.5, "qty_median"),
+    # ONE percentile aggregate per column (array of quantiles): each exact
+    # percentile buffers every group value, so 4 scalar aggregates would
+    # pay the buffer 4x — the array form computes all quantiles from a
+    # single buffer (measured ~3x at sf0.1)
+    qs = F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75), F.lit(0.99))
+    agg = li.groupBy("l_returnflag").agg(
+        F.percentile(F.col("l_extendedprice"), qs).alias("pp"),
+        F.percentile(F.col("l_quantity"), F.lit(0.5)).alias("qm"),
         F.count("*").alias("n"),
+    )
+    return agg.select(
+        "l_returnflag",
+        F.round(F.col("pp")[0], 8).alias("price_p25"),
+        F.round(F.col("pp")[1], 8).alias("price_p50"),
+        F.round(F.col("pp")[2], 8).alias("price_p75"),
+        F.round(F.col("pp")[3], 8).alias("price_p99"),
+        F.round(F.col("qm"), 8).alias("qty_median"),
+        "n",
     )
