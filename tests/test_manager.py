@@ -357,3 +357,36 @@ def test_authorizer_spi_enforced(spark, workdir, tmp_path):
     mgr.resume("authz", principal="alice")
     mgr.delete("authz", principal="alice")
     assert mgr.list() == []
+
+
+def test_many_concurrent_pipelines(spark, workdir, tmp_path):
+    """Control-plane robustness: several independent pipelines run
+    concurrently in one manager (the reference's multitenancy premise);
+    diagnostics and the metrics reduce see all of them; deletes tear each
+    down without disturbing the others."""
+    names = [f"mt{i}" for i in range(5)]
+    mgr = PipelineManager(spark, workdir)
+    for i, name in enumerate(names):
+        src = str(tmp_path / f"in{i}")
+        _write_lines(src + "/a.txt", [f"{name}-r1", f"{name}-r2"])
+        mgr.create(_file_spec(name, src))
+    for name in names:
+        mgr.process_available(name)
+    for name in names:
+        vals = sorted(
+            bytes(r.value).decode()
+            for r in spark.sql(f"SELECT value FROM {name}").collect()
+        )
+        assert vals == [f"{name}-r1", f"{name}-r2"]
+    diag = {d["name"]: d for d in mgr.diagnostics()}
+    assert len(diag) == 5 and all(d["active"] for d in diag.values())
+    m = mgr.metrics_summary()
+    assert m["pipelines"] == 5 and m["active_queries"] == 5
+    assert m["recent_input_rows"] >= 10
+    # deleting one leaves the rest running
+    mgr.delete(names[0])
+    assert mgr.query_of(names[1]).isActive
+    assert len(mgr.list()) == 4
+    for name in names[1:]:
+        mgr.delete(name)
+    assert mgr.list() == []
