@@ -282,6 +282,49 @@ def streaming_cdc_before_image(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_trending_types",
+    oracle="""
+    WITH counts AS (
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+             event_type, COUNT(*) AS n
+      FROM events GROUP BY 1, 2),
+    ranked AS (
+      SELECT window_start, event_type, n,
+             ROW_NUMBER() OVER (PARTITION BY window_start
+                                ORDER BY n DESC, event_type ASC) AS rank
+      FROM counts)
+    SELECT window_start, event_type, n, rank FROM ranked WHERE rank <= 3
+    """,
+)
+def streaming_trending_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending detection: top-3 event types per hourly window — the
+    windowed-rank composition a live dashboard sits on. Complete-mode
+    windowed counts drain from the engine; the rank runs over the drained
+    batch (ranking a complete-mode aggregate inside the stream would need
+    a second stateful stage — the standard pattern is exactly this:
+    aggregate in-stream, rank at read)."""
+    s = events_stream(spark, sf_dir)
+    agg = (
+        s.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour"), F.col("event_type"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
+    drained = run_to_completion(agg, mode="complete")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("window_start").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        drained.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+    )
+
+
+@query(
     "streaming_change_detector",
     oracle="""
     WITH x AS (
