@@ -425,3 +425,50 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-size stratified sample: exactly K documents per language, chosen by
+# deterministic hash order (md5 of the id) — the fixed-budget companion to
+# the rate-based sampler above (an eval-set builder wants "500 docs per
+# language", not "roughly 10%"). One rank window per stratum; the hash
+# order makes the pick reproducible across runs AND engines.
+# ---------------------------------------------------------------------------
+
+_STRATUM_K = 40
+
+
+@query(
+    "sample_stratified_exact",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rk
+      FROM documents)
+    SELECT lang,
+           COUNT(*) AS n_sampled,
+           CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM ranked WHERE rk <= {_STRATUM_K}
+    GROUP BY lang
+    """,
+)
+def sample_stratified_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = table(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.select("doc_id", "lang", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= _STRATUM_K)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.sum("doc_id").cast("bigint").alias("id_checksum"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+        )
+    )
