@@ -295,3 +295,70 @@ def dedup_decontamination_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_shared") >= _DECON_K).alias("contaminated"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH self-evaluation: recall of the banded MinHash candidate generator
+# against ground-truth jaccard >= 0.7 pairs — the measurement that
+# justifies a banding config before trusting it on 100 TB (bands/rows set
+# the theoretical S-curve; this measures the realized recall on the
+# corpus). Integer counts + a round-6 ratio keep it hash-exact.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_lsh_recall",
+    oracle=f"""
+    WITH {G.shingle_cte(3)},
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    cpairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    truth AS (
+      SELECT doc_a, doc_b FROM cpairs
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE common * 1.0 / (sa.n_sh + sb.n_sh - common) >= 0.7),
+    sig AS ({G.minhash_km_select(_MH)}),
+    banded AS ({" UNION ALL ".join(G.band_int_exprs(_BANDS, _ROWS))}),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM banded x JOIN banded y
+        ON x.band_id = y.band_id AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
+    hit AS (SELECT t.doc_a, t.doc_b FROM truth t JOIN cand c
+            ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b)
+    SELECT (SELECT COUNT(*) FROM truth) AS n_true_pairs,
+           (SELECT COUNT(*) FROM cand) AS n_candidates,
+           (SELECT COUNT(*) FROM hit) AS n_recalled,
+           round((SELECT COUNT(*) FROM hit) * 1.0
+                 / NULLIF((SELECT COUNT(*) FROM truth), 0), 6) AS recall
+    """,
+)
+def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    sh = (
+        D.shingle_arrays_pandas(docs, n=3)
+        .select(
+            "id",
+            F.size("shingles").alias("n"),
+            F.explode("shingles").alias("s"),
+        )
+        .select("id", "n", F.xxhash64("s").alias("shingle"))
+        .localCheckpoint()
+    )
+    truth = D.jaccard_pairs_selfjoin(sh, threshold=0.7).select("doc_a", "doc_b")
+    arr = D.shingle_arrays_pandas(docs, n=3).localCheckpoint()
+    sig = D.minhash_signature_pandas(arr, num_hashes=_MH).localCheckpoint()
+    cand = D.lsh_candidate_pairs(sig, bands=_BANDS, rows_per_band=_ROWS).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+    hit = truth.join(cand, ["doc_a", "doc_b"])
+    n_true = truth.count()
+    n_cand = cand.count()
+    n_hit = hit.count()
+    recall = round(n_hit / n_true, 6) if n_true else None
+    return spark.createDataFrame(
+        [(n_true, n_cand, n_hit, recall)],
+        "n_true_pairs bigint, n_candidates bigint, n_recalled bigint, recall double",
+    )
