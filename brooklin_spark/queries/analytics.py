@@ -100,3 +100,54 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("active_users"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Hourly anomaly score: per event type, z-score of each hour's volume
+# against the type's own mean/stddev — the monitoring shape a pipeline
+# operator alarms on (traffic spikes/drops per stream). Two aggregations;
+# the per-type stats broadcast back onto the hourly counts. round-8 on the
+# z-score (libm sqrt/division policy); sample stddev on exact integer
+# counts matches across engines.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_hourly_anomaly_zscore",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type,
+             strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2),
+    stats AS (
+      SELECT event_type, AVG(n) AS mu, STDDEV_SAMP(n) AS sigma
+      FROM hourly GROUP BY event_type)
+    SELECT h.event_type, h.hour, h.n,
+           round((h.n - s.mu) / s.sigma, 8) AS zscore,
+           CAST(abs((h.n - s.mu) / s.sigma) > 3.0 AS BOOLEAN) AS is_anomaly
+    FROM hourly h JOIN stats s ON s.event_type = h.event_type
+    WHERE s.sigma > 0
+    """,
+)
+def events_hourly_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+    ).agg(F.count("*").alias("n"))
+    stats = hourly.groupBy("event_type").agg(
+        F.avg("n").alias("mu"), F.stddev_samp("n").alias("sigma")
+    )
+    z = (F.col("n") - F.col("mu")) / F.col("sigma")
+    return (
+        hourly.join(F.broadcast(stats), "event_type")
+        .filter(F.col("sigma") > 0)
+        .select(
+            "event_type",
+            "hour",
+            "n",
+            F.round(z, 8).alias("zscore"),
+            (F.abs(z) > 3.0).alias("is_anomaly"),
+        )
+    )
