@@ -215,3 +215,61 @@ def test_watermark_drops_late_data_across_batches(spark, tmp_path):
     # created no 09:00 window (dropped), and the open 11:00 window is not
     # yet final in append mode
     assert got == {"10:00": 2}, got
+
+
+def test_stateful_aggregation_survives_query_restart(spark, tmp_path):
+    """Windowed-count STATE is checkpoint-durable: stop the query
+    mid-stream, restart against the same checkpoint, deliver more data —
+    the restarted query's windows aggregate across both lives (the state
+    store restore the engine gives us for free; the reference rebuilds
+    the equivalent from its own offset checkpoints)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "stream")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    sch = "ts timestamp, k string"
+    import datetime as dt
+
+    def t(m):
+        return dt.datetime(2024, 1, 1, 10, m)
+
+    def write_rows(name, rows):
+        tmp = str(tmp_path / ("tmp_" + name))
+        spark.createDataFrame(rows, sch).coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        os.rename(os.path.join(tmp, part), os.path.join(src, name))
+
+    def start_query(sink_rows):
+        s = spark.readStream.schema(sch).parquet(src)
+        agg = (
+            s.groupBy(F.window("ts", "1 hour"))
+            .agg(F.count("*").alias("n"))
+            .select(F.date_format("window.start", "HH:mm").alias("w"), "n")
+        )
+        return (
+            agg.writeStream.foreachBatch(
+                lambda bdf, _e: sink_rows.__setitem__(
+                    "last", {r.w: r.n for r in bdf.collect()}
+                )
+            )
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    out: dict = {"last": {}}
+    write_rows("f1.parquet", [(t(0), "a"), (t(5), "b")])
+    q = start_query(out)
+    q.processAllAvailable()
+    assert out["last"] == {"10:00": 2}
+    q.stop()  # crash
+
+    write_rows("f2.parquet", [(t(10), "c"), (t(20), "d")])
+    q2 = start_query(out)
+    q2.processAllAvailable()
+    q2.stop()
+    # restored state: 2 (pre-crash) + 2 (post-restart) in the same window
+    assert out["last"] == {"10:00": 4}
