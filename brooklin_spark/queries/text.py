@@ -472,3 +472,57 @@ def sample_stratified_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").cast("bigint").alias("first_doc"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Mixture rebalancing: downsample every source to the SMALLEST source's
+# size (equal-share mixture), picking survivors by deterministic hash
+# order — the data-dependent-budget companion to the fixed-K stratified
+# sampler (a training mix wants controlled source proportions, not
+# whatever the crawl produced). The per-source budget is a broadcast
+# scalar; survivors come from one rank window per source.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sample_mixture_rebalance",
+    oracle="""
+    WITH per_source AS (
+      SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+    budget AS (SELECT MIN(n) AS k FROM per_source),
+    ranked AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rk
+      FROM documents)
+    SELECT r.source,
+           COUNT(*) AS n_kept,
+           CAST(SUM(r.doc_id) AS BIGINT) AS id_checksum
+    FROM ranked r CROSS JOIN budget b
+    WHERE r.rk <= b.k
+    GROUP BY r.source
+    """,
+)
+def sample_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = table(spark, sf_dir, "documents")
+    k = (
+        docs.groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .agg(F.min("n"))
+        .first()[0]
+    )  # broadcast scalar: the equal-share budget
+    w = W.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.select("doc_id", "source", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= k)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum("doc_id").cast("bigint").alias("id_checksum"),
+        )
+    )
