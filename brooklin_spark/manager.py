@@ -279,7 +279,20 @@ class PipelineManager:
         still = sorted(
             set(auto) | set(json.loads(spec.metadata.get("system.paused.partitions", "[]")))
         )
-        self._flush_holding(spec, still_paused=still)
+        try:
+            self._flush_holding(spec, still_paused=still)
+        except Exception:
+            # destination still failing: the held rows are untouched
+            # (_flush_holding only prunes the pen AFTER a successful send),
+            # so RE-pause the partitions for another duration instead of
+            # failing the stream — the reference re-enters sendError pause
+            # state the same way on a failed resume
+            conf = self._auto_pause_conf(spec) or {"duration_ms": 600_000}
+            retry_at = _time.time() * 1000 + conf["duration_ms"]
+            for p in expired:
+                auto[p] = retry_at
+            self._set_auto_paused(name, auto)
+            return []
         self._set_auto_paused(name, auto)
         return expired
 

@@ -90,8 +90,14 @@ def test_auto_pause_and_timed_auto_resume_no_loss(spark, tmp_path):
     finally:
         sinks.BROKEN_FAIL_PARTITIONS.discard(part)
     # transport healthy again; pause expires → poll re-admits + re-delivers
-    time.sleep(1.0)
-    assert mgr.poll_auto_resume("ap") == [part]
+    # (deadline loop: a slow batch may have hit the still-broken transport
+    # after expiry, legitimately RE-pausing for another duration)
+    deadline = time.time() + 15
+    resumed: list = []
+    while time.time() < deadline and not resumed:
+        time.sleep(0.3)
+        resumed = mgr.poll_auto_resume("ap")
+    assert resumed == [part]
     assert mgr.auto_paused_partitions("ap") == {}
     vals = sorted(
         bytes(r.value).decode()
@@ -222,8 +228,12 @@ def test_auto_pause_state_survives_manager_restart(spark, tmp_path):
     mgr2 = PipelineManager(spark, str(tmp_path / "mgr"))
     assert mgr2.restore() == 1
     assert list(mgr2.auto_paused_partitions("apr")) == [part]  # durable
-    time.sleep(0.7)
-    assert mgr2.poll_auto_resume("apr") == [part]
+    deadline = time.time() + 15
+    resumed: list = []
+    while time.time() < deadline and not resumed:
+        time.sleep(0.3)
+        resumed = mgr2.poll_auto_resume("apr")
+    assert resumed == [part]
     vals = [
         bytes(r.value).decode()
         for r in spark.sql("SELECT value FROM apr").collect()
