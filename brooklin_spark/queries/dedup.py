@@ -362,3 +362,68 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n_true, n_cand, n_hit, recall)],
         "n_true_pairs bigint, n_candidates bigint, n_recalled bigint, recall double",
     )
+
+
+# ---------------------------------------------------------------------------
+# Triangle count on the near-dup graph: per connected component, how many
+# edge triangles its pairs form — the cluster-density diagnostic (a clique
+# of exact copies is triangle-dense; a chain of drifting revisions has
+# none). Edges ordered a<b<c so each triangle counts once; two self-joins
+# on the (small) pair set — the pair DETECTION stays banded, only the
+# detected edges enter the cubic-shaped join.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_graph_triangles",
+    oracle=f"""
+    WITH {G.shingle_cte(3)},
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    cpairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    e AS (
+      SELECT doc_a AS a, doc_b AS b FROM cpairs
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE common * 1.0 / (sa.n_sh + sb.n_sh - common) >= 0.7)
+    SELECT COUNT(*) AS n_triangles,
+           (SELECT COUNT(*) FROM e) AS n_edges
+    FROM e e1
+    JOIN e e2 ON e2.a = e1.b
+    JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    """,
+)
+def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    sh = (
+        D.shingle_arrays_pandas(docs, n=3)
+        .select(
+            "id",
+            F.size("shingles").alias("n"),
+            F.explode("shingles").alias("s"),
+        )
+        .select("id", "n", F.xxhash64("s").alias("shingle"))
+        .localCheckpoint()
+    )
+    e = (
+        D.jaccard_pairs_selfjoin(sh, threshold=0.7)
+        .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .localCheckpoint()  # tiny edge set feeds three join sides
+    )
+    e1 = e.alias("e1")
+    e2 = e.alias("e2")
+    e3 = e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .count()
+    )
+    n_edges = e.count()
+    return spark.createDataFrame(
+        [(tri, n_edges)], "n_triangles bigint, n_edges bigint"
+    )

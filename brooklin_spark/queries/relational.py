@@ -834,3 +834,43 @@ def snapshot_hash_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy(shard.alias("shard")).agg(
         F.count("*").alias("n_rows"), F.sum("l_orderkey").alias("key_sum")
     )
+
+
+# ---------------------------------------------------------------------------
+# Pure-SQL interface: the same engine surface through spark.sql() over
+# registered views (io.register_views) — users who think in SQL get the
+# identical Catalyst plans the DataFrame API produces; this query pins
+# that the SQL front door stays wired.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sql_interface_revenue_by_region",
+    oracle="""
+    SELECT r.r_name AS region,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l.l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def sql_interface_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from brooklin_spark.io import register_views
+
+    register_views(spark, sf_dir, "lineitem", "supplier", "nation", "region")
+    return spark.sql(
+        """
+        SELECT r.r_name AS region,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                        * (CAST(1 AS DECIMAL(12,2)) - CAST(l.l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        GROUP BY r.r_name
+        """
+    )
