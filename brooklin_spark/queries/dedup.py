@@ -427,3 +427,48 @@ def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(tri, n_edges)], "n_triangles bigint, n_edges bigint"
     )
+
+
+# ---------------------------------------------------------------------------
+# Pair-similarity histogram: the jaccard distribution over all pairs
+# sharing a shingle, in 0.1 bins — the evidence behind a dedup threshold
+# choice (this corpus shows the clean gap: mass below 0.3, near-dups
+# above 0.9, nothing in between). Same capped self-join as the detector;
+# one extra tiny groupBy on the bin.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_pair_similarity_histogram",
+    oracle=f"""
+    WITH {G.shingle_cte(3)},
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    cpairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    jac AS (
+      SELECT common * 1.0 / (sa.n_sh + sb.n_sh - common) AS j
+      FROM cpairs
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b)
+    SELECT CAST(LEAST(floor(j * 10), 9) AS INTEGER) AS bin,
+           COUNT(*) AS n_pairs
+    FROM jac GROUP BY 1
+    """,
+)
+def dedup_pair_similarity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    sh = (
+        D.shingle_arrays_pandas(docs, n=3)
+        .select(
+            "id",
+            F.size("shingles").alias("n"),
+            F.explode("shingles").alias("s"),
+        )
+        .select("id", "n", F.xxhash64("s").alias("shingle"))
+        .localCheckpoint()
+    )
+    pairs = D.jaccard_pairs_selfjoin(sh, threshold=0.0)
+    bin_col = F.least(F.floor(F.col("jaccard") * 10), F.lit(9)).cast("int")
+    return pairs.groupBy(bin_col.alias("bin")).agg(F.count("*").alias("n_pairs"))
