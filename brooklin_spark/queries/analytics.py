@@ -151,3 +151,45 @@ def events_hourly_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(z) > 3.0).alias("is_anomaly"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# DAU / rolling WAU: distinct users per day and per trailing 7-day window.
+# Rolling COUNT DISTINCT can't ride a window frame (distinct state isn't
+# mergeable per-frame), so the scale shape is the day×activity range join
+# on the (tiny) distinct (day, user) set — |days|·7 join rows, never raw
+# events. The canonical activity metric every event pipeline reports.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_dau_wau",
+    oracle="""
+    WITH d AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+    days AS (SELECT DISTINCT day FROM d)
+    SELECT strftime(days.day, '%Y-%m-%d') AS day,
+           (SELECT COUNT(DISTINCT d2.user_id) FROM d d2
+             WHERE d2.day = days.day) AS dau,
+           (SELECT COUNT(DISTINCT d3.user_id) FROM d d3
+             WHERE d3.day BETWEEN days.day - 6 AND days.day) AS wau
+    FROM days
+    """,
+)
+def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    d = e.select(F.col("ts").cast("date").alias("day"), "user_id").distinct()
+    days = d.select("day").distinct()
+    dau = d.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    win = days.alias("w").join(
+        d.alias("a"),
+        (F.col("a.day") <= F.col("w.day"))
+        & (F.col("a.day") >= F.date_sub(F.col("w.day"), 6)),
+    )
+    wau = win.groupBy(F.col("w.day").alias("day")).agg(
+        F.countDistinct("a.user_id").alias("wau")
+    )
+    return (
+        days.join(dau, "day")
+        .join(wau, "day")
+        .select(F.date_format("day", "yyyy-MM-dd").alias("day"), "dau", "wau")
+    )
