@@ -526,3 +526,80 @@ def sample_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("doc_id").cast("bigint").alias("id_checksum"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus health report: the per-source dashboard row a data curator reads
+# before training — volume, exact-duplicate rate, token budget, dominant
+# language. One scan feeding two grouped aggregates (fingerprint dup
+# stats ride the md5 groupBy; everything else is per-source sums), then a
+# broadcast join of the two small summaries.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "corpus_health_report",
+    oracle="""
+    WITH fp AS (
+      SELECT source, md5(text) AS f, COUNT(*) AS n
+      FROM documents GROUP BY source, md5(text)),
+    dup AS (
+      SELECT source,
+             CAST(SUM(n) AS BIGINT) AS n_docs,
+             CAST(SUM(n) - COUNT(*) AS BIGINT) AS n_redundant
+      FROM fp GROUP BY source),
+    tok AS (
+      SELECT source,
+             CAST(SUM(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT)
+               AS total_tokens,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      FROM documents GROUP BY source),
+    langs AS (
+      SELECT source, lang, COUNT(*) AS nl,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY COUNT(*) DESC, lang ASC) AS rk
+      FROM documents GROUP BY source, lang)
+    SELECT d.source, d.n_docs, d.n_redundant,
+           round(d.n_redundant * 1.0 / d.n_docs, 6) AS dup_rate,
+           t.total_tokens, t.total_chars,
+           l.lang AS dominant_lang
+    FROM dup d
+    JOIN tok t ON t.source = d.source
+    JOIN langs l ON l.source = d.source AND l.rk = 1
+    """,
+)
+def corpus_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = table(spark, sf_dir, "documents")
+    fp = docs.groupBy("source", F.md5("text").alias("f")).agg(
+        F.count("*").alias("n")
+    )
+    dup = fp.groupBy("source").agg(
+        F.sum("n").cast("bigint").alias("n_docs"),
+        (F.sum("n") - F.count("*")).cast("bigint").alias("n_redundant"),
+    )
+    tok = docs.groupBy("source").agg(
+        F.sum(X.token_count()).cast("bigint").alias("total_tokens"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+    lw = W.partitionBy("source").orderBy(F.desc("nl"), F.asc("lang"))
+    langs = (
+        docs.groupBy("source", "lang")
+        .agg(F.count("*").alias("nl"))
+        .withColumn("rk", F.row_number().over(lw))
+        .filter(F.col("rk") == 1)
+        .select("source", F.col("lang").alias("dominant_lang"))
+    )
+    return (
+        dup.join(F.broadcast(tok), "source")
+        .join(F.broadcast(langs), "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_redundant",
+            F.round(F.col("n_redundant") / F.col("n_docs"), 6).alias("dup_rate"),
+            "total_tokens",
+            "total_chars",
+            "dominant_lang",
+        )
+    )
