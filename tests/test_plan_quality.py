@@ -257,3 +257,22 @@ def test_date_partitioned_layout_prunes_partitions(spark, sf_smoke, tmp_path):
     want = ev.filter(F.date_format("ts", "yyyy-MM-dd") == one_day).count()
     got = q.agg({"count": "sum"}).first()[0]
     assert got == want > 0
+
+
+def test_decontamination_broadcasts_benchmark_side(spark, sf_correct):
+    """Decontamination must stream the corpus against a BROADCAST benchmark
+    shingle set — no corpus self-join, no shuffle of the corpus for the
+    membership probe."""
+    df = _q(spark, sf_correct, "dedup_decontamination_flags")
+    plan = executed_plan(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_unigram_logprob_broadcasts_vocabulary(spark, sf_correct):
+    """The unigram table joins back onto the token stream as a broadcast at
+    this vocabulary size (AQE may pick either side; what must NOT happen
+    is a sort-merge join of the token stream)."""
+    df = _q(spark, sf_correct, "text_unigram_logprob")
+    plan = executed_plan(df)
+    assert "SortMergeJoin" not in plan, plan
