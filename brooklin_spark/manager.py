@@ -188,6 +188,27 @@ class PipelineManager:
         check(self.authorizer, spec, Operation.UPDATE, principal)
         self._start(spec)  # transitions PAUSED/STOPPED -> READY (validated)
 
+    def rewind(self, name: str, principal: str = "anonymous") -> None:
+        """Deliberate replay: stop the query, DISCARD its checkpoint (and
+        holding pen), restart from the spec's start position — the
+        operator-initiated offset rewind the reference exposes through
+        datastream restart with a new start position (SURVEY §2.8;
+        ZookeeperCheckpointProvider state is the analog being reset).
+        Downstream sees at-least-once re-delivery by design; idempotent
+        sinks (materialize, keyed stores) converge, append sinks duplicate
+        — the same contract as the reference's rewind."""
+        from brooklin_spark.security import Operation, check
+
+        spec = self.get(name)
+        check(self.authorizer, spec, Operation.UPDATE, principal)
+        r = self._running.pop(name, None)
+        if r and r.query is not None and r.query.isActive:
+            r.query.stop()
+        shutil.rmtree(os.path.join(self.checkpoint_root, name), ignore_errors=True)
+        shutil.rmtree(self._holding_dir(name), ignore_errors=True)
+        if spec.status == PipelineStatus.READY:
+            self._start(spec, already_ready=True)
+
     def stop(self, name: str) -> None:
         spec = self.get(name)
         self._transition(spec, PipelineStatus.STOPPING)
