@@ -472,3 +472,72 @@ def dedup_pair_similarity_histogram(spark: SparkSession, sf_dir: str) -> DataFra
     pairs = D.jaccard_pairs_selfjoin(sh, threshold=0.0)
     bin_col = F.least(F.floor(F.col("jaccard") * 10), F.lit(9)).cast("int")
     return pairs.groupBy(bin_col.alias("bin")).agg(F.count("*").alias("n_pairs"))
+
+
+# ---------------------------------------------------------------------------
+# Dedup APPLY: the action that detection exists for — drop every document
+# that is not its cluster's canonical (min-id) member and report the
+# surviving corpus per source. Detection → components → anti-join is the
+# whole near-dup removal pipeline in one query; the anti-join's right side
+# is only the non-canonical ids (tiny), so the corpus streams.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_apply_keep_canonical",
+    oracle=f"""
+    WITH RECURSIVE {G.shingle_cte(3)},
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    cpairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    dup_pairs AS (
+      SELECT doc_a, doc_b FROM cpairs
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE common * 1.0 / (sa.n_sh + sb.n_sh - common) >= 0.7),
+    nodes AS (
+      SELECT DISTINCT id FROM (
+        SELECT doc_a AS id FROM dup_pairs UNION SELECT doc_b FROM dup_pairs)),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM dup_pairs
+      UNION SELECT doc_b, doc_a FROM dup_pairs),
+    reach(id, r) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r),
+    drop_ids AS (
+      SELECT id AS doc_id FROM reach GROUP BY id HAVING MIN(r) <> id)
+    SELECT d.source,
+           COUNT(*) AS n_kept,
+           CAST(SUM(d.doc_id) AS BIGINT) AS id_checksum,
+           CAST(SUM(d.n_chars) AS BIGINT) AS chars_kept
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM drop_ids)
+    GROUP BY d.source
+    """,
+)
+def dedup_apply_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    sh = (
+        D.shingle_arrays_pandas(docs, n=3)
+        .select(
+            "id",
+            F.size("shingles").alias("n"),
+            F.explode("shingles").alias("s"),
+        )
+        .select("id", "n", F.xxhash64("s").alias("shingle"))
+        .localCheckpoint()
+    )
+    pairs = D.jaccard_pairs_selfjoin(sh, threshold=0.7).select("doc_a", "doc_b")
+    comps = D.connected_components(pairs)
+    drop_ids = comps.filter(F.col("comp") != F.col("id")).select(
+        F.col("id").alias("doc_id")
+    )
+    kept = docs.join(F.broadcast(drop_ids), "doc_id", "left_anti")
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("doc_id").cast("bigint").alias("id_checksum"),
+        F.sum("n_chars").cast("bigint").alias("chars_kept"),
+    )
