@@ -263,3 +263,62 @@ def ivf_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_srp_lsh_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     return S.srp_ann_top1(emb, planes=_PLANES)
+
+
+# ---------------------------------------------------------------------------
+# Cross-modal linkage: document text metadata joined to embedding labels —
+# the docs ⋈ vectors shape every retrieval/training pipeline has (text in
+# one table, vectors in another, linked by id). Per label: corpus volume,
+# length profile, dominant language. Vector table broadcast at this size;
+# at scale both sides bucket by id (operators/bucketing.py).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "docs_embedding_label_profile",
+    oracle="""
+    WITH joined AS (
+      SELECT e.label, d.doc_id, d.n_chars, d.lang
+      FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id),
+    langs AS (
+      SELECT label, lang, COUNT(*) AS nl,
+             ROW_NUMBER() OVER (PARTITION BY label ORDER BY COUNT(*) DESC, lang ASC) AS rk
+      FROM joined GROUP BY label, lang)
+    SELECT j.label,
+           COUNT(*) AS n_docs,
+           CAST(SUM(j.n_chars) AS BIGINT) AS total_chars,
+           CAST(MIN(j.doc_id) AS BIGINT) AS first_doc,
+           MAX(l.lang) AS dominant_lang
+    FROM joined j
+    JOIN langs l ON l.label = j.label AND l.rk = 1
+    GROUP BY j.label
+    """,
+)
+def docs_embedding_label_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = table(spark, sf_dir, "documents")
+    emb = table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "label"
+    )
+    joined = docs.join(F.broadcast(emb), "doc_id")
+    lw = W.partitionBy("label").orderBy(F.desc("nl"), F.asc("lang"))
+    langs = (
+        joined.groupBy("label", "lang")
+        .agg(F.count("*").alias("nl"))
+        .withColumn("rk", F.row_number().over(lw))
+        .filter(F.col("rk") == 1)
+        .select("label", F.col("lang").alias("dominant_lang"))
+    )
+    return (
+        joined.groupBy("label")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+        )
+        .join(F.broadcast(langs), "label")
+        .select(
+            "label", "n_docs", "total_chars", "first_doc", "dominant_lang"
+        )
+    )
