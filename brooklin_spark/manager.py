@@ -32,7 +32,7 @@ from pyspark.sql.streaming import StreamingQuery
 
 from brooklin_spark.model import PipelineSpec, PipelineStatus, can_transition
 from brooklin_spark.sinks.registry import build_writer, write_batch
-from brooklin_spark.sources import build_source
+from brooklin_spark.sources import build_source, commit_source
 
 
 @dataclass
@@ -136,16 +136,24 @@ class PipelineManager:
         self._transition(spec, PipelineStatus.DELETING)
         r = self._running.pop(name, None)
         promoted = False
+        is_member = False
         if r is not None and r.group:
             # deleting a group LEADER with live members: promote the first
             # member instead of orphaning the group (ADVICE r1 #5 — the
             # reference's deduper keeps the shared task set alive as long
-            # as any group member exists). The physical query and its
-            # checkpoint keep running under the new leader; the deleted
-            # name's checkpoint dir is retained because the query owns it.
+            # as any group member exists). The physical query keeps running
+            # against the deleted name's checkpoint/holding/deadletter dirs,
+            # so those are recorded DURABLY on the promoted spec (ADVICE r2
+            # #4): a later delete/rewind of the promoted name must remove
+            # THOSE dirs, not freshly-derived ones that were never used.
             new_leader = r.group[0]
+            nl_spec = self.get(new_leader)
+            nl_spec.metadata["system.checkpoint.dir"] = self._ckpt_dir(spec)
+            nl_spec.metadata["system.holding.dir"] = self._holding_dir(spec)
+            nl_spec.metadata["system.deadletter.dir"] = self._deadletter_dir(spec)
+            self._persist(nl_spec)
             self._running[new_leader] = _Running(
-                spec=self.get(new_leader), query=r.query, group=r.group[1:]
+                spec=nl_spec, query=r.query, group=r.group[1:]
             )
             promoted = True
         elif r is None:
@@ -154,18 +162,29 @@ class PipelineManager:
             for lr in self._running.values():
                 if name in lr.group:
                     lr.group.remove(name)
+                    is_member = True
                     break
-        if not promoted:
+        if not promoted and not is_member:
+            # sole owner: tear the physical query + destination + state down
             if r and r.query is not None and r.query.isActive:
                 r.query.stop()
             if spec.transport == "memory":
                 from brooklin_spark.sinks.registry import drop_memory_table
 
                 drop_memory_table(self.spark, spec.metadata.get("memory.table", name))
-            shutil.rmtree(os.path.join(self.checkpoint_root, name), ignore_errors=True)
+            shutil.rmtree(self._ckpt_dir(spec), ignore_errors=True)
+        if not promoted and is_member:
+            # group MEMBER delete: the destination, checkpoint and holding
+            # pen all belong to the still-running group (the member's
+            # metadata merely POINTS at the leader's) — tear down NOTHING
+            # shared (ADVICE r2 #1: dropping the member's memory.table here
+            # wiped the leader's accumulated rows). Only the spec file goes.
+            os.remove(self._spec_path(name))
+            return
         os.remove(self._spec_path(name))
-        shutil.rmtree(self._holding_dir(name), ignore_errors=True)
-        shutil.rmtree(self._deadletter_dir(name), ignore_errors=True)
+        if not promoted:
+            shutil.rmtree(self._holding_dir(spec), ignore_errors=True)
+            shutil.rmtree(self._deadletter_dir(spec), ignore_errors=True)
 
     # ------------------------------------------------------------- lifecycle
     def pause(self, name: str, principal: str = "anonymous") -> None:
@@ -204,10 +223,18 @@ class PipelineManager:
         r = self._running.pop(name, None)
         if r and r.query is not None and r.query.isActive:
             r.query.stop()
-        shutil.rmtree(os.path.join(self.checkpoint_root, name), ignore_errors=True)
-        shutil.rmtree(self._holding_dir(name), ignore_errors=True)
+        shutil.rmtree(self._ckpt_dir(spec), ignore_errors=True)
+        shutil.rmtree(self._holding_dir(spec), ignore_errors=True)
+        # a promoted leader may have inherited another name's state dirs;
+        # after discarding them the rebuilt query starts on dirs derived
+        # from its OWN name again (ADVICE r2 #4)
+        for k in ("system.checkpoint.dir", "system.holding.dir", "system.deadletter.dir"):
+            spec.metadata.pop(k, None)
+        self._persist(spec)
         if spec.status == PipelineStatus.READY:
-            self._start(spec, already_ready=True)
+            # preserve the dedup group across the replay (ADVICE r2 #4:
+            # popping the _Running entry silently orphaned group members)
+            self._start(spec, already_ready=True, group=r.group if r else None)
 
     def stop(self, name: str) -> None:
         spec = self.get(name)
@@ -292,8 +319,6 @@ class PipelineManager:
         auto = self.auto_paused_partitions(name)
         now_ms = _time.time() * 1000
         expired = sorted(p for p, t in auto.items() if t <= now_ms)
-        if not expired:
-            return []
         for p in expired:
             auto.pop(p)
         spec = self.get(name)
@@ -301,6 +326,11 @@ class PipelineManager:
             set(auto) | set(json.loads(spec.metadata.get("system.paused.partitions", "[]")))
         )
         try:
+            # Flush the pen for every currently-unpaused partition on EVERY
+            # poll — not only when an auto-pause expired (ADVICE r2 #3):
+            # with threshold > 1, sub-threshold transient send failures
+            # divert rows to the pen without ever tripping an auto-pause,
+            # so the expired-only flush would strand them forever.
             self._flush_holding(spec, still_paused=still)
         except Exception:
             # destination still failing: the held rows are untouched
@@ -308,13 +338,15 @@ class PipelineManager:
             # so RE-pause the partitions for another duration instead of
             # failing the stream — the reference re-enters sendError pause
             # state the same way on a failed resume
-            conf = self._auto_pause_conf(spec) or {"duration_ms": 600_000}
-            retry_at = _time.time() * 1000 + conf["duration_ms"]
-            for p in expired:
-                auto[p] = retry_at
-            self._set_auto_paused(name, auto)
+            if expired:
+                conf = self._auto_pause_conf(spec) or {"duration_ms": 600_000}
+                retry_at = _time.time() * 1000 + conf["duration_ms"]
+                for p in expired:
+                    auto[p] = retry_at
+                self._set_auto_paused(name, auto)
             return []
-        self._set_auto_paused(name, auto)
+        if expired:
+            self._set_auto_paused(name, auto)
         return expired
 
     def _deliver_with_auto_pause(
@@ -351,12 +383,12 @@ class PipelineManager:
 
     def _restart(self, spec: PipelineSpec) -> None:
         """Stop the running query (if any) and rebuild it from the same
-        checkpoint; status is unchanged (READY stays READY)."""
+        checkpoint; status and dedup group are unchanged (READY stays READY)."""
         r = self._running.pop(spec.name, None)
         if r and r.query is not None and r.query.isActive:
             r.query.stop()
         if spec.status == PipelineStatus.READY:
-            self._start(spec, already_ready=True)
+            self._start(spec, already_ready=True, group=r.group if r else None)
 
     def _provision_destination(self, spec: PipelineSpec) -> None:
         """Destination provisioning (KafkaTransportProviderAdmin.java:69-73,
@@ -398,16 +430,31 @@ class PipelineManager:
         finally:
             admin.close()
 
-    def _holding_dir(self, name: str) -> str:
-        return os.path.join(self.workdir, "holding", name)
+    def _ckpt_dir(self, spec: PipelineSpec) -> str:
+        """The checkpoint dir this pipeline's query PHYSICALLY uses — a
+        promoted group leader keeps running on the deleted leader's dir,
+        recorded in metadata (ADVICE r2 #4)."""
+        return spec.metadata.get("system.checkpoint.dir") or os.path.join(
+            self.checkpoint_root, spec.name
+        )
 
-    def _deadletter_dir(self, name: str) -> str:
-        return os.path.join(self.workdir, "deadletter", name)
+    def _holding_dir(self, spec: PipelineSpec) -> str:
+        return spec.metadata.get("system.holding.dir") or os.path.join(
+            self.workdir, "holding", spec.name
+        )
+
+    def _deadletter_dir(self, spec: PipelineSpec) -> str:
+        return spec.metadata.get("system.deadletter.dir") or os.path.join(
+            self.workdir, "deadletter", spec.name
+        )
 
     def dead_letters(self, name: str):
         """The skipped-record store as a DataFrame (None if empty) — the
         queryable twin of the reference's skip counter."""
-        dl = self._deadletter_dir(name)
+        try:
+            dl = self._deadletter_dir(self.get(name))
+        except KeyError:  # deleted pipeline: check the default location
+            dl = os.path.join(self.workdir, "deadletter", name)
         if not os.path.isdir(dl) or not any(
             f.endswith(".parquet") for f in os.listdir(dl)
         ):
@@ -418,7 +465,7 @@ class PipelineManager:
         """Deliver held rows for resumed partitions; keep the rest held."""
         from pyspark.sql import functions as F
 
-        hd = self._holding_dir(spec.name)
+        hd = self._holding_dir(spec)
         if not os.path.isdir(hd) or not any(
             f.endswith(".parquet") for f in os.listdir(hd)
         ):
@@ -466,6 +513,11 @@ class PipelineManager:
         if df.isStreaming:
             raise ValueError(f"poll() is for bounded/poll connectors, {name!r} streams")
         write_batch(df, spec, self.spark)
+        # commit the connector's read position ONLY after the batch landed
+        # (ADVICE r2 #2: advancing the dirwatch snapshot inside
+        # build_source() made a failed send lose the diff forever — the
+        # holding-pen no-loss contract, applied to the source side)
+        commit_source(spec)
 
     def diagnostics(self) -> list[dict]:
         """Scatter-gather health/progress across pipelines (the /diag
@@ -532,7 +584,12 @@ class PipelineManager:
                 return name
         return None
 
-    def _start(self, spec: PipelineSpec, already_ready: bool = False) -> None:
+    def _start(
+        self,
+        spec: PipelineSpec,
+        already_ready: bool = False,
+        group: list[str] | None = None,
+    ) -> None:
         # Validate the lifecycle transition BEFORE any side effect (ADVICE
         # r1 #3): resume() on an already-READY pipeline must fail here, not
         # after re-running a bounded bootstrap (duplicating the whole write)
@@ -547,6 +604,11 @@ class PipelineManager:
             existing.query is None or existing.query.isActive
         ):
             raise ValueError(f"pipeline {spec.name!r} is already running")
+        # carry the dedup group through restarts (pause/resume, _restart,
+        # rewind) — rebuilding _Running with an empty group orphaned the
+        # members (ADVICE r2 #4)
+        if group is None:
+            group = existing.group if existing is not None else []
         df = build_source(self.spark, spec)
         paused = [int(p) for p in json.loads(spec.metadata.get("system.paused.partitions", "[]"))]
         # skip-on-error dead-lettering (EventProducer.java:320-336 parity):
@@ -556,15 +618,15 @@ class PipelineManager:
         dl_pred = spec.metadata.get("system.deadletter.predicate")
         auto_conf = self._auto_pause_conf(spec)
         if df.isStreaming:
-            ckpt = os.path.join(self.checkpoint_root, spec.name)
+            ckpt = self._ckpt_dir(spec)
             if paused or dl_pred or auto_conf:
                 # composed splitting sink: paused rows → holding pen,
                 # invalid rows → dead-letter store, auto-pause on send
                 # error, rest → transport
                 from pyspark.sql import functions as F
 
-                hd = self._holding_dir(spec.name)
-                dl = self._deadletter_dir(spec.name)
+                hd = self._holding_dir(spec)
+                dl = self._deadletter_dir(spec)
 
                 def split(
                     batch_df, _epoch, _spec=spec, _paused=paused, _hd=hd,
@@ -596,23 +658,24 @@ class PipelineManager:
                 .queryName(spec.name)
                 .start()
             )
-            self._running[spec.name] = _Running(spec=spec, query=query)
+            self._running[spec.name] = _Running(spec=spec, query=query, group=list(group))
         else:
             # bounded bootstrap: batch write through the same transport
             from pyspark.sql import functions as F
 
             if paused:
                 df.filter(F.col("partition").isin(paused)).write.mode("append").parquet(
-                    self._holding_dir(spec.name)
+                    self._holding_dir(spec)
                 )
                 df = df.filter(~F.col("partition").isin(paused))
             if dl_pred:
                 df.filter(~F.expr(dl_pred)).write.mode("append").parquet(
-                    self._deadletter_dir(spec.name)
+                    self._deadletter_dir(spec)
                 )
                 df = df.filter(F.expr(dl_pred))
             write_batch(df, spec)
-            self._running[spec.name] = _Running(spec=spec, query=None)
+            commit_source(spec)  # advance the connector's position post-send
+            self._running[spec.name] = _Running(spec=spec, query=None, group=list(group))
         if not already_ready:
             self._transition(spec, PipelineStatus.READY)
         self._persist(spec)

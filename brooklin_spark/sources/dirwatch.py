@@ -27,7 +27,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 from brooklin_spark.model import ENVELOPE_SCHEMA, PipelineSpec
-from brooklin_spark.sources.registry import source
+from brooklin_spark.sources.registry import source, source_commit
 
 #: DirectoryChangeProcessor.DirectoryEvent names, mapped to CDC op-codes
 _EVENT_OPS = {
@@ -81,11 +81,16 @@ def dirwatch_source(spark: SparkSession, spec: PipelineSpec) -> DataFrame:
             if name not in cur:
                 changes.append((name, "ENTRY_DELETED"))
 
-    tmp = state_path + ".tmp"
+    # Two-phase snapshot advance (ADVICE r2 #2): the new snapshot lands in
+    # a PENDING file here; the manager promotes it to the committed state
+    # file (dirwatch_commit) only after write_batch delivered the diff.
+    # A failed send leaves the committed snapshot untouched, so the next
+    # poll recomputes and re-emits the same changes — at-least-once, the
+    # same no-loss contract as the holding pen.
+    pending = state_path + ".pending"
     os.makedirs(os.path.dirname(state_path) or ".", exist_ok=True)
-    with open(tmp, "w") as f:
+    with open(pending, "w") as f:
         json.dump(cur, f)
-    os.replace(tmp, state_path)
 
     topic = spec.metadata.get("topic", spec.name)
     rows = []
@@ -112,3 +117,13 @@ def dirwatch_source(spark: SparkSession, spec: PipelineSpec) -> DataFrame:
             )
         )
     return spark.createDataFrame(rows, ENVELOPE_SCHEMA)
+
+
+@source_commit("dirwatch")
+def dirwatch_commit(spec: PipelineSpec) -> None:
+    """Promote the pending snapshot written by the last build_source() to
+    the committed state — called by the manager AFTER a successful send."""
+    state_path = _state_path(spec)
+    pending = state_path + ".pending"
+    if os.path.exists(pending):
+        os.replace(pending, state_path)

@@ -240,3 +240,100 @@ def test_auto_pause_state_survives_manager_restart(spark, tmp_path):
     ]
     assert vals == ["r1"], "held row re-delivered after restart + expiry"
     mgr2.delete("apr")
+
+
+def test_subthreshold_send_failure_pen_flushes_on_poll(spark, tmp_path):
+    """With auto.pause.error.threshold > 1, a single transient send failure
+    diverts rows to the holding pen WITHOUT tripping an auto-pause; the pen
+    must still flush on the next poll (ADVICE r2 #3: the expired-only early
+    return stranded sub-threshold rows forever)."""
+    src = str(tmp_path / "in")
+    _write(src + "/a.txt", "s1\n")
+    mgr = PipelineManager(spark, str(tmp_path / "mgr"))
+    mgr.create(
+        PipelineSpec(
+            name="sth",
+            connector="file",
+            transport="broken",
+            source_uri=f"file://{src}",
+            metadata={
+                "memory.table": "sth",
+                "system.auto.pause.on.error": "true",
+                "system.auto.pause.error.threshold": "3",
+                "system.auto.pause.duration.ms": "600000",
+            },
+        )
+    )
+    part = (
+        spark.read.format("text")
+        .load(src)
+        .select(
+            F.pmod(F.crc32(F.col("_metadata.file_path").cast("binary")), F.lit(32))
+            .cast("int")
+            .alias("p")
+        )
+        .first()
+        .p
+    )
+    sinks.BROKEN_FAIL_PARTITIONS.add(part)
+    try:
+        mgr.process_available("sth")
+        # ONE failure < threshold 3: no auto-pause, rows held in the pen
+        assert mgr.auto_paused_partitions("sth") == {}
+        assert _delivered(spark, "sth") == 0
+    finally:
+        sinks.BROKEN_FAIL_PARTITIONS.discard(part)
+    # transport healthy again; nothing expired — the poll must STILL flush
+    resumed = mgr.poll_auto_resume("sth")
+    assert resumed == []
+    vals = [
+        bytes(r.value).decode()
+        for r in spark.sql("SELECT value FROM sth").collect()
+    ]
+    assert vals == ["s1\n"] or vals == ["s1"], "pen flushed without an expiry"
+    mgr.delete("sth")
+
+
+def test_dirwatch_failed_send_replays_same_diff(spark, tmp_path, monkeypatch):
+    """A failed send must NOT advance the dirwatch snapshot (ADVICE r2 #2):
+    the committed state file only moves after write_batch succeeds, so the
+    next poll recomputes and re-delivers the same diff — at-least-once on
+    the source side, matching the holding-pen contract."""
+    import brooklin_spark.manager as mgr_mod
+
+    src = str(tmp_path / "srcdir")
+    dest = str(tmp_path / "destdir")
+    os.makedirs(src)
+    mgr = PipelineManager(spark, str(tmp_path / "mgr"))
+    mgr.create(
+        PipelineSpec(
+            name="dwf",
+            connector="dirwatch",
+            transport="directory",
+            source_uri=f"dir://{src}",
+            dest_uri=f"dir://{dest}",
+            metadata={"dirwatch.state.path": str(tmp_path / "state" / "dwf.json")},
+        )
+    )
+    _write(src + "/a.txt", "v1")
+    real = mgr_mod.write_batch
+    calls = {"n": 0, "rows": []}
+
+    def flaky(df, spec, *a, **k):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("transient sink outage")
+        calls["rows"].append(df.count())
+        return real(df, spec, *a, **k)
+
+    monkeypatch.setattr(mgr_mod, "write_batch", flaky)
+    with pytest.raises(RuntimeError, match="transient sink outage"):
+        mgr.poll("dwf")
+    assert not os.path.exists(os.path.join(dest, "a.txt"))
+    mgr.poll("dwf")  # same diff recomputed against the UNCOMMITTED snapshot
+    assert open(os.path.join(dest, "a.txt")).read() == "v1"
+    # and the diff is not delivered a third time: snapshot committed now,
+    # so the next poll's diff is EMPTY (no duplicate file op)
+    mgr.poll("dwf")
+    assert calls["rows"] == [1, 0], "replay once, then an empty diff"
+    mgr.delete("dwf")

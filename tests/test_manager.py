@@ -410,3 +410,62 @@ def test_rewind_replays_from_start(spark, workdir, tmp_path):
     )
     assert vals == ["r1", "r1", "r2", "r2"]
     mgr.delete("rw")
+
+
+def test_member_delete_keeps_group_destination_contents(spark, workdir, tmp_path):
+    """Deleting a dedup-group MEMBER must not tear down the group's shared
+    destination (ADVICE r2 #1: the member's metadata['memory.table'] points
+    at the leader's table; dropping it wiped the leader's accumulated
+    rows). The leader's table keeps its contents and keeps consuming."""
+    src = str(tmp_path / "in")
+    _write_lines(src + "/a.txt", ["k1"])
+    mgr = PipelineManager(spark, workdir)
+    mgr.create(_file_spec("h1", src))
+    mgr.create(_file_spec("h2", src))
+    mgr.process_available("h1")
+    assert spark.sql("SELECT count(*) AS n FROM h1").first().n == 1
+    mgr.delete("h2")  # member delete: shared table must survive WITH rows
+    assert spark.sql("SELECT count(*) AS n FROM h1").first().n == 1
+    _write_lines(src + "/b.txt", ["k2"])
+    mgr.process_available("h1")
+    vals = sorted(
+        r.v for r in spark.sql("SELECT CAST(value AS STRING) v FROM h1").collect()
+    )
+    assert vals == ["k1", "k2"]
+    mgr.delete("h1")
+
+
+def test_rewind_preserves_dedup_group(spark, workdir, tmp_path):
+    """rewind() rebuilds the physical query but must carry the dedup group
+    across the rebuild (ADVICE r2 #4: popping _Running and restarting with
+    an empty group silently orphaned the members)."""
+    src = str(tmp_path / "in")
+    _write_lines(src + "/a.txt", ["g"])
+    mgr = PipelineManager(spark, workdir)
+    mgr.create(_file_spec("rwg1", src))
+    mgr.create(_file_spec("rwg2", src))
+    mgr.rewind("rwg1")
+    diag = {d["name"]: d for d in mgr.diagnostics()}
+    assert diag["rwg1"]["group"] == ["rwg2"], "group survives rewind"
+    # leader delete after a rewind still promotes the member
+    mgr.delete("rwg1")
+    assert mgr.query_of("rwg2") is not None
+    mgr.delete("rwg2")
+
+
+def test_promoted_leader_delete_removes_inherited_checkpoint(spark, workdir, tmp_path):
+    """A promoted leader keeps running on the deleted leader's checkpoint
+    dir; deleting the promoted name must remove THAT dir, not a
+    freshly-derived one (ADVICE r2 #4 checkpoint-leak half)."""
+    src = str(tmp_path / "in")
+    _write_lines(src + "/a.txt", ["c"])
+    mgr = PipelineManager(spark, workdir)
+    mgr.create(_file_spec("pl1", src))
+    mgr.create(_file_spec("pl2", src))
+    mgr.process_available("pl1")
+    ckpt1 = os.path.join(mgr.checkpoint_root, "pl1")
+    assert os.path.isdir(ckpt1)
+    mgr.delete("pl1")  # pl2 promoted, still running on pl1's checkpoint
+    assert os.path.isdir(ckpt1), "inherited dir still in use by the query"
+    mgr.delete("pl2")
+    assert not os.path.isdir(ckpt1), "inherited checkpoint removed, not leaked"
