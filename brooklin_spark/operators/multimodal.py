@@ -67,21 +67,31 @@ def _fake_pixels(payload: bytes, width: int, height: int) -> np.ndarray:
     return out
 
 
+def _decode_pixels(payload: bytes, width: int, height: int) -> tuple[np.ndarray, int, int]:
+    """Decode payload to grayscale pixels: real codec when PIL is importable
+    AND the bytes parse as an image, else the deterministic fake at the
+    declared (width, height). Per-row fallback keeps the operator total —
+    a corrupt blob yields the fake's features instead of failing the batch
+    — and keeps results byte-identical to the SQL oracle on non-image
+    payloads whether or not PIL is installed."""
+    try:  # pragma: no cover - container has no PIL
+        import io as _io
+
+        from PIL import Image  # type: ignore
+
+        with Image.open(_io.BytesIO(payload)) as im:
+            gray = im.convert("L")
+            return np.asarray(gray, dtype=np.uint8).ravel(), gray.width, gray.height
+    except Exception:
+        return _fake_pixels(payload, width, height), width, height
+
+
 def decode_image_features(media: DataFrame) -> DataFrame:
     """media(doc_id, payload, meta) -> per-image intensity features.
 
     mapInPandas: each Arrow batch decodes vectorized in one Python call;
     the plan is partition-preserving (no shuffle).
     """
-    try:  # pragma: no cover - container has no PIL
-        import PIL  # noqa: F401
-
-        raise NotImplementedError(
-            "real image decode not wired yet — container lacks codec libs; "
-            "deterministic fake is the active path"
-        )
-    except ImportError:
-        pass
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -89,12 +99,12 @@ def decode_image_features(media: DataFrame) -> DataFrame:
             for doc_id, payload, w, h in zip(
                 pdf["doc_id"], pdf["payload"], pdf["width"], pdf["height"]
             ):
-                px = _fake_pixels(bytes(payload or b""), int(w), int(h))
+                px, rw, rh = _decode_pixels(bytes(payload or b""), int(w), int(h))
                 rows.append(
                     {
                         "doc_id": int(doc_id),
-                        "width": int(w),
-                        "height": int(h),
+                        "width": int(rw),
+                        "height": int(rh),
                         "mean_intensity": float(px.mean()),
                         "intensity_p50": float(np.median(px)),
                         "n_pixels": int(px.size),

@@ -55,6 +55,20 @@ def get_spark(
         # testdata events.parquet stores TIMESTAMP(NANOS); Spark 4 refuses it
         # unless read as long — io.table() converts back to micros
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # RocksDB state store: keyed streaming state (dedup windows,
+        # applyInPandasWithState totals/before-images, stream-stream join
+        # buffers) lives off-heap/on-disk instead of on the executor heap —
+        # at 100 TB / billions of keys the default HDFS-backed store OOMs
+        # the executors. Changelog checkpointing ships per-batch deltas to
+        # the checkpoint location instead of full SST snapshots.
+        .config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+        .config(
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+            "true",
+        )
         # small dims (region/nation/supplier/part at low SF) broadcast freely;
         # 64MB threshold still sane on a big cluster with AQE re-checking sizes
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

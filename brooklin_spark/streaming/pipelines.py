@@ -17,28 +17,43 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events parquet (bounded replay → deterministic
-    micro-batches), ts converted from nanos-long to a real timestamp."""
+    micro-batches) with event-time ``ts`` as a real timestamp.
+
+    readStream needs an explicit schema, and the corpus has shipped ts as
+    both TIMESTAMP(NANOS) (readable only as long under nanosAsLong, then
+    ``div 1000``) and TIMESTAMP(MICROS) (a native timestamp — converting
+    again would shift 2024 to 1970). Probe the footer with a batch read —
+    metadata only, no data scan — and adapt, mirroring io.table()."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")  # see io.table
+    import os
+
+    path = os.path.join(sf_dir, "events.parquet")
+    ts_is_nanos_long = dict(spark.read.parquet(path).dtypes).get("ts") == "bigint"
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(
+            _events_schema(T.LongType() if ts_is_nanos_long else T.TimestampType())
+        )
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_is_nanos_long:
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
 
 
 def run_to_completion(

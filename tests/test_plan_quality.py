@@ -276,3 +276,29 @@ def test_unigram_logprob_broadcasts_vocabulary(spark, sf_correct):
     df = _q(spark, sf_correct, "text_unigram_logprob")
     plan = executed_plan(df)
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_embedding_cosine_no_driver_collect_single_shuffle(spark, sf_correct):
+    """dedup_embedding_cosine runs the block-tiled kernel: one exchange
+    keyed on the tile id, per-tile matmul in FlatMapGroupsInPandas, no
+    join, and — the r2 verdict item — no driver-side corpus collect
+    (building the plan must not launch a job the way the guarded
+    similar_pairs kernel does)."""
+    df = _q(spark, sf_correct, "dedup_embedding_cosine")
+    plan = executed_plan(df)
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert "Join" not in plan, plan
+    assert shuffle_count(df) == 1, plan
+
+
+def test_similar_pairs_size_guard_refuses_big_corpus(spark, sf_correct):
+    """The small-side verification kernel refuses to collect a corpus
+    above its bound instead of OOMing the driver."""
+    import pytest as _pytest
+
+    from brooklin_spark.io import table
+    from brooklin_spark.operators import similarity as S
+
+    emb = table(spark, sf_correct, "embeddings")
+    with _pytest.raises(ValueError, match="similar_pairs_blocked"):
+        S.similar_pairs(emb, threshold=0.4, max_rows=10)
