@@ -92,8 +92,54 @@ def shingle_arrays_pandas(
             )
         return pd.Series(out)
 
-    return df.repartition(F.col(id_col)).select(
+    # explicit partition count: the Python kernel's cost is CPU per token,
+    # not bytes, and AQE's byte-based coalescing would shrink a bare
+    # repartition() to a handful of tasks (measured 6-8 on local[32] —
+    # 4-5x the runtime). A numbered repartition is exempt from coalescing,
+    # so the UDF keeps full-cluster parallelism; on a real cluster
+    # defaultParallelism scales with executors.
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n_parts, F.col(id_col)).select(
         F.col(id_col).alias("id"), _sh(F.col(text_col)).alias("shingles")
+    )
+
+
+def shingle_rows_pandas(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Exploded distinct word n-gram shingles via ONE mapInPandas kernel:
+    (id, n, shingle) rows with the per-doc set size carried on every row.
+
+    The shingle_arrays_pandas + size() + explode() composition evaluates
+    the pandas UDF TWICE per consumer (the optimizer routes the dual
+    shingles reference into two ArrowEvalPython nodes — observed in the
+    executed sf1 plan), and a self-join consumer doubles that again.
+    Emitting the exploded rows directly from the kernel makes one Python
+    pass per consumption, and the explode never materializes the array
+    column in the JVM at all. Same distinctness/order semantics.
+    """
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+
+    def op(batches):
+        for pdf in batches:
+            ids: list = []
+            ns: list = []
+            shs: list = []
+            for doc_id, txt in zip(pdf[id_col], pdf[text_col]):
+                toks = [w for w in (txt or "").split(" ") if w]
+                m = len(toks)
+                if m < n:
+                    continue
+                sh = list(
+                    dict.fromkeys(" ".join(toks[i : i + n]) for i in range(m - n + 1))
+                )
+                ids.extend([doc_id] * len(sh))
+                ns.extend([len(sh)] * len(sh))
+                shs.extend(sh)
+            yield pd.DataFrame({"id": ids, "n": ns, "shingle": shs})
+
+    return df.repartition(n_parts, F.col(id_col)).mapInPandas(
+        op, schema="id bigint, n int, shingle string"
     )
 
 
@@ -232,6 +278,120 @@ def jaccard_pairs_selfjoin(
     jac = F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
     return common.select(
         "doc_a", "doc_b", jac.alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)
+
+
+def jaccard_pairs_grouped_numpy(
+    shingles: DataFrame, threshold: float, max_posting: int = MAX_POSTING
+) -> DataFrame:
+    """Exact all-pairs Jaccard via grouped posting blocks + vectorized
+    numpy pair expansion — the single-consumption rewrite of
+    jaccard_pairs_selfjoin (VERDICT r2 next-round #3).
+
+    Why: the self-join shape consumes the shingle table TWICE, and Spark
+    cannot reuse an exchange across pandas-UDF subtrees (python UDF nodes
+    never canonicalize equal), so the upstream shingler ran once per join
+    side — and with the size+explode dual reference, twice per side. This
+    shape touches the shingle stream ONCE:
+
+      shingles (id, n, shingle)
+        → ONE exchange keyed on shingle
+        → count window (cap: drop c>max_posting hot shingles AND c<2
+          singletons — most rows die here, before any array exists)
+        → collect_list posting blocks on the SAME partitioning (no second
+          exchange)
+        → mapInPandas: all posting lists in an Arrow batch expand to
+          (id_a, id_b) pairs in ONE numpy triangular-index computation
+          (no per-group Python call), locally combined with np.unique
+        → final groupBy((id_a, id_b)) sums partial counts → jaccard.
+
+    Skew safety matches the window-cap self-join: the cap filter runs on
+    the count window, so a stopword shingle's rows are dropped BEFORE
+    collect_list materializes any array. Pair work is inherently O(Σc²)
+    — that is what exact all-pairs means; LSH is the sub-quadratic path.
+    Returns (doc_a, doc_b, jaccard), doc_a < doc_b.
+    """
+    from pyspark.sql import Window as W
+
+    posting = (
+        shingles.withColumn("c", F.count("*").over(W.partitionBy("shingle")))
+        .filter((F.col("c") >= 2) & (F.col("c") <= max_posting))
+        .groupBy("shingle")
+        .agg(
+            F.collect_list(F.struct(F.col("id"), F.col("n"))).alias("docs")
+        )
+        .select("docs")
+    )
+
+    def expand(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            lists = pdf["docs"].tolist()
+            lens = np.fromiter((len(g) for g in lists), dtype=np.int64)
+            flat_id = np.fromiter(
+                (d["id"] for g in lists for d in g), dtype=np.int64
+            )
+            flat_n = np.fromiter(
+                (d["n"] for g in lists for d in g), dtype=np.int64
+            )
+            cnt = lens * (lens - 1) // 2
+            total = int(cnt.sum())
+            if total == 0:
+                continue
+            grp = np.repeat(np.arange(len(lens)), cnt)
+            starts = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+            r = np.arange(total) - np.repeat(starts, cnt)
+            L = lens[grp]
+            # invert the row-major upper-triangle rank: first index i is
+            # the largest i with C(i) = i(2L-1-i)/2 <= r; float sqrt then
+            # integer correction (exact for L <= max_posting)
+            i = ((2 * L - 1) - np.sqrt((2 * L - 1) ** 2 - 8 * r)) // 2
+            i = i.astype(np.int64)
+            ci = i * (2 * L - 1 - i) // 2
+            over = ci > r
+            i -= over
+            ci[over] = i[over] * (2 * L[over] - 1 - i[over]) // 2
+            j = r - ci + i + 1
+            off = np.repeat(np.concatenate(([0], np.cumsum(lens)[:-1])), cnt)
+            a_idx, b_idx = off + i, off + j
+            ia, ib = flat_id[a_idx], flat_id[b_idx]
+            na, nb = flat_n[a_idx], flat_n[b_idx]
+            swap = ia > ib
+            ia2 = np.where(swap, ib, ia)
+            ib2 = np.where(swap, ia, ib)
+            na2 = np.where(swap, nb, na)
+            nb2 = np.where(swap, na, nb)
+            # local combine: one sort-based unique over the pair keys cuts
+            # the shuffled rows by each pair's in-partition multiplicity
+            order = np.lexsort((ib2, ia2))
+            ia2, ib2, na2, nb2 = ia2[order], ib2[order], na2[order], nb2[order]
+            new = np.empty(total, dtype=bool)
+            new[0] = True
+            new[1:] = (ia2[1:] != ia2[:-1]) | (ib2[1:] != ib2[:-1])
+            idx = np.nonzero(new)[0]
+            common = np.diff(np.concatenate((idx, [total])))
+            yield pd.DataFrame(
+                {
+                    "id_a": ia2[idx],
+                    "id_b": ib2[idx],
+                    "na": na2[idx],
+                    "nb": nb2[idx],
+                    "common": common,
+                }
+            )
+
+    partial = posting.mapInPandas(
+        expand, schema="id_a bigint, id_b bigint, na bigint, nb bigint, common bigint"
+    )
+    agg = partial.groupBy("id_a", "id_b", "na", "nb").agg(
+        F.sum("common").alias("common")
+    )
+    jac = F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
+    return agg.select(
+        F.col("id_a").alias("doc_a"),
+        F.col("id_b").alias("doc_b"),
+        jac.alias("jaccard"),
     ).filter(F.col("jaccard") >= threshold)
 
 

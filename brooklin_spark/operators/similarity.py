@@ -409,48 +409,79 @@ def kmeans_refine(
     decimals so the next round's assignment is bit-reproducible across
     engines.
 
-    Plan per round: one centroid-matrix mapInPandas over the corpus (no
-    shuffle) + one posexplode/groupBy((cid, dim)) partial-agg shuffle whose
-    payload is |centroids|·|dims| partial sums, never vectors. The rounded
-    centroid components are collected between rounds (k·d doubles — the
-    broadcast-small model state, exactly what a driver-side iterative
-    algorithm holds).
+    Plan per round (VERDICT r2 next-round #8 — fused): ONE mapInPandas
+    pass over the corpus whose kernel both assigns (batch×centroids
+    matmul + argmax) and pre-reduces (per-cid raw-vector sums + counts
+    inside the batch), emitting only k·d (cid, dim, psum, cnt) rows per
+    Arrow batch; then one tiny groupBy((cid, dim)) shuffle whose payload
+    is partial sums, never vectors. The earlier shape posexploded every
+    corpus vector into d rows and joined assignments back to vectors —
+    an n·d-row shuffle per round. The rounded centroid components are
+    collected between rounds (k·d doubles — the broadcast-small model
+    state, exactly what a driver-side iterative algorithm holds).
 
     Returns the final model, exploded for inspection/oracle comparison:
     (cid, dim, centroid, n_vectors) with n_vectors from the final
     assignment. Empty clusters drop out (deterministic on both engines).
     """
     spark = corpus.sparkSession
-    cur = centroids.select(F.col(id_col), F.col(vec_col))
-    assign = None
+    c_ids, cm = _collect_matrix(centroids, id_col, vec_col)
+    sel = corpus.select(id_col, vec_col)
+    model: dict[int, tuple[list[float], int]] = {}
     for _ in range(rounds):
-        assign = ivf_assign(corpus, cur, id_col, vec_col)
-        joined = assign.join(
-            corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")),
-            "vec_id",
-        )
+
+        def op(batches, _cids=c_ids.copy(), _cm=cm.copy()):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                raw = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+                )
+                norms = np.linalg.norm(raw, axis=1)
+                norms[norms == 0] = 1.0
+                sims = np.round((raw / norms[:, None]) @ _cm.T, 6)
+                # columns are cid-ascending, so first-max argmax == the
+                # (max sim, lowest cid) tie-break ivf_assign uses
+                best = sims.argmax(axis=1)
+                out: dict[str, list] = {"cid": [], "dim": [], "psum": [], "cnt": []}
+                for j in np.unique(best):
+                    mask = best == j
+                    s = raw[mask].sum(axis=0)
+                    out["cid"].extend([int(_cids[j])] * s.size)
+                    out["dim"].extend(range(s.size))
+                    out["psum"].extend(s.tolist())
+                    out["cnt"].extend([int(mask.sum())] * s.size)
+                yield pd.DataFrame(out)
+
         comp = (
-            joined.select("cid", F.posexplode("v").alias("dim", "x"))
+            sel.mapInPandas(op, schema="cid bigint, dim int, psum double, cnt bigint")
             .groupBy("cid", "dim")
-            .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("c"))
+            .agg(
+                F.round(F.sum("psum") / F.sum("cnt"), 6).alias("c"),
+                F.sum("cnt").alias("n"),
+            )
         )
         rows = comp.collect()  # k·d rounded doubles — model state, tiny
         by_cid: dict[int, dict[int, float]] = {}
+        n_by_cid: dict[int, int] = {}
         for r in rows:
             by_cid.setdefault(int(r.cid), {})[int(r.dim)] = float(r.c)
-        cur = spark.createDataFrame(
-            [
-                (cid, [comps[d] for d in sorted(comps)])
-                for cid, comps in sorted(by_cid.items())
-            ],
-            f"{id_col} bigint, {vec_col} array<double>",
+            n_by_cid[int(r.cid)] = int(r.n)
+        c_ids = np.array(sorted(by_cid), dtype=np.int64)
+        craw = np.stack(
+            [[by_cid[cid][d] for d in sorted(by_cid[cid])] for cid in c_ids]
         )
-    counts = assign.groupBy("cid").agg(F.count("*").alias("n_vectors"))
-    final = cur.select(
-        F.col(id_col).alias("cid"), F.posexplode(vec_col).alias("dim", "centroid")
-    )
-    return final.join(counts, "cid").select(
-        "cid", F.col("dim").cast("int").alias("dim"), "centroid", "n_vectors"
+        model = {int(cid): (craw[i].tolist(), n_by_cid[int(cid)]) for i, cid in enumerate(c_ids)}
+        nrm = np.linalg.norm(craw, axis=1)
+        nrm[nrm == 0] = 1.0
+        cm = craw / nrm[:, None]  # next round assigns on cosine
+    return spark.createDataFrame(
+        [
+            (cid, d, comps[d], n)
+            for cid, (comps, n) in sorted(model.items())
+            for d in range(len(comps))
+        ],
+        "cid bigint, dim int, centroid double, n_vectors bigint",
     )
 
 

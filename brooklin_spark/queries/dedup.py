@@ -75,24 +75,21 @@ def dedup_exact_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    # Shingling via the Arrow-batched pandas kernel (HOFs are interpreted —
-    # measured 3x); per-doc set size rides on every shingle row so the pair
-    # groupBy emits jaccard directly (no size-lookup joins). Shingles key by
-    # xxhash64 (codegen, 8-byte shuffle keys instead of 3-word strings; a
-    # 64-bit collision inside one doc pair is the accepted ~1e-10 risk,
-    # standard for shingle tables at scale)
-    sh = (
-        D.shingle_arrays_pandas(docs, n=3)
-        .select(
-            "id",
-            F.size("shingles").alias("n"),
-            F.explode("shingles").alias("s"),
-        )
-        .select("id", "n", F.xxhash64("s").alias("shingle"))
-        # checkpoint: Spark never reuses exchanges across pandas-UDF
-        # subtrees, so without it BOTH self-join sides re-run the shingle
-        # UDF; 260k skinny rows is a cheap materialization
-        .localCheckpoint()
+    # Shingling via ONE Arrow-batched mapInPandas pass emitting exploded
+    # (id, n, shingle) rows (HOFs are interpreted — measured 3x; and the
+    # array+size+explode composition double-evaluated the UDF per
+    # consumer). Per-doc set size rides on every shingle row so the pair
+    # groupBy emits jaccard directly (no size-lookup joins). Shingles key
+    # by xxhash64 (codegen, 8-byte shuffle keys instead of 3-word strings;
+    # a 64-bit collision inside one doc pair is the accepted ~1e-10 risk,
+    # standard for shingle tables at scale).
+    # No checkpoint: python subtrees never canonicalize equal, so each
+    # self-join side runs the kernel once (2x total map work) — cheaper
+    # than a localCheckpoint barrier, which serializes the whole shingle
+    # table to disk before the join and is fault-tolerance-unsafe on a
+    # real cluster.
+    sh = D.shingle_rows_pandas(docs, n=3).select(
+        "id", "n", F.xxhash64("shingle").alias("shingle")
     )
     return D.jaccard_pairs_selfjoin(sh, threshold=0.7)
 
@@ -198,13 +195,8 @@ _BITS, _SH_BANDS, _MAX_D = 32, 4, 3
 def dedup_canonical_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     sh = (
-        D.shingle_arrays_pandas(docs, n=3)
-        .select(
-            "id",
-            F.size("shingles").alias("n"),
-            F.explode("shingles").alias("s"),
-        )
-        .select("id", "n", F.xxhash64("s").alias("shingle"))
+        D.shingle_rows_pandas(docs, n=3)
+        .select("id", "n", F.xxhash64("shingle").alias("shingle"))
         .localCheckpoint()  # see dedup_ngram_jaccard: UDF would run twice
     )
     pairs = D.jaccard_pairs_selfjoin(sh, threshold=0.7).select("doc_a", "doc_b")
@@ -338,13 +330,8 @@ def dedup_decontamination_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     sh = (
-        D.shingle_arrays_pandas(docs, n=3)
-        .select(
-            "id",
-            F.size("shingles").alias("n"),
-            F.explode("shingles").alias("s"),
-        )
-        .select("id", "n", F.xxhash64("s").alias("shingle"))
+        D.shingle_rows_pandas(docs, n=3)
+        .select("id", "n", F.xxhash64("shingle").alias("shingle"))
         .localCheckpoint()
     )
     truth = D.jaccard_pairs_selfjoin(sh, threshold=0.7).select("doc_a", "doc_b")
@@ -398,13 +385,8 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     sh = (
-        D.shingle_arrays_pandas(docs, n=3)
-        .select(
-            "id",
-            F.size("shingles").alias("n"),
-            F.explode("shingles").alias("s"),
-        )
-        .select("id", "n", F.xxhash64("s").alias("shingle"))
+        D.shingle_rows_pandas(docs, n=3)
+        .select("id", "n", F.xxhash64("shingle").alias("shingle"))
         .localCheckpoint()
     )
     e = (
@@ -460,13 +442,8 @@ def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_pair_similarity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     sh = (
-        D.shingle_arrays_pandas(docs, n=3)
-        .select(
-            "id",
-            F.size("shingles").alias("n"),
-            F.explode("shingles").alias("s"),
-        )
-        .select("id", "n", F.xxhash64("s").alias("shingle"))
+        D.shingle_rows_pandas(docs, n=3)
+        .select("id", "n", F.xxhash64("shingle").alias("shingle"))
         .localCheckpoint()
     )
     pairs = D.jaccard_pairs_selfjoin(sh, threshold=0.0)
@@ -521,13 +498,8 @@ def dedup_pair_similarity_histogram(spark: SparkSession, sf_dir: str) -> DataFra
 def dedup_apply_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     sh = (
-        D.shingle_arrays_pandas(docs, n=3)
-        .select(
-            "id",
-            F.size("shingles").alias("n"),
-            F.explode("shingles").alias("s"),
-        )
-        .select("id", "n", F.xxhash64("s").alias("shingle"))
+        D.shingle_rows_pandas(docs, n=3)
+        .select("id", "n", F.xxhash64("shingle").alias("shingle"))
         .localCheckpoint()
     )
     pairs = D.jaccard_pairs_selfjoin(sh, threshold=0.7).select("doc_a", "doc_b")
