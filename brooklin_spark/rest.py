@@ -1,0 +1,203 @@
+"""HTTP facade over PipelineManager — the DatastreamResources analog.
+
+The reference exposes its control plane as a Rest.li resource
+(datastream-server-restli DatastreamResources.java: CRUD at
+/datastreams/{name} plus entity actions pause/stop/resume at
+DatastreamResources.java:358,462,554 and pauseSourcePartitions /
+resumeSourcePartitions at :604,682). This module maps the same surface
+onto the stdlib http.server so the engine is driveable over HTTP with no
+extra dependencies:
+
+    GET    /datastreams                         list
+    POST   /datastreams                         create (spec JSON body)
+    GET    /datastreams/{name}                  fetch spec
+    DELETE /datastreams/{name}                  delete
+    POST   /datastreams/{name}/pause            action (force semantics n/a:
+                                                group pause is implicit —
+                                                the group shares one query)
+    POST   /datastreams/{name}/resume           action
+    POST   /datastreams/{name}/stop             action
+    POST   /datastreams/{name}/rewind           action (offset-rewind
+                                                surface; explicit here,
+                                                implicit in the reference)
+    POST   /datastreams/{name}/pauseSourcePartitions   {"partitions": [..]}
+    POST   /datastreams/{name}/resumeSourcePartitions  {"partitions": [..]}
+    GET    /datastreams/{name}/pausedSourcePartitions
+    GET    /health                              diagnostics scatter-gather
+                                                (DiagnosticsAware /health)
+
+Status mapping mirrors the Rest.li error semantics the reference uses:
+404 for unknown datastreams (HttpStatus.S_404_NOT_FOUND), 400 for invalid
+specs/transitions (S_400_BAD_REQUEST), 403 for authorizer denials
+(S_403_FORBIDDEN), 409 for duplicate create. The caller principal rides
+the X-Principal header (the reference reads it from the Rest.li request
+context for Authorizer checks).
+
+movePartitions / getTaskAssignment are non-goals per SURVEY §2.9: Spark's
+scheduler owns task placement, there is no host-level assignment to move.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import urlparse
+
+from brooklin_spark.manager import PipelineManager
+from brooklin_spark.model import PipelineSpec
+
+
+class _Handler(BaseHTTPRequestHandler):
+    manager: PipelineManager  # injected by serve()
+    lock: threading.Lock
+
+    # ------------------------------------------------------------ plumbing
+    def log_message(self, *a):  # quiet: tests assert on responses, not logs
+        pass
+
+    def _send(self, code: int, payload) -> None:
+        body = json.dumps(payload).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _body(self) -> dict:
+        n = int(self.headers.get("Content-Length") or 0)
+        if n == 0:
+            return {}
+        return json.loads(self.rfile.read(n).decode())
+
+    def _principal(self) -> str:
+        return self.headers.get("X-Principal", "anonymous")
+
+    def _spec_out(self, spec: PipelineSpec) -> dict:
+        return json.loads(spec.to_json())
+
+    # ------------------------------------------------------------- routing
+    def do_GET(self):  # noqa: N802 (http.server API)
+        path = urlparse(self.path).path.rstrip("/")
+        parts = [p for p in path.split("/") if p]
+        try:
+            with self.lock:
+                if parts == ["health"]:
+                    return self._send(200, self.manager.diagnostics())
+                if parts == ["datastreams"]:
+                    return self._send(
+                        200, [self._spec_out(s) for s in self.manager.list()]
+                    )
+                if len(parts) == 2 and parts[0] == "datastreams":
+                    return self._send(200, self._spec_out(self.manager.get(parts[1])))
+                if (
+                    len(parts) == 3
+                    and parts[0] == "datastreams"
+                    and parts[2] == "pausedSourcePartitions"
+                ):
+                    name = parts[1]
+                    return self._send(
+                        200,
+                        {
+                            "paused": self.manager.paused_source_partitions(name),
+                            "autoPaused": self.manager.auto_paused_partitions(name),
+                        },
+                    )
+            return self._send(404, {"error": f"no such route: {path}"})
+        except KeyError as e:
+            return self._send(404, {"error": str(e)})
+        except Exception as e:  # pragma: no cover - defensive
+            return self._send(500, {"error": repr(e)})
+
+    def do_POST(self):  # noqa: N802
+        path = urlparse(self.path).path.rstrip("/")
+        parts = [p for p in path.split("/") if p]
+        try:
+            body = self._body()
+            with self.lock:
+                if parts == ["datastreams"]:
+                    spec = PipelineSpec.from_json(json.dumps(body))
+                    if any(s.name == spec.name for s in self.manager.list()):
+                        return self._send(
+                            409, {"error": f"datastream exists: {spec.name}"}
+                        )
+                    self.manager.create(spec, principal=self._principal())
+                    return self._send(201, self._spec_out(self.manager.get(spec.name)))
+                if len(parts) == 3 and parts[0] == "datastreams":
+                    name, action = parts[1], parts[2]
+                    if action == "pause":
+                        self.manager.pause(name, principal=self._principal())
+                    elif action == "resume":
+                        self.manager.resume(name, principal=self._principal())
+                    elif action == "stop":
+                        self.manager.stop(name)
+                    elif action == "rewind":
+                        self.manager.rewind(name, principal=self._principal())
+                    elif action == "pauseSourcePartitions":
+                        self.manager.pause_source_partitions(
+                            name, [int(p) for p in body.get("partitions", [])]
+                        )
+                    elif action == "resumeSourcePartitions":
+                        parts_arg = body.get("partitions")
+                        self.manager.resume_source_partitions(
+                            name,
+                            [int(p) for p in parts_arg] if parts_arg is not None else None,
+                        )
+                    else:
+                        return self._send(404, {"error": f"no such action: {action}"})
+                    return self._send(200, self._spec_out(self.manager.get(name)))
+            return self._send(404, {"error": f"no such route: {path}"})
+        except PermissionError as e:
+            return self._send(403, {"error": str(e)})
+        except KeyError as e:
+            return self._send(404, {"error": str(e)})
+        except (ValueError, RuntimeError) as e:
+            return self._send(400, {"error": str(e)})
+
+    def do_DELETE(self):  # noqa: N802
+        path = urlparse(self.path).path.rstrip("/")
+        parts = [p for p in path.split("/") if p]
+        try:
+            with self.lock:
+                if len(parts) == 2 and parts[0] == "datastreams":
+                    self.manager.delete(parts[1], principal=self._principal())
+                    return self._send(200, {"deleted": parts[1]})
+            return self._send(404, {"error": f"no such route: {path}"})
+        except PermissionError as e:
+            return self._send(403, {"error": str(e)})
+        except KeyError as e:
+            return self._send(404, {"error": str(e)})
+        except (ValueError, RuntimeError) as e:
+            return self._send(400, {"error": str(e)})
+
+
+class DatastreamRestServer:
+    """Embedded control-plane HTTP server (one per PipelineManager).
+
+    Serialized through a lock because PipelineManager mutates shared
+    lifecycle state — the reference funnels the same mutations through
+    its coordinator thread.
+    """
+
+    def __init__(self, manager: PipelineManager, host: str = "127.0.0.1", port: int = 0):
+        handler = type(
+            "_BoundHandler",
+            (_Handler,),
+            {"manager": manager, "lock": threading.Lock()},
+        )
+        self._httpd = ThreadingHTTPServer((host, port), handler)
+        self._thread = threading.Thread(target=self._httpd.serve_forever, daemon=True)
+
+    @property
+    def address(self) -> str:
+        h, p = self._httpd.server_address[:2]
+        return f"http://{h}:{p}"
+
+    def start(self) -> "DatastreamRestServer":
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._httpd.shutdown()
+        self._httpd.server_close()
+        self._thread.join(timeout=5)

@@ -1,0 +1,249 @@
+"""REST facade (DatastreamResources analog) + avrogenerator analog tests.
+
+The HTTP tests drive a live embedded server over urllib — create / fetch /
+pause / resume / partition-pause / delete round trips with the Rest.li
+status-code semantics. The avrogen tests validate the generated schemas
+against the JVM org.apache.avro parser (on Spark's classpath) and
+round-trip rows through the engine's pure-Python Avro codec.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import urllib.error
+import urllib.request
+
+import pytest
+
+from brooklin_spark.functions import avrogen as AG
+from brooklin_spark.manager import PipelineManager
+from brooklin_spark.rest import DatastreamRestServer
+
+
+def _req(method: str, url: str, body: dict | None = None, principal: str | None = None):
+    data = json.dumps(body).encode() if body is not None else None
+    req = urllib.request.Request(url, data=data, method=method)
+    req.add_header("Content-Type", "application/json")
+    if principal:
+        req.add_header("X-Principal", principal)
+    try:
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            return resp.status, json.loads(resp.read().decode())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read().decode())
+
+
+@pytest.fixture()
+def server(spark, tmp_path):
+    mgr = PipelineManager(spark, str(tmp_path / "mgr"))
+    srv = DatastreamRestServer(mgr).start()
+    yield srv
+    srv.stop()
+
+
+def _write(path: str, text: str) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        f.write(text)
+
+
+def test_rest_crud_and_lifecycle_round_trip(server, spark, tmp_path):
+    base = server.address
+    src = str(tmp_path / "in")
+    _write(src + "/a.txt", "hello\n")
+    spec = {
+        "name": "restpipe",
+        "connector": "file",
+        "transport": "memory",
+        "source_uri": f"file://{src}",
+        "metadata": {"memory.table": "restpipe"},
+    }
+    code, out = _req("POST", f"{base}/datastreams", spec)
+    assert code == 201 and out["name"] == "restpipe" and out["status"] == "READY"
+    # duplicate create → 409 (the reference's already-exists rejection)
+    code, _ = _req("POST", f"{base}/datastreams", spec)
+    assert code == 409
+    code, out = _req("GET", f"{base}/datastreams/restpipe")
+    assert code == 200 and out["connector"] == "file"
+    code, out = _req("GET", f"{base}/datastreams")
+    assert code == 200 and [s["name"] for s in out] == ["restpipe"]
+    # pause → status PAUSED; resume → READY (DatastreamResources.java:358,554)
+    code, out = _req("POST", f"{base}/datastreams/restpipe/pause")
+    assert code == 200 and out["status"] == "PAUSED"
+    # pausing a PAUSED stream is an invalid transition → 400
+    code, _ = _req("POST", f"{base}/datastreams/restpipe/pause")
+    assert code == 400
+    code, out = _req("POST", f"{base}/datastreams/restpipe/resume")
+    assert code == 200 and out["status"] == "READY"
+    # per-partition pause surface (DatastreamResources.java:604,682)
+    code, _ = _req(
+        "POST",
+        f"{base}/datastreams/restpipe/pauseSourcePartitions",
+        {"partitions": [3, 7]},
+    )
+    assert code == 200
+    code, out = _req("GET", f"{base}/datastreams/restpipe/pausedSourcePartitions")
+    assert code == 200 and out["paused"] == [3, 7]
+    code, _ = _req(
+        "POST",
+        f"{base}/datastreams/restpipe/resumeSourcePartitions",
+        {"partitions": [3, 7]},
+    )
+    assert code == 200
+    # health = diagnostics scatter-gather
+    code, diag = _req("GET", f"{base}/health")
+    assert code == 200 and diag[0]["name"] == "restpipe"
+    code, _ = _req("DELETE", f"{base}/datastreams/restpipe")
+    assert code == 200
+    code, _ = _req("GET", f"{base}/datastreams/restpipe")
+    assert code == 404
+
+
+def test_rest_unknown_routes_and_validation(server):
+    base = server.address
+    code, _ = _req("GET", f"{base}/datastreams/nope")
+    assert code == 404
+    code, _ = _req("POST", f"{base}/datastreams/nope/pause")
+    assert code == 404
+    code, _ = _req("POST", f"{base}/nonsense")
+    assert code == 404
+    # invalid spec (unknown connector) → 400, nothing created
+    bad = {
+        "name": "bad",
+        "connector": "no-such",
+        "transport": "memory",
+        "source_uri": "file:///tmp/x",
+    }
+    code, out = _req("POST", f"{base}/datastreams", bad)
+    assert code == 400 and "connector" in out["error"]
+    code, _ = _req("GET", f"{base}/datastreams/bad")
+    assert code == 404
+
+
+def test_rest_authorizer_denial_is_403(spark, tmp_path):
+    from brooklin_spark.security import owner_only
+
+    mgr = PipelineManager(spark, str(tmp_path / "mgr"), authorizer=owner_only)
+    srv = DatastreamRestServer(mgr).start()
+    try:
+        base = srv.address
+        src = str(tmp_path / "in")
+        _write(src + "/a.txt", "x\n")
+        spec = {
+            "name": "authz",
+            "connector": "file",
+            "transport": "memory",
+            "source_uri": f"file://{src}",
+            "metadata": {"memory.table": "authz", "owner": "alice"},
+        }
+        code, _ = _req("POST", f"{base}/datastreams", spec, principal="alice")
+        assert code == 201
+        # bob may not pause alice's stream (Authorizer UPDATE check)
+        code, _ = _req("POST", f"{base}/datastreams/authz/pause", principal="bob")
+        assert code == 403
+        code, _ = _req("POST", f"{base}/datastreams/authz/pause", principal="alice")
+        assert code == 200
+        code, _ = _req("DELETE", f"{base}/datastreams/authz", principal="alice")
+        assert code == 200
+    finally:
+        srv.stop()
+
+
+# --------------------------------------------------------------------------
+# avrogenerator analog
+# --------------------------------------------------------------------------
+
+
+def test_db_type_mapping_matches_reference_table():
+    """Types.java:13-33 parity, including the NUMBER→string decimal rule
+    and space handling (LONG RAW)."""
+    assert AG.db_type_to_avro("NUMBER") == "string"
+    assert AG.db_type_to_avro("VARCHAR2") == "string"
+    assert AG.db_type_to_avro("LONG RAW") == "bytes"
+    assert AG.db_type_to_avro("timestamp") == "long"
+    assert AG.db_type_to_avro("DATE") == "long"
+    with pytest.raises(ValueError):
+        AG.db_type_to_avro("GEOMETRY")
+
+
+def test_field_meta_wire_format_round_trip():
+    """FieldMetadata.parseMetadata parity: 'k=v;' pairs, trailing ';'."""
+    meta = "dbTableName=ANET_TOPICS;pk=anetId;"
+    assert AG.parse_field_meta(meta) == {"dbTableName": "ANET_TOPICS", "pk": "anetId"}
+    with pytest.raises(ValueError, match="Ill-formatted"):
+        AG.parse_field_meta("novalue;")
+    col = AG.ColumnMeta("AMOUNT", "NUMBER", 2, True, 10, 2)
+    back = AG.ColumnMeta.from_meta_string(col.meta_string())
+    assert back == col
+
+
+def test_generated_schema_parses_in_jvm_avro(spark):
+    """The generated JSON must be a valid Avro schema per the SAME parser
+    the reference uses (org.apache.avro on Spark's classpath)."""
+    cols = [
+        AG.ColumnMeta("ID", "LONG", 0, nullable=False),
+        AG.ColumnMeta("NAME", "VARCHAR2", 1, nullable=True),
+        AG.ColumnMeta("AMOUNT", "NUMBER", 2, nullable=True, precision=10, scale=2),
+        AG.ColumnMeta("CREATED", "TIMESTAMP", 3, nullable=False),
+        AG.ColumnMeta("PAYLOAD", "BLOB", 4, nullable=True),
+    ]
+    schema = AG.generate_table_schema("APP", "ORDERS_T", cols, primary_keys=["ID"])
+    jvm = spark.sparkContext._jvm
+    parsed = jvm.org.apache.avro.Schema.Parser().parse(AG.schema_json(schema))
+    assert parsed.getName() == "ORDERS_T"
+    assert [str(f.name()) for f in parsed.getFields()] == [
+        "ID", "NAME", "AMOUNT", "CREATED", "PAYLOAD",
+    ]
+    # nullable column → union [type, "null"] in the reference's order
+    name_type = parsed.getField("NAME").schema()
+    assert str(name_type.getType()) == "UNION"
+    assert [str(t.getType()) for t in name_type.getTypes()] == ["STRING", "NULL"]
+    # record meta carries table provenance + pk
+    meta = AG.parse_field_meta(schema["meta"])
+    assert meta["dbTableName"] == "ORDERS_T" and meta["pk"] == "ID"
+
+
+def test_duckdb_describe_to_avro_and_codec_round_trip():
+    """DatabaseSource-over-DuckDB on the orders table, then encode/decode
+    a row through the engine's pure-Python Avro codec."""
+    import duckdb
+
+    from brooklin_spark.functions import avro_codec as C
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE TABLE orders_t (o_orderkey BIGINT NOT NULL, o_comment VARCHAR, "
+        "o_total DECIMAL(12,2), o_date DATE)"
+    )
+    schema = AG.duckdb_table_schema(con, "orders_t")
+    by_name = {f["name"]: f for f in schema["fields"]}
+    assert by_name["o_orderkey"]["type"] == "long"  # NOT NULL → bare type
+    assert by_name["o_comment"]["type"] == ["string", "null"]
+    assert by_name["o_total"]["type"] == ["string", "null"]  # NUMBER rule
+    assert AG.parse_field_meta(by_name["o_total"]["meta"])["numberPrecision"] == "12"
+    row = {"o_orderkey": 7, "o_comment": "fast", "o_total": "123.45", "o_date": 19000}
+    payload = C.encode(schema, row)
+    assert C.decode(schema, payload) == row
+
+
+def test_spark_schema_to_avro(spark):
+    """Engine-native path: a Spark StructType (with decimals) derives the
+    same shape, valid per the JVM parser."""
+    from pyspark.sql import types as T
+
+    st = T.StructType(
+        [
+            T.StructField("k", T.LongType(), False),
+            T.StructField("v", T.StringType(), True),
+            T.StructField("amt", T.DecimalType(12, 2), True),
+            T.StructField("ts", T.TimestampType(), False),
+        ]
+    )
+    schema = AG.spark_schema_to_avro(st, "EVENTS_T")
+    jvm = spark.sparkContext._jvm
+    parsed = jvm.org.apache.avro.Schema.Parser().parse(AG.schema_json(schema))
+    assert parsed.getName() == "EVENTS_T"
+    amt = {f["name"]: f for f in schema["fields"]}["amt"]
+    m = AG.parse_field_meta(amt["meta"])
+    assert m["dbFieldType"] == "NUMBER" and m["numberScale"] == "2"
