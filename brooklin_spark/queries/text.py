@@ -603,3 +603,81 @@ def corpus_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dominant_lang",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Repetition detection: the Gopher-style repeated-n-gram filters (Rae et al.
+# 2021 §A1.1 — "fraction of characters in the most common 2-gram" family).
+# Degenerate machine-generated or boilerplate docs repeat; natural text has
+# flat n-gram histograms. All JVM-side: explode bigrams -> (doc, bigram)
+# count -> per-doc max/sum. Two shuffles, both keyed and combinable
+# map-side; at 100 TB the (doc, bigram) agg is the standard explode shape
+# the tf-idf query already uses.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_repetition_flags",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOK} AS t FROM documents),
+    bi AS (
+      SELECT doc_id,
+             unnest(list_transform(t[1:len(t)-1], (x, i) -> x || ' ' || t[i+1]))
+               AS bigram
+      FROM toks WHERE len(t) >= 2),
+    per AS (
+      SELECT doc_id, bigram, COUNT(*) AS c FROM bi GROUP BY doc_id, bigram),
+    agg AS (
+      SELECT doc_id, MAX(c) AS top_bigram, CAST(SUM(c) AS BIGINT) AS n_bigrams
+      FROM per GROUP BY doc_id),
+    d AS (
+      SELECT a.doc_id, a.n_bigrams,
+             CAST(a.top_bigram AS DOUBLE) / a.n_bigrams AS top_bigram_frac,
+             1.0 - CAST(len(list_distinct(t.t)) AS DOUBLE) / len(t.t) AS dup_word_frac
+      FROM agg a JOIN toks t ON t.doc_id = a.doc_id)
+    SELECT doc_id, n_bigrams,
+           round(top_bigram_frac, 6) AS top_bigram_frac,
+           round(dup_word_frac, 6) AS dup_word_frac,
+           CAST(top_bigram_frac > 0.10 OR dup_word_frac > 0.69 AS BOOLEAN)
+             AS repetitive
+    FROM d
+    """,
+)
+def text_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", X.tokens().alias("t")).filter(F.size("t") >= 2)
+    # bigrams via zip_with over the array and its tail — no UDF, one explode
+    bi = toks.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("t"), 1, F.size("t") - 1),
+                F.slice(F.col("t"), 2, F.size("t") - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("bigram"),
+    )
+    per = bi.groupBy("doc_id", "bigram").agg(F.count("*").alias("c"))
+    agg = per.groupBy("doc_id").agg(
+        F.max("c").alias("top_bigram"),
+        F.sum("c").cast("bigint").alias("n_bigrams"),
+    )
+    d = agg.join(
+        toks.select(
+            "doc_id",
+            (
+                F.lit(1.0)
+                - F.size(F.array_distinct("t")).cast("double") / F.size("t")
+            ).alias("dup_word_frac"),
+        ),
+        "doc_id",
+    )
+    top_frac = F.col("top_bigram").cast("double") / F.col("n_bigrams")
+    return d.select(
+        "doc_id",
+        "n_bigrams",
+        F.round(top_frac, 6).alias("top_bigram_frac"),
+        F.round("dup_word_frac", 6).alias("dup_word_frac"),
+        ((top_frac > 0.10) | (F.col("dup_word_frac") > 0.69)).alias("repetitive"),
+    )
