@@ -595,3 +595,63 @@ def srp_ann_top1(
     return b.groupBy("bucket").applyInPandas(
         top1, schema="query_id bigint, neighbor_id bigint, sim double"
     )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebook: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization encoding — the IVF-PQ compression kernel.
+
+    Dimensions split into ``m`` contiguous subspaces; each sub-vector maps
+    to its nearest (L2, rounded-6, lowest-code tie-break) of ``k`` codewords
+    taken from ``codebook``'s first k vectors. Output is the code tuple +
+    the total squared reconstruction error. A 64-dim float32 vector
+    compresses to m bytes (here 4) — the memory step that makes
+    billion-vector ANN indexes fit executor RAM.
+
+    Plan: the codebook (k·dim doubles) is collected once and closed over —
+    the broadcast-small side; the corpus streams through ONE mapInPandas
+    (no shuffle, partition-preserving), each Arrow batch doing m
+    (batch × k) distance matmuls in numpy.
+    """
+    rows = codebook.limit(k).select(id_col, vec_col).collect()
+    rows.sort(key=lambda r: r[0])
+    cb = np.array([list(r[1]) for r in rows], dtype=np.float64)  # (k, D) RAW
+    D = cb.shape[1]
+    if D % m:
+        raise ValueError(f"dim {D} not divisible by m={m}")
+    d = D // m
+
+    def op(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            raw = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            out = {"vec_id": ids}
+            err = np.zeros(len(ids))
+            for j in range(m):
+                sub = raw[:, j * d : (j + 1) * d]
+                csub = cb[:, j * d : (j + 1) * d]
+                # ||x - c||^2 per (row, code) — direct difference form (the
+                # same per-dim (x-c)^2 sum the SQL oracle folds), rounded
+                # for engine parity
+                diff = sub[:, None, :] - csub[None, :, :]
+                d2 = np.round((diff * diff).sum(-1), 6)
+                code = d2.argmin(axis=1)  # first min == lowest code on ties
+                out[f"c{j}"] = code.astype(np.int32)
+                err += d2[np.arange(len(ids)), code]
+            out["recon_err"] = np.round(err, 6)
+            yield pd.DataFrame(out)
+
+    schema = (
+        "vec_id bigint, "
+        + ", ".join(f"c{j} int" for j in range(m))
+        + ", recon_err double"
+    )
+    return corpus.select(id_col, vec_col).mapInPandas(op, schema=schema)

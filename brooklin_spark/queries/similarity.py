@@ -325,3 +325,50 @@ def docs_embedding_label_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "label", "n_docs", "total_chars", "first_doc", "dominant_lang"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization: 64 dims → 4 subspaces × 16 codewords (codebook =
+# first 16 vectors, deterministic like the IVF seeds). Per-vector code
+# tuple + reconstruction error — the compression step of an IVF-PQ index.
+# Fully deterministic (rounded-6 distances, lowest-code tie-break), so the
+# approximation itself is oracle-checkable.
+# ---------------------------------------------------------------------------
+
+_PQ_M, _PQ_K, _PQ_D = 4, 16, 64
+_PQ_SUB = _PQ_D // _PQ_M
+
+
+def _pq_dist_sql(j: int) -> str:
+    off = j * _PQ_SUB
+    return (
+        f"round(list_sum(list_transform(e.embedding[{off + 1}:{off + _PQ_SUB}], "
+        f"(x, i) -> (x::DOUBLE - cb.embedding[{off} + i]::DOUBLE) "
+        f"* (x::DOUBLE - cb.embedding[{off} + i]::DOUBLE))), 6)"
+    )
+
+
+@query(
+    "embedding_pq_codes",
+    oracle=f"""
+    WITH cb AS (SELECT vec_id AS code, embedding FROM embeddings WHERE vec_id < {_PQ_K}),
+    dists AS (
+      SELECT e.vec_id, cb.code,
+             {", ".join(f"{_pq_dist_sql(j)} AS d{j}" for j in range(_PQ_M))}
+      FROM embeddings e CROSS JOIN cb),
+    best AS (
+      SELECT vec_id,
+             {", ".join(
+                 f"FIRST(code ORDER BY d{j} ASC, code ASC) AS c{j}, MIN(d{j}) AS e{j}"
+                 for j in range(_PQ_M))}
+      FROM dists GROUP BY vec_id)
+    SELECT vec_id,
+           {", ".join(f"CAST(c{j} AS INTEGER) AS c{j}" for j in range(_PQ_M))},
+           round({" + ".join(f"e{j}" for j in range(_PQ_M))}, 6) AS recon_err
+    FROM best
+    """,
+)
+def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    cb = emb.filter(F.col("vec_id") < _PQ_K)
+    return S.pq_encode(emb, cb, m=_PQ_M, k=_PQ_K)

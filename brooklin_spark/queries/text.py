@@ -681,3 +681,60 @@ def text_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("dup_word_frac", 6).alias("dup_word_frac"),
         ((top_frac > 0.10) | (F.col("dup_word_frac") > 0.69)).alias("repetitive"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (concat-and-chunk): assign documents to fixed-capacity
+# context windows — the GPT-style pretraining batch-prep step. Docs are
+# concatenated per source in doc_id order; a doc belongs to the window its
+# FIRST token lands in (floor(start_offset / C)). Per-shard running sum =
+# one partitioned window; at 100 TB the partition key becomes
+# (source, shard) — packing is inherently sequential only WITHIN a shard,
+# which is how production packers run (one task per input shard).
+# ---------------------------------------------------------------------------
+
+_PACK_C = 256  # context window capacity in whitespace tokens
+
+
+@query(
+    "pack_sequences",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, doc_id, len({_TOK}) AS n_tok FROM documents),
+    placed AS (
+      SELECT source, doc_id, n_tok,
+             SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tok AS start_off
+      FROM toks)
+    SELECT source,
+           CAST(start_off // {_PACK_C} AS BIGINT) AS seq_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM placed
+    GROUP BY source, CAST(start_off // {_PACK_C} AS BIGINT)
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("source", "doc_id", X.token_count().cast("long").alias("n_tok"))
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    placed = toks.withColumn("start_off", F.sum("n_tok").over(w) - F.col("n_tok"))
+    seq = F.floor(F.col("start_off") / _PACK_C).cast("bigint")
+    return (
+        placed.groupBy("source", seq.alias("seq_id"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
