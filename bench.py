@@ -46,6 +46,11 @@ BENCH_QUERIES = [
     "dedup_embedding_srp_pairs",
     "ivf_kmeans_refine",
     "percentile_battery",
+    # round-3 additions
+    "dedup_embedding_cosine",   # exact all-pairs, block-tiled kernel
+    "text_repetition_flags",    # bigram-histogram repetition filter
+    "pack_sequences",           # concat-and-chunk context packing
+    "embedding_pq_codes",       # product quantization
 ]
 
 

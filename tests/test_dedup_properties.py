@@ -84,3 +84,26 @@ def test_star_cc_deep_chain_converges(spark):
     got = _labels(D.connected_components_star(df))
     assert set(got) == set(range(n))
     assert set(got.values()) == {0}
+
+
+def test_grouped_numpy_jaccard_matches_selfjoin(spark, sf_smoke):
+    """The posting-block numpy pair counter is exactly equivalent to the
+    windowed-cap self-join (same pairs, same jaccard values) — it is the
+    fat-posting alternative shape, so equivalence is its contract."""
+    from brooklin_spark.io import table
+    from brooklin_spark.operators import dedup as D
+    from pyspark.sql import functions as F
+
+    docs = table(spark, sf_smoke, "documents")
+    sh = D.shingle_rows_pandas(docs, n=3).select(
+        "id", "n", F.xxhash64("shingle").alias("shingle")
+    )
+    a = {
+        (r.doc_a, r.doc_b): round(r.jaccard, 9)
+        for r in D.jaccard_pairs_selfjoin(sh, 0.5).collect()
+    }
+    b = {
+        (r.doc_a, r.doc_b): round(r.jaccard, 9)
+        for r in D.jaccard_pairs_grouped_numpy(sh, 0.5).collect()
+    }
+    assert a == b and len(a) > 0
