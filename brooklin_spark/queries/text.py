@@ -645,41 +645,56 @@ def corpus_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc bigram histogram stats are DOC-LOCAL, so the whole query is
+    one shuffle-free Arrow kernel: each batch counts its docs' bigrams in
+    Python dicts and emits the four stats directly. The first shape here
+    (explode → (doc,bigram) groupBy → (doc) groupBy → join) shuffled the
+    33M-row bigram table twice at sf1 and ran 2.7× DuckDB; this runs at a
+    map pass. Rounding boundary safety: top/n and 1-distinct/len with
+    n<2^7·k can never land exactly on a half-ulp of the 1e-6 grid
+    (2·10^6 = 2^7·5^6·... needs a denominator divisible by 128), so
+    Python round == SQL round here."""
+    import pandas as _pd
+
     docs = table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", X.tokens().alias("t")).filter(F.size("t") >= 2)
-    # bigrams via zip_with over the array and its tail — no UDF, one explode
-    bi = toks.select(
-        "doc_id",
-        F.explode(
-            F.zip_with(
-                F.slice(F.col("t"), 1, F.size("t") - 1),
-                F.slice(F.col("t"), 2, F.size("t") - 1),
-                lambda a, b: F.concat_ws(" ", a, b),
-            )
-        ).alias("bigram"),
-    )
-    per = bi.groupBy("doc_id", "bigram").agg(F.count("*").alias("c"))
-    agg = per.groupBy("doc_id").agg(
-        F.max("c").alias("top_bigram"),
-        F.sum("c").cast("bigint").alias("n_bigrams"),
-    )
-    d = agg.join(
-        toks.select(
-            "doc_id",
-            (
-                F.lit(1.0)
-                - F.size(F.array_distinct("t")).cast("double") / F.size("t")
-            ).alias("dup_word_frac"),
+    n_parts = spark.sparkContext.defaultParallelism
+
+    def op(batches):
+        for pdf in batches:
+            out = {
+                "doc_id": [],
+                "n_bigrams": [],
+                "top_bigram_frac": [],
+                "dup_word_frac": [],
+                "repetitive": [],
+            }
+            for doc_id, txt in zip(pdf["doc_id"], pdf["text"]):
+                toks = [w for w in (txt or "").split(" ") if w]
+                m = len(toks)
+                if m < 2:
+                    continue
+                counts: dict = {}
+                prev = toks[0]
+                for t in toks[1:]:
+                    key = (prev, t)
+                    counts[key] = counts.get(key, 0) + 1
+                    prev = t
+                n_bi = m - 1
+                top_frac = max(counts.values()) / n_bi
+                dup = 1.0 - len(set(toks)) / m
+                out["doc_id"].append(doc_id)
+                out["n_bigrams"].append(n_bi)
+                out["top_bigram_frac"].append(round(top_frac, 6))
+                out["dup_word_frac"].append(round(dup, 6))
+                out["repetitive"].append(top_frac > 0.10 or dup > 0.69)
+            yield _pd.DataFrame(out)
+
+    return docs.repartition(n_parts).mapInPandas(
+        op,
+        schema=(
+            "doc_id bigint, n_bigrams bigint, top_bigram_frac double, "
+            "dup_word_frac double, repetitive boolean"
         ),
-        "doc_id",
-    )
-    top_frac = F.col("top_bigram").cast("double") / F.col("n_bigrams")
-    return d.select(
-        "doc_id",
-        "n_bigrams",
-        F.round(top_frac, 6).alias("top_bigram_frac"),
-        F.round("dup_word_frac", 6).alias("dup_word_frac"),
-        ((top_frac > 0.10) | (F.col("dup_word_frac") > 0.69)).alias("repetitive"),
     )
 
 
