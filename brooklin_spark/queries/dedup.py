@@ -270,14 +270,18 @@ _DECON_K = 5
 )
 def dedup_decontamination_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    sh = D.shingle_arrays_pandas(docs, n=3).select(
-        "id", F.explode("shingles").alias("shingle")
-    )
+    # filter BEFORE the shingle kernel: doc_id predicates cannot push below
+    # a mapInPandas node, so filtering the kernel's OUTPUT shingled the
+    # full corpus on both sides (the bench side re-shingled 500k docs for
+    # its 50); filtering the input reaches the parquet scan and the bench
+    # side's kernel touches 50 docs
     bench = (
-        sh.filter(F.col("id") < 50).select("shingle").distinct()
+        D.shingle_rows_pandas(docs.filter(F.col("doc_id") < 50), n=3)
+        .select("shingle").distinct()
     )
     return (
-        sh.filter(F.col("id") >= 50)
+        D.shingle_rows_pandas(docs.filter(F.col("doc_id") >= 50), n=3)
+        .select("id", "shingle")
         .join(F.broadcast(bench), "shingle")
         .groupBy(F.col("id").alias("doc_id"))
         .agg(F.count("*").alias("n_shared"))
