@@ -874,3 +874,52 @@ def sql_interface_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFra
         GROUP BY r.r_name
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Full-outer join: rich-customer vs rich-supplier nation profiles — the
+# rarity filters make some nations genuinely one-sided, so both outer
+# directions produce real NULL-extended rows. At scale a full outer on a
+# grouping key is one co-partitioned shuffle join; neither side broadcasts
+# (broadcast cannot implement full-outer's unmatched-build-side rows).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_full_outer_nation_wealth",
+    oracle="""
+    WITH rc AS (
+      SELECT c_nationkey AS nk, COUNT(*) AS n_rich_cust,
+             round(SUM(c_acctbal), 2) AS cust_bal
+      FROM customer WHERE c_acctbal > 9900 GROUP BY c_nationkey),
+    rs AS (
+      SELECT s_nationkey AS nk, COUNT(*) AS n_rich_supp,
+             round(SUM(s_acctbal), 2) AS supp_bal
+      FROM supplier WHERE s_acctbal > 9900 GROUP BY s_nationkey)
+    SELECT COALESCE(rc.nk, rs.nk) AS nationkey,
+           COALESCE(n_rich_cust, 0) AS n_rich_cust,
+           COALESCE(n_rich_supp, 0) AS n_rich_supp,
+           COALESCE(cust_bal, 0.0)::DOUBLE AS cust_bal,
+           COALESCE(supp_bal, 0.0)::DOUBLE AS supp_bal
+    FROM rc FULL OUTER JOIN rs ON rc.nk = rs.nk
+    """,
+)
+def join_full_outer_nation_wealth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9900)
+    s = table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 9900)
+    rc = c.groupBy(F.col("c_nationkey").alias("nk_c")).agg(
+        F.count("*").alias("n_rich_cust"),
+        F.round(F.sum("c_acctbal").cast("double"), 2).alias("cust_bal"),
+    )
+    rs = s.groupBy(F.col("s_nationkey").alias("nk_s")).agg(
+        F.count("*").alias("n_rich_supp"),
+        F.round(F.sum("s_acctbal").cast("double"), 2).alias("supp_bal"),
+    )
+    j = rc.join(rs, rc.nk_c == rs.nk_s, "full_outer")
+    return j.select(
+        F.coalesce("nk_c", "nk_s").alias("nationkey"),
+        F.coalesce("n_rich_cust", F.lit(0)).alias("n_rich_cust"),
+        F.coalesce("n_rich_supp", F.lit(0)).alias("n_rich_supp"),
+        F.coalesce("cust_bal", F.lit(0.0)).alias("cust_bal"),
+        F.coalesce("supp_bal", F.lit(0.0)).alias("supp_bal"),
+    )
