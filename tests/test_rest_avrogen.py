@@ -247,3 +247,52 @@ def test_spark_schema_to_avro(spark):
     amt = {f["name"]: f for f in schema["fields"]}["amt"]
     m = AG.parse_field_meta(amt["meta"])
     assert m["dbFieldType"] == "NUMBER" and m["numberScale"] == "2"
+
+
+def test_rest_client_and_cli_round_trip(server, spark, tmp_path, capsys):
+    """DatastreamRestClient + CLI analogs drive the live facade: create via
+    CLI, read/pause/resume via client, exists/wait-till-deleted parity."""
+    import json as _json
+
+    from brooklin_spark.rest_client import (
+        DatastreamRestClient,
+        DatastreamRestError,
+        main as cli_main,
+    )
+
+    base = server.address
+    src = str(tmp_path / "in")
+    _write(src + "/a.txt", "cli\n")
+    spec = {
+        "name": "clipipe",
+        "connector": "file",
+        "transport": "memory",
+        "source_uri": f"file://{src}",
+        "metadata": {"memory.table": "clipipe"},
+    }
+    rc = cli_main(["--uri", base, "-o", "create", "--spec", _json.dumps(spec)])
+    assert rc == 0
+    created = _json.loads(capsys.readouterr().out)
+    assert created["name"] == "clipipe" and created["status"] == "READY"
+
+    client = DatastreamRestClient(base)
+    assert client.datastream_exists("clipipe")
+    assert not client.datastream_exists("nope")
+    assert [s["name"] for s in client.get_all_datastreams()] == ["clipipe"]
+    assert client.pause("clipipe")["status"] == "PAUSED"
+    assert client.resume("clipipe")["status"] == "READY"
+    client.pause_source_partitions("clipipe", [1, 2])
+    assert client.paused_source_partitions("clipipe")["paused"] == [1, 2]
+    client.resume_source_partitions("clipipe")
+    assert client.paused_source_partitions("clipipe")["paused"] == []
+    # CLI READALL prints the list
+    assert cli_main(["--uri", base, "-o", "READALL"]) == 0
+    assert "clipipe" in capsys.readouterr().out
+    # error surface: pausing a missing stream is a typed 404 error
+    try:
+        client.pause("missing")
+        raise AssertionError("expected DatastreamRestError")
+    except DatastreamRestError as e:
+        assert e.status == 404
+    client.delete_datastream("clipipe")
+    client.wait_till_datastream_is_deleted("clipipe", timeout_s=10)
