@@ -128,6 +128,48 @@ class PipelineManager:
                     out.append(PipelineSpec.from_json(f.read()))
         return out
 
+    def update(self, spec: PipelineSpec, principal: str = "anonymous") -> PipelineSpec:
+        """Replace a pipeline's spec and restart its physical query with
+        the new config (DatastreamResources.update:208 — the reference
+        rejects connector/transport/destination changes and routes status
+        changes through pause/resume; same rules here). The restarted
+        query resumes from the existing checkpoint, so an update is a
+        config change, not a replay."""
+        from brooklin_spark.security import Operation, check
+
+        existing = self.get(spec.name)  # KeyError -> 404 at the facade
+        spec.validate()
+        check(self.authorizer, existing, Operation.UPDATE, principal)
+        for field_name in ("connector", "transport", "dest_uri"):
+            if getattr(spec, field_name) != getattr(existing, field_name):
+                raise ValueError(
+                    f"update may not change {field_name} "
+                    f"(use delete + create): {getattr(existing, field_name)!r} "
+                    f"-> {getattr(spec, field_name)!r}"
+                )
+        if spec.status == PipelineStatus.INITIALIZING:
+            spec.status = existing.status  # status omitted -> inherit
+        elif spec.status != existing.status:
+            raise ValueError(
+                "update may not change status — use pause/resume/stop"
+            )
+        # carry system.* runtime state (paused partitions, auto-pause,
+        # inherited dirs) — the reference preserves its task state too
+        for k, v in existing.metadata.items():
+            if k.startswith("system.") and k not in spec.metadata:
+                spec.metadata[k] = v
+        self._persist(spec)
+        r = self._running.get(spec.name)
+        if r is not None and r.query is not None and existing.status == PipelineStatus.READY:
+            # live streaming query: rebuild it on the new config from the
+            # SAME checkpoint (config change, not replay)
+            self._restart(spec)
+        elif r is not None:
+            # bounded/poll pipeline: no physical rebuild (re-running the
+            # bootstrap would double-deliver); next poll reads the new spec
+            r.spec = spec
+        return spec
+
     def delete(self, name: str, principal: str = "anonymous") -> None:
         from brooklin_spark.security import Operation, check
 

@@ -154,6 +154,29 @@ class _Handler(BaseHTTPRequestHandler):
         except (ValueError, RuntimeError) as e:
             return self._send(400, {"error": str(e)})
 
+    def do_PUT(self):  # noqa: N802
+        path = urlparse(self.path).path.rstrip("/")
+        parts = [p for p in path.split("/") if p]
+        try:
+            body = self._body()
+            with self.lock:
+                if len(parts) == 2 and parts[0] == "datastreams":
+                    spec = PipelineSpec.from_json(json.dumps(body))
+                    if spec.name != parts[1]:
+                        return self._send(
+                            400,
+                            {"error": f"name mismatch: {spec.name!r} vs {parts[1]!r}"},
+                        )
+                    self.manager.update(spec, principal=self._principal())
+                    return self._send(200, self._spec_out(self.manager.get(parts[1])))
+            return self._send(404, {"error": f"no such route: {path}"})
+        except PermissionError as e:
+            return self._send(403, {"error": str(e)})
+        except KeyError as e:
+            return self._send(404, {"error": str(e)})
+        except (ValueError, RuntimeError) as e:
+            return self._send(400, {"error": str(e)})
+
     def do_DELETE(self):  # noqa: N802
         path = urlparse(self.path).path.rstrip("/")
         parts = [p for p in path.split("/") if p]

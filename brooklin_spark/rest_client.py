@@ -70,6 +70,9 @@ class DatastreamRestClient:
     def create_datastream(self, spec: dict) -> dict:
         return self._call("POST", "/datastreams", spec)
 
+    def update_datastream(self, spec: dict) -> dict:
+        return self._call("PUT", f"/datastreams/{spec['name']}", spec)
+
     def delete_datastream(self, name: str) -> None:
         self._call("DELETE", f"/datastreams/{name}")
 
@@ -127,8 +130,8 @@ class DatastreamRestClient:
 #: CLI operation set (DatastreamRestClientCli.java:48-57; MOVE is the
 #: Spark-scheduler non-goal, STOP/REWIND/partition ops are engine extras)
 _OPERATIONS = (
-    "CREATE", "READ", "PAUSE", "RESUME", "STOP", "REWIND", "DELETE",
-    "READALL", "HEALTH", "PAUSEPARTITIONS", "RESUMEPARTITIONS",
+    "CREATE", "READ", "UPDATE", "PAUSE", "RESUME", "STOP", "REWIND",
+    "DELETE", "READALL", "HEALTH", "PAUSEPARTITIONS", "RESUMEPARTITIONS",
 )
 
 
@@ -150,12 +153,17 @@ def main(argv: list[str] | None = None) -> int:
             ap.error(f"--name is required for {args.operation}")
 
     try:
-        if args.operation == "CREATE":
-            raw = args.spec or ap.error("--spec is required for CREATE")
+        if args.operation in ("CREATE", "UPDATE"):
+            raw = args.spec or ap.error(f"--spec is required for {args.operation}")
             if raw.startswith("@"):
                 with open(raw[1:]) as f:
                     raw = f.read()
-            out = client.create_datastream(json.loads(raw))
+            parsed = json.loads(raw)
+            out = (
+                client.create_datastream(parsed)
+                if args.operation == "CREATE"
+                else client.update_datastream(parsed)
+            )
         elif args.operation == "READ":
             need_name()
             out = client.get_datastream(args.name)

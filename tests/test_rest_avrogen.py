@@ -296,3 +296,51 @@ def test_rest_client_and_cli_round_trip(server, spark, tmp_path, capsys):
         assert e.status == 404
     client.delete_datastream("clipipe")
     client.wait_till_datastream_is_deleted("clipipe", timeout_s=10)
+
+
+def test_rest_update_datastream(server, spark, tmp_path):
+    """PUT /datastreams/{name}: metadata updates restart the live query on
+    the SAME checkpoint (no replay); connector/transport/status changes
+    are rejected (DatastreamResources.update:208 rules)."""
+    from brooklin_spark.rest_client import DatastreamRestClient, DatastreamRestError
+
+    base = server.address
+    src = str(tmp_path / "in")
+    _write(src + "/a.txt", "u1\n")
+    client = DatastreamRestClient(base)
+    spec = {
+        "name": "upd",
+        "connector": "file",
+        "transport": "memory",
+        "source_uri": f"file://{src}",
+        "metadata": {"memory.table": "upd"},
+    }
+    client.create_datastream(spec)
+    spark.sql("SELECT 1").collect()  # let the stream settle
+
+    new_spec = dict(spec, metadata={"memory.table": "upd", "note": "v2"})
+    out = client.update_datastream(new_spec)
+    assert out["metadata"]["note"] == "v2" and out["status"] == "READY"
+    # no replay: after the restart the destination still has exactly one row
+    import time as _t
+
+    deadline = _t.time() + 20
+    while _t.time() < deadline:
+        n = spark.sql("SELECT count(*) n FROM upd").first().n
+        if n >= 1:
+            break
+        _t.sleep(0.3)
+    assert spark.sql("SELECT count(*) n FROM upd").first().n == 1
+
+    # rejected update shapes
+    for bad, err in [
+        (dict(new_spec, transport="noop"), "transport"),
+        (dict(new_spec, status="PAUSED"), "status"),
+        (dict(new_spec, name="other"), "no pipeline|name mismatch"),
+    ]:
+        try:
+            client.update_datastream(bad)
+            raise AssertionError(f"expected rejection for {bad}")
+        except DatastreamRestError as e:
+            assert e.status in (400, 404), str(e)
+    client.delete_datastream("upd")
