@@ -372,3 +372,65 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     cb = emb.filter(F.col("vec_id") < _PQ_K)
     return S.pq_encode(emb, cb, m=_PQ_M, k=_PQ_K)
+
+
+# ---------------------------------------------------------------------------
+# Embedding outlier detection: distance of each vector to its label's
+# centroid, z-scored within the label — the corrupt-embedding /
+# mislabeled-cluster filter a training pipeline runs before ANN indexing.
+# Plan: centroids = one (label, dim)-keyed partial-agg shuffle (vectors
+# never shuffle whole); distances = centroid map joined broadcast back;
+# z-scores = one (label) agg + broadcast join. Everything after the first
+# shuffle touches broadcast-small sides only.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "embedding_outlier_zscores",
+    oracle="""
+    WITH flat AS (
+      SELECT label, vec_id, generate_subscripts(embedding, 1) AS i,
+             unnest(embedding)::DOUBLE AS x
+      FROM embeddings),
+    cent AS (
+      SELECT label, i, AVG(x) AS c FROM flat GROUP BY label, i),
+    dist AS (
+      SELECT f.label, f.vec_id,
+             round(sqrt(SUM((f.x - c.c) * (f.x - c.c))), 6) AS d
+      FROM flat f JOIN cent c ON c.label = f.label AND c.i = f.i
+      GROUP BY f.label, f.vec_id),
+    stats AS (
+      SELECT label, AVG(d) AS mu, stddev_pop(d) AS sigma FROM dist GROUP BY label)
+    SELECT d.label, d.vec_id, d.d AS dist,
+           round((d.d - s.mu) / s.sigma, 6) AS z,
+           CAST((d.d - s.mu) / s.sigma > 3.0 AS BOOLEAN) AS outlier
+    FROM dist d JOIN stats s ON s.label = d.label
+    """,
+)
+def embedding_outlier_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "label", "vec_id", F.posexplode("embedding").alias("i", "xf")
+    ).select("label", "vec_id", "i", F.col("xf").cast("double").alias("x"))
+    cent = flat.groupBy("label", "i").agg(F.avg("x").alias("c"))
+    dist = (
+        flat.join(F.broadcast(cent), ["label", "i"])
+        .groupBy("label", "vec_id")
+        .agg(
+            F.round(F.sqrt(F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c")))), 6).alias("dist")
+        )
+    )
+    stats = dist.groupBy("label").agg(
+        F.avg("dist").alias("mu"), F.stddev_pop("dist").alias("sigma")
+    )
+    z = (F.col("dist") - F.col("mu")) / F.col("sigma")
+    return (
+        dist.join(F.broadcast(stats), "label")
+        .select(
+            "label",
+            "vec_id",
+            "dist",
+            F.round(z, 6).alias("z"),
+            (z > 3.0).alias("outlier"),
+        )
+    )
