@@ -80,7 +80,10 @@ def main() -> None:
     # scheduler/GC noise (measured same-plan spreads of 0.6→4.8s); the min
     # is the reproducible cost of the PLAN, which is what this benchmark
     # compares against the DuckDB baseline
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    # best-of-3: this host throttles in multi-second bursts; two runs
+    # can both land in one burst (observed 14s on a 2s plan), three
+    # rarely do
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     import gc
 

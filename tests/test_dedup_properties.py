@@ -107,3 +107,23 @@ def test_grouped_numpy_jaccard_matches_selfjoin(spark, sf_smoke):
         for r in D.jaccard_pairs_grouped_numpy(sh, 0.5).collect()
     }
     assert a == b and len(a) > 0
+
+
+def test_blocked_pairs_match_guarded_kernel(spark, sf_smoke):
+    """similar_pairs_blocked (distributed tiles) emits exactly the pairs
+    the guarded small-side kernel emits — exactness across the tiling is
+    its contract."""
+    from brooklin_spark.io import table
+    from brooklin_spark.operators import similarity as S
+
+    emb = table(spark, sf_smoke, "embeddings")
+    a = {
+        (r.vec_a, r.vec_b): r.sim
+        for r in S.similar_pairs(emb, threshold=0.2).collect()
+    }
+    for nb in (1, 3, 8):  # degenerate single tile, odd, default
+        b = {
+            (r.vec_a, r.vec_b): r.sim
+            for r in S.similar_pairs_blocked(emb, threshold=0.2, n_blocks=nb).collect()
+        }
+        assert a == b and len(a) > 0, f"n_blocks={nb}"
