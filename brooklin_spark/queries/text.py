@@ -753,3 +753,82 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("last_doc"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Sparse TF-IDF cosine near-dup pairs: the term-space twin of the embedding
+# similarity path — finds reworded duplicates whose token MULTISETS differ
+# (Jaccard misses weight, embeddings need a model; tf-idf cosine needs
+# neither). Shapes: df rides a count window on the term-keyed exchange the
+# self-join reuses (the jaccard-cap trick); per-doc norms are one (doc)
+# agg joined back; pair dot-products aggregate on the pair key. At 100 TB
+# the hot-term cap (same MAX_POSTING trade) bounds the worst posting list.
+# ---------------------------------------------------------------------------
+
+_TFIDF_THRESHOLD = 0.88
+_TFIDF_MAX_DF = 1024
+
+
+@query(
+    "text_tfidf_cosine_pairs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOK}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    w AS (
+      SELECT doc_id, term,
+             tf * ln((SELECT COUNT(*) FROM documents) * 1.0
+                     / COUNT(*) OVER (PARTITION BY term)) AS w,
+             COUNT(*) OVER (PARTITION BY term) AS df
+      FROM tf),
+    capped AS (SELECT doc_id, term, w FROM w WHERE df <= {_TFIDF_MAX_DF}),
+    nrm AS (SELECT doc_id, sqrt(SUM(w * w)) AS nn FROM capped GROUP BY doc_id),
+    dots AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, SUM(a.w * b.w) AS dot
+      FROM capped a JOIN capped b ON a.term = b.term AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b, round(dot / (x.nn * y.nn), 6) AS cosine
+    FROM dots
+    JOIN nrm x ON x.doc_id = doc_a
+    JOIN nrm y ON y.doc_id = doc_b
+    WHERE round(dot / (x.nn * y.nn), 6) >= {_TFIDF_THRESHOLD}
+    """,
+)
+def text_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # scalar model state (like the IVF probes)
+    tf = (
+        docs.select("doc_id", F.explode(X.tokens()).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    wdf = tf.withColumn("df", F.count("*").over(W.partitionBy("term")))
+    capped = wdf.filter(F.col("df") <= _TFIDF_MAX_DF).select(
+        "doc_id",
+        "term",
+        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("w"),
+    )
+    nrm = capped.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nn"))
+    a, b = capped.alias("a"), capped.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.sum(F.col("a.w") * F.col("b.w")).alias("dot"))
+    )
+    x = nrm.select(F.col("doc_id").alias("doc_a"), F.col("nn").alias("na"))
+    y = nrm.select(F.col("doc_id").alias("doc_b"), F.col("nn").alias("nb"))
+    cos = F.col("dot") / (F.col("na") * F.col("nb"))
+    return (
+        dots.join(F.broadcast(x), "doc_a")
+        .join(F.broadcast(y), "doc_b")
+        .select("doc_a", "doc_b", F.round(cos, 6).alias("cosine"))
+        .filter(F.round(cos, 6) >= _TFIDF_THRESHOLD)
+    )
