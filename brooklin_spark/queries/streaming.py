@@ -16,9 +16,13 @@ unbounded 100 TB/day stream.
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from brooklin_spark.queries import _sqlgen as G
 from brooklin_spark.registry import query
 from brooklin_spark.streaming.pipelines import events_stream, run_to_completion
 
@@ -433,3 +437,162 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_completion(agg, mode="complete")
+
+
+# ---------------------------------------------------------------------------
+# Streaming-ingest near-dup dedup: MinHash-LSH dedup AS DOCUMENTS ARRIVE —
+# the incremental counterpart of dedup_minhash_lsh (batch) and
+# streaming_dedup_watermark (exact-key). A durable bucket store accumulates
+# every seen band bucket; an arriving doc is dropped when any of its band
+# buckets was already claimed by an earlier doc (earlier batch, or a
+# smaller doc_id inside its own batch). The documents table replays as 5
+# id-ordered micro-batches, so "earlier" is exactly "smaller doc_id" and
+# the whole incremental run is oracle-checkable against one batch SQL
+# (blocked = exists smaller-id doc sharing a band bucket).
+#
+# Scale shape: per batch, ONE band-keyed self-join within the batch + one
+# left-semi join against the parquet bucket store (both keyed on the band
+# tuple); the store grows by the batch's distinct buckets — O(docs·bands)
+# rows of 5 ints, the same state a production ingest-dedup service keeps.
+# The driver-side survivor collect is the bounded-testdata harness
+# (run_to_completion contract); production would append to a table sink.
+# ---------------------------------------------------------------------------
+
+_ING_MH, _ING_BANDS, _ING_ROWS = 16, 4, 4
+_ING_CHUNKS = 5
+
+
+def _split_documents_for_stream(sf_dir: str, n_chunks: int = _ING_CHUNKS) -> str:
+    """Deterministic id-ordered split of documents.parquet into n_chunks
+    files with strictly increasing mtimes, so FileStreamSource (which
+    orders by modification time) replays them as n_chunks sequential
+    micro-batches. Cached per (path, mtime) under the system temp dir."""
+    import hashlib
+    import shutil
+    import time as _time
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = hashlib.md5(
+        f"{os.path.abspath(src)}:{os.path.getmtime(src)}:{n_chunks}".encode()
+    ).hexdigest()[:12]
+    out = os.path.join(tempfile.gettempdir(), f"bspark_docs_stream_{key}")
+    if os.path.exists(os.path.join(out, "_SPLIT_DONE")):
+        return out
+    tmp = out + ".building"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    t = pq.read_table(src)
+    t = t.take(pc.sort_indices(t, sort_keys=[("doc_id", "ascending")]))
+    n = t.num_rows
+    now = _time.time()
+    for k in range(n_chunks):
+        lo, hi = k * n // n_chunks, (k + 1) * n // n_chunks
+        path = os.path.join(tmp, f"chunk-{k:04d}.parquet")
+        pq.write_table(t.slice(lo, hi - lo), path)
+        ts = now - (n_chunks - k) * 10
+        os.utime(path, (ts, ts))
+    open(os.path.join(tmp, "_SPLIT_DONE"), "w").close()
+    shutil.rmtree(out, ignore_errors=True)
+    os.rename(tmp, out)
+    return out
+
+
+@query(
+    "streaming_dedup_minhash_ingest",
+    oracle=f"""
+    WITH {G.shingle_cte(3)},
+    sig AS ({G.minhash_km_select(_ING_MH)}),
+    banded AS ({" UNION ALL ".join(G.band_int_exprs(_ING_BANDS, _ING_ROWS))}),
+    blocked AS (
+      SELECT DISTINCT y.doc_id
+      FROM banded x JOIN banded y
+        ON x.band_id = y.band_id AND x.band_key = y.band_key
+       AND x.doc_id < y.doc_id)
+    SELECT d.doc_id, d.source FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM blocked)
+    """,
+)
+def streaming_dedup_minhash_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import functools
+    import operator as pyop
+    import shutil
+
+    from brooklin_spark.operators import dedup as D
+
+    split_dir = _split_documents_for_stream(sf_dir)
+    schema = spark.read.parquet(split_dir).schema
+    work = tempfile.mkdtemp(prefix="bspark_ingest_dedup_")
+    store = os.path.join(work, "bucket_store")
+    ckpt = os.path.join(work, "ckpt")
+    keys = ["band_id"] + [f"k{r}" for r in range(_ING_ROWS)]
+    survivors: list = []
+
+    def step(batch_df: DataFrame, _epoch: int) -> None:
+        sess = batch_df.sparkSession
+        arr = D.shingle_arrays_pandas(batch_df, n=3).filter(F.size("shingles") > 0)
+        sig = D.minhash_signature_pandas(arr, num_hashes=_ING_MH)
+        band_cols = [
+            F.struct(
+                F.lit(j).alias("band_id"),
+                *[
+                    F.col(f"h{j * _ING_ROWS + r}").alias(f"k{r}")
+                    for r in range(_ING_ROWS)
+                ],
+            )
+            for j in range(_ING_BANDS)
+        ]
+        banded = (
+            sig.select("id", F.explode(F.array(*band_cols)).alias("b"))
+            .select("id", "b.*")
+            .localCheckpoint()  # feeds three consumers; tiny (id + 5 ints)
+        )
+        x, y = banded.alias("x"), banded.alias("y")
+        key_eq = functools.reduce(
+            pyop.and_, [F.col(f"x.{k}") == F.col(f"y.{k}") for k in keys]
+        )
+        dropped = (
+            x.join(y, key_eq & (F.col("x.id") < F.col("y.id")))
+            .select(F.col("y.id").alias("doc_id"))
+        )
+        has_store = os.path.isdir(store) and any(
+            f.endswith(".parquet") for f in os.listdir(store)
+        )
+        if has_store:
+            st = sess.read.parquet(store)
+            # every store bucket belongs to an earlier (smaller-id) doc,
+            # so ANY hit blocks — no min-id bookkeeping needed
+            hit = banded.join(st, keys, "left_semi").select(
+                F.col("id").alias("doc_id")
+            )
+            dropped = dropped.union(hit)
+        keep = batch_df.select("doc_id", "source").join(
+            dropped.distinct(), "doc_id", "left_anti"
+        )
+        survivors.extend(keep.collect())
+        new_store = banded.select(*keys).distinct()
+        if has_store:
+            new_store = new_store.union(st.select(*keys)).distinct()
+        tmp_store = store + "_next"
+        new_store.write.mode("overwrite").parquet(tmp_store)
+        shutil.rmtree(store, ignore_errors=True)
+        os.rename(tmp_store, store)
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(split_dir)
+        .writeStream.foreachBatch(step)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        survivors, "doc_id bigint, source string"
+    )
