@@ -50,6 +50,7 @@ from brooklin_spark.model import PipelineSpec
 
 class _Handler(BaseHTTPRequestHandler):
     manager: PipelineManager  # injected by serve()
+    registry = None  # optional SchemaRegistry (schemas routes 404 without)
     lock: threading.Lock
 
     # ------------------------------------------------------------ plumbing
@@ -84,6 +85,15 @@ class _Handler(BaseHTTPRequestHandler):
             with self.lock:
                 if parts == ["health"]:
                     return self._send(200, self.manager.diagnostics())
+                if (
+                    len(parts) == 2
+                    and parts[0] == "schemas"
+                    and self.registry is not None
+                ):
+                    return self._send(
+                        200,
+                        {"id": parts[1], "schema": json.loads(self.registry.get(parts[1]))},
+                    )
                 if parts == ["datastreams"]:
                     return self._send(
                         200, [self._spec_out(s) for s in self.manager.list()]
@@ -115,6 +125,11 @@ class _Handler(BaseHTTPRequestHandler):
         try:
             body = self._body()
             with self.lock:
+                if parts == ["schemas"] and self.registry is not None:
+                    # register an Avro schema; the returned id is the hex
+                    # digest framed into messages (serde.py MAGIC + digest)
+                    schema_id = self.registry.register(json.dumps(body))
+                    return self._send(201, {"id": schema_id})
                 if parts == ["datastreams"]:
                     spec = PipelineSpec.from_json(json.dumps(body))
                     if any(s.name == spec.name for s in self.manager.list()):
@@ -202,11 +217,21 @@ class DatastreamRestServer:
     its coordinator thread.
     """
 
-    def __init__(self, manager: PipelineManager, host: str = "127.0.0.1", port: int = 0):
+    def __init__(
+        self,
+        manager: PipelineManager,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        schema_registry=None,
+    ):
         handler = type(
             "_BoundHandler",
             (_Handler,),
-            {"manager": manager, "lock": threading.Lock()},
+            {
+                "manager": manager,
+                "registry": schema_registry,
+                "lock": threading.Lock(),
+            },
         )
         self._httpd = ThreadingHTTPServer((host, port), handler)
         self._thread = threading.Thread(target=self._httpd.serve_forever, daemon=True)
