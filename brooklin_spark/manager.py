@@ -229,24 +229,77 @@ class PipelineManager:
             shutil.rmtree(self._deadletter_dir(spec), ignore_errors=True)
 
     # ------------------------------------------------------------- lifecycle
-    def pause(self, name: str, principal: str = "anonymous") -> None:
-        """Stop the query, keep the checkpoint — resume continues from the
-        committed offsets (pause/resume, DatastreamResources.java:358-601)."""
+    def _group_names(self, name: str) -> tuple[str, list[str]]:
+        """(leader, all group member names incl. leader) for the dedup
+        group containing ``name`` — ([name] alone if ungrouped)."""
+        if name in self._running:
+            return name, [name] + list(self._running[name].group)
+        for leader, r in self._running.items():
+            if name in r.group:
+                return leader, [leader] + list(r.group)
+        return name, [name]
+
+    def pause(self, name: str, principal: str = "anonymous", force: bool = False) -> None:
+        """Pause ``name`` — with ``force``, its whole dedup group
+        (DatastreamResources.java:355-392: the primary must be READY, the
+        rest of the group is paused best-effort). The shared physical
+        query stops only when NO group member remains READY: one paused
+        member must not starve its still-active siblings."""
         from brooklin_spark.security import Operation, check
 
         spec = self.get(name)
         check(self.authorizer, spec, Operation.UPDATE, principal)
-        self._transition(spec, PipelineStatus.PAUSED)
+        self._transition(spec, PipelineStatus.PAUSED)  # primary validated
         self._persist(spec)
-        r = self._running.get(name)
-        if r and r.query is not None and r.query.isActive:
-            r.query.stop()
+        leader, members = self._group_names(name)
+        if force:
+            for other in members:
+                if other == name:
+                    continue
+                o = self.get(other)
+                if o.status == PipelineStatus.READY:  # best-effort, like the ref
+                    o.status = PipelineStatus.PAUSED
+                    self._persist(o)
+        any_ready = any(
+            self.get(m).status == PipelineStatus.READY for m in members
+        )
+        if not any_ready:
+            r = self._running.get(leader)
+            if r and r.query is not None and r.query.isActive:
+                r.query.stop()
 
-    def resume(self, name: str, principal: str = "anonymous") -> None:
+    def resume(self, name: str, principal: str = "anonymous", force: bool = False) -> None:
         from brooklin_spark.security import Operation, check
 
         spec = self.get(name)
         check(self.authorizer, spec, Operation.UPDATE, principal)
+        leader, members = self._group_names(name)
+        if force:
+            for other in members:
+                if other == name:
+                    continue
+                o = self.get(other)
+                if o.status == PipelineStatus.PAUSED:
+                    o.status = PipelineStatus.READY
+                    self._persist(o)
+        lr = self._running.get(leader)
+        query_live = lr is not None and lr.query is not None and lr.query.isActive
+        if query_live:
+            # the group's shared query is live (a sibling kept it running)
+            # — only the status flips
+            self._transition(spec, PipelineStatus.READY)
+            self._persist(spec)
+            return
+        if name != leader:
+            # member resume while the shared query is down (whole group was
+            # paused): the task must run again because ONE member is READY
+            # — rebuild the leader's physical query from its checkpoint
+            # WITHOUT touching the leader's own PAUSED status (the
+            # reference's task runs iff any group stream is READY)
+            self._transition(spec, PipelineStatus.READY)
+            self._persist(spec)
+            self._start(self.get(leader), already_ready=True)
+            return
         self._start(spec)  # transitions PAUSED/STOPPED -> READY (validated)
 
     def rewind(self, name: str, principal: str = "anonymous") -> None:

@@ -12,10 +12,13 @@ extra dependencies:
     POST   /datastreams                         create (spec JSON body)
     GET    /datastreams/{name}                  fetch spec
     DELETE /datastreams/{name}                  delete
-    POST   /datastreams/{name}/pause            action (force semantics n/a:
-                                                group pause is implicit —
-                                                the group shares one query)
-    POST   /datastreams/{name}/resume           action
+    POST   /datastreams/{name}/pause            action; {"force": true}
+                                                pauses the whole dedup
+                                                group (the shared query
+                                                stops only when no member
+                                                remains READY)
+    POST   /datastreams/{name}/resume           action; {"force": true}
+                                                resumes the whole group
     POST   /datastreams/{name}/stop             action
     POST   /datastreams/{name}/rewind           action (offset-rewind
                                                 surface; explicit here,
@@ -141,9 +144,17 @@ class _Handler(BaseHTTPRequestHandler):
                 if len(parts) == 3 and parts[0] == "datastreams":
                     name, action = parts[1], parts[2]
                     if action == "pause":
-                        self.manager.pause(name, principal=self._principal())
+                        self.manager.pause(
+                            name,
+                            principal=self._principal(),
+                            force=bool(body.get("force", False)),
+                        )
                     elif action == "resume":
-                        self.manager.resume(name, principal=self._principal())
+                        self.manager.resume(
+                            name,
+                            principal=self._principal(),
+                            force=bool(body.get("force", False)),
+                        )
                     elif action == "stop":
                         self.manager.stop(name)
                     elif action == "rewind":

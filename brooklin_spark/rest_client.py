@@ -94,11 +94,11 @@ class DatastreamRestClient:
             time.sleep(0.05)
         raise TimeoutError(f"datastream {name!r} still exists after {timeout_s}s")
 
-    def pause(self, name: str) -> dict:
-        return self._call("POST", f"/datastreams/{name}/pause")
+    def pause(self, name: str, force: bool = False) -> dict:
+        return self._call("POST", f"/datastreams/{name}/pause", {"force": force})
 
-    def resume(self, name: str) -> dict:
-        return self._call("POST", f"/datastreams/{name}/resume")
+    def resume(self, name: str, force: bool = False) -> dict:
+        return self._call("POST", f"/datastreams/{name}/resume", {"force": force})
 
     def stop(self, name: str) -> dict:
         return self._call("POST", f"/datastreams/{name}/stop")

@@ -469,3 +469,61 @@ def test_promoted_leader_delete_removes_inherited_checkpoint(spark, workdir, tmp
     assert os.path.isdir(ckpt1), "inherited dir still in use by the query"
     mgr.delete("pl2")
     assert not os.path.isdir(ckpt1), "inherited checkpoint removed, not leaked"
+
+
+def test_group_pause_without_force_keeps_shared_query_running(spark, workdir, tmp_path):
+    """Pausing ONE stream of a dedup group must not starve its siblings:
+    the shared physical query keeps running while any member is READY
+    (DatastreamResources.java:355-392 — non-force pause touches only the
+    named stream)."""
+    src = str(tmp_path / "in")
+    _write_lines(src + "/a.txt", ["p1"])
+    mgr = PipelineManager(spark, workdir)
+    mgr.create(_file_spec("gp1", src))
+    mgr.create(_file_spec("gp2", src))
+    q = mgr.query_of("gp1")
+    mgr.pause("gp1")  # leader paused WITHOUT force
+    assert mgr.get("gp1").status == PipelineStatus.PAUSED
+    assert mgr.get("gp2").status == PipelineStatus.READY
+    assert q.isActive, "sibling gp2 is READY — the shared query must survive"
+    # data still flows for the active member
+    _write_lines(src + "/b.txt", ["p2"])
+    mgr.process_available("gp1")
+    assert spark.sql("SELECT count(*) n FROM gp1").first().n == 2
+    mgr.resume("gp1")
+    assert mgr.get("gp1").status == PipelineStatus.READY
+    assert mgr.query_of("gp1") is q, "resume of a status-only pause is a no-op on the query"
+    mgr.delete("gp1")
+    mgr.delete("gp2")
+
+
+def test_group_force_pause_and_member_resume(spark, workdir, tmp_path):
+    """force=True pauses the whole group and stops the query; resuming any
+    MEMBER restarts the shared physical query from its checkpoint while
+    the leader stays PAUSED (the reference's task runs iff any group
+    stream is READY)."""
+    src = str(tmp_path / "in")
+    _write_lines(src + "/a.txt", ["f1"])
+    mgr = PipelineManager(spark, workdir)
+    mgr.create(_file_spec("gf1", src))
+    mgr.create(_file_spec("gf2", src))
+    mgr.process_available("gf1")
+    mgr.pause("gf1", force=True)
+    assert mgr.get("gf1").status == PipelineStatus.PAUSED
+    assert mgr.get("gf2").status == PipelineStatus.PAUSED
+    assert mgr.query_of("gf1") is None or not mgr.query_of("gf1").isActive
+    # member resume: query restarts, leader stays paused, no replay
+    mgr.resume("gf2")
+    assert mgr.get("gf2").status == PipelineStatus.READY
+    assert mgr.get("gf1").status == PipelineStatus.PAUSED
+    assert mgr.query_of("gf1").isActive, "shared query rebuilt for the READY member"
+    _write_lines(src + "/b.txt", ["f2"])
+    mgr.process_available("gf1")
+    vals = sorted(
+        r.v for r in spark.sql("SELECT CAST(value AS STRING) v FROM gf1").collect()
+    )
+    assert vals == ["f1", "f2"], "checkpoint kept: no replay, new data flows"
+    mgr.resume("gf1")  # leader back: status-only flip, same query
+    assert mgr.get("gf1").status == PipelineStatus.READY
+    mgr.delete("gf1")
+    mgr.delete("gf2")
