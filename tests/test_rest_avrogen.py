@@ -380,3 +380,77 @@ def test_rest_schema_registry_round_trip(spark, tmp_path):
         assert code == 404
     finally:
         srv.stop()
+
+
+# --------------------------------------------------------------------------
+# Property: every schema the generator can emit round-trips rows through
+# the engine's Avro codec, including nullable unions and schema-resolution
+# evolution (dropped writer fields vanish; the pipeline a registry frame
+# travels: generate → register → encode → resolve).
+# --------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_GEN_TYPES = ["LONG", "INTEGER", "VARCHAR2", "BLOB", "FLOAT", "DOUBLE", "NUMBER"]
+
+
+def _value_for(db_type: str, nullable: bool, draw):
+    base = {
+        "LONG": st.integers(min_value=-(2**40), max_value=2**40),
+        "INTEGER": st.integers(min_value=-(2**31), max_value=2**31 - 1),
+        "VARCHAR2": st.text(max_size=20),
+        "NUMBER": st.text("0123456789.", min_size=1, max_size=12),
+        "BLOB": st.binary(max_size=16),
+        # float32 must survive a float64 round-trip: draw exact halves
+        "FLOAT": st.integers(-1000, 1000).map(lambda n: n / 2.0),
+        "DOUBLE": st.floats(allow_nan=False, allow_infinity=False, width=64),
+    }[db_type]
+    return draw(st.none() | base) if nullable else draw(base)
+
+
+@st.composite
+def _table_and_rows(draw):
+    n_cols = draw(st.integers(min_value=1, max_value=6))
+    cols = []
+    names = draw(
+        st.lists(
+            st.from_regex(r"[A-Z][A-Z0-9_]{0,8}", fullmatch=True),
+            min_size=n_cols, max_size=n_cols, unique=True,
+        )
+    )
+    for i, nm in enumerate(names):
+        db_type = draw(st.sampled_from(_GEN_TYPES))
+        nullable = draw(st.booleans())
+        cols.append(
+            AG.ColumnMeta(
+                nm, db_type, i, nullable,
+                precision=10 if db_type == "NUMBER" else None,
+                scale=2 if db_type == "NUMBER" else None,
+            )
+        )
+    rows = [
+        {c.name: _value_for(c.db_type, c.nullable, draw) for c in cols}
+        for _ in range(draw(st.integers(min_value=1, max_value=4)))
+    ]
+    return cols, rows
+
+
+@settings(max_examples=40, deadline=None)
+@given(_table_and_rows())
+def test_generated_schema_codec_round_trip_property(tr):
+    from brooklin_spark.functions import avro_codec as C
+
+    cols, rows = tr
+    schema = AG.generate_table_schema("S", "T_PROP", cols)
+    for row in rows:
+        assert C.decode(schema, C.encode(schema, row)) == row
+    # evolution: a reader that drops the last column still decodes every
+    # writer payload (the registry resolve path)
+    if len(cols) > 1:
+        reader = AG.generate_table_schema("S", "T_PROP", cols[:-1])
+        dropped = cols[-1].name
+        for row in rows:
+            got = C.resolve(schema, reader, C.encode(schema, row))
+            want = {k: v for k, v in row.items() if k != dropped}
+            assert got == want
