@@ -596,3 +596,128 @@ def streaming_dedup_minhash_ingest(spark: SparkSession, sf_dir: str) -> DataFram
     return spark.createDataFrame(
         survivors, "doc_id bigint, source string"
     )
+
+
+# ---------------------------------------------------------------------------
+# SimHash twin of the streaming-ingest dedup: EXACT hamming<=3 near-dup
+# blocking as documents arrive. The bucket store keeps (band_id, band_key,
+# sig, doc_id is implicit — any store row is an earlier doc): an arriving
+# doc is dropped when a stored row shares a band AND the full signatures
+# are within hamming distance 3 (Manku pigeonhole: d < bands makes the
+# banded candidate set exact, so the incremental run equals the one-shot
+# all-pairs rule). Store rows are 4 per doc (band + 8-byte sig).
+# ---------------------------------------------------------------------------
+
+_ING_BITS, _ING_SH_BANDS, _ING_MAX_D = 32, 4, 3
+
+
+@query(
+    "streaming_dedup_simhash_ingest",
+    oracle=f"""
+    WITH {G.shingle_cte(3)},
+    base AS ({G.simhash_base_int(_ING_BITS)}),
+    sums AS (
+      SELECT doc_id, {G.simhash_sum_cols_int(_ING_BITS)}
+      FROM base GROUP BY doc_id),
+    sigs AS (SELECT doc_id, {G.simhash_sig_int_expr(_ING_BITS)} AS sig FROM sums),
+    banded AS ({" UNION ALL ".join(G.simhash_band_int_selects(_ING_BITS, _ING_SH_BANDS))}),
+    blocked AS (
+      SELECT DISTINCT y.doc_id
+      FROM banded x JOIN banded y
+        ON x.band_id = y.band_id AND x.band_key = y.band_key
+       AND x.doc_id < y.doc_id
+      JOIN sigs a ON a.doc_id = x.doc_id
+      JOIN sigs b ON b.doc_id = y.doc_id
+      WHERE bit_count(xor(a.sig, b.sig)) <= {_ING_MAX_D})
+    SELECT d.doc_id, d.source FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM blocked)
+    """,
+)
+def streaming_dedup_simhash_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from brooklin_spark.operators import dedup as D
+
+    split_dir = _split_documents_for_stream(sf_dir)
+    schema = spark.read.parquet(split_dir).schema
+    work = tempfile.mkdtemp(prefix="bspark_ingest_simhash_")
+    store = os.path.join(work, "band_store")
+    ckpt = os.path.join(work, "ckpt")
+    width = _ING_BITS // _ING_SH_BANDS
+    mask = (1 << width) - 1
+    survivors: list = []
+
+    def step(batch_df: DataFrame, _epoch: int) -> None:
+        sess = batch_df.sparkSession
+        arr = D.shingle_arrays_pandas(batch_df, n=3).filter(F.size("shingles") > 0)
+        sig = D.simhash_signature_int_pandas(arr, bits=_ING_BITS)
+        band_structs = [
+            F.struct(
+                F.lit(j).alias("band_id"),
+                F.shiftright(F.col("sig"), (_ING_SH_BANDS - 1 - j) * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("band_key"),
+            )
+            for j in range(_ING_SH_BANDS)
+        ]
+        banded = (
+            sig.select("id", "sig", F.explode(F.array(*band_structs)).alias("b"))
+            .select("id", "sig", "b.band_id", "b.band_key")
+            .localCheckpoint()
+        )
+        x, y = banded.alias("x"), banded.alias("y")
+        within_dist = F.bit_count(F.col("x.sig").bitwiseXOR(F.col("y.sig")))
+        dropped = (
+            x.join(
+                y,
+                (F.col("x.band_id") == F.col("y.band_id"))
+                & (F.col("x.band_key") == F.col("y.band_key"))
+                & (F.col("x.id") < F.col("y.id")),
+            )
+            .filter(within_dist <= _ING_MAX_D)
+            .select(F.col("y.id").alias("doc_id"))
+        )
+        has_store = os.path.isdir(store) and any(
+            f.endswith(".parquet") for f in os.listdir(store)
+        )
+        if has_store:
+            st = sess.read.parquet(store).alias("s")
+            hit_dist = F.bit_count(F.col("s.sig").bitwiseXOR(F.col("x.sig")))
+            hit = (
+                x.join(
+                    st,
+                    (F.col("s.band_id") == F.col("x.band_id"))
+                    & (F.col("s.band_key") == F.col("x.band_key")),
+                )
+                .filter(hit_dist <= _ING_MAX_D)
+                .select(F.col("x.id").alias("doc_id"))
+            )
+            dropped = dropped.union(hit)
+        keep = batch_df.select("doc_id", "source").join(
+            dropped.distinct(), "doc_id", "left_anti"
+        )
+        survivors.extend(keep.collect())
+        new_store = banded.select("band_id", "band_key", "sig").distinct()
+        if has_store:
+            new_store = new_store.union(
+                st.select("band_id", "band_key", "sig")
+            ).distinct()
+        tmp_store = store + "_next"
+        new_store.write.mode("overwrite").parquet(tmp_store)
+        shutil.rmtree(store, ignore_errors=True)
+        os.rename(tmp_store, store)
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(split_dir)
+        .writeStream.foreachBatch(step)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(survivors, "doc_id bigint, source string")
