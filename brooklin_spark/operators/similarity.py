@@ -327,6 +327,7 @@ def ivf_topk(
     nprobe: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assign: DataFrame | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: probe the ``nprobe`` nearest
     centroid buckets per query, exact cosine rerank within the candidates.
@@ -346,7 +347,10 @@ def ivf_topk(
     from pyspark.sql.functions import pandas_udf
 
     spark = corpus.sparkSession
-    assign = ivf_assign(corpus, centroids, id_col, vec_col)
+    if assign is None:
+        assign = ivf_assign(corpus, centroids, id_col, vec_col)
+    # else: a PERSISTED index (vec_id, cid) — the build-once/query-many
+    # production shape; see queries/similarity.py ann_ivf_topk_persisted
 
     # probes: queries × centroids are both broadcast-small — compute the
     # nprobe nearest buckets per query directly in numpy on the driver
