@@ -832,3 +832,65 @@ def text_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", F.round(cos, 6).alias("cosine"))
         .filter(F.round(cos, 6) >= _TFIDF_THRESHOLD)
     )
+
+
+# ---------------------------------------------------------------------------
+# Document chunking with overlap: the retrieval/RAG corpus-prep op — each
+# doc splits into token windows of size _CHUNK_W advancing by _CHUNK_S
+# (trailing partial window kept, so every token lands in >=1 chunk). All
+# JVM-side: one sequence() over chunk starts + explode + slice, no UDF;
+# at 100 TB this is a map-only pass whose output is the chunk table a
+# vector indexer consumes.
+# ---------------------------------------------------------------------------
+
+_CHUNK_W, _CHUNK_S = 16, 8
+
+
+@query(
+    "text_chunk_windows",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOK} AS t, len({_TOK}) AS n FROM documents),
+    starts AS (
+      SELECT doc_id, t, n, unnest(range(0,
+               greatest(1, CAST(ceil((n - {_CHUNK_W}) * 1.0 / {_CHUNK_S}) AS BIGINT) + 1)
+             )) * {_CHUNK_S} AS start
+      FROM toks WHERE n > 0)
+    SELECT doc_id,
+           CAST(start / {_CHUNK_S} AS BIGINT) AS chunk_idx,
+           start,
+           least(n - start, {_CHUNK_W}) AS n_tokens,
+           array_to_string(t[start + 1 : least(start + {_CHUNK_W}, n)], ' ') AS chunk_text
+    FROM starts WHERE start < n
+    """,
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", X.tokens().alias("t")).withColumn(
+        "n", F.size("t")
+    ).filter(F.col("n") > 0)
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((F.col("n") - _CHUNK_W) / F.lit(float(_CHUNK_S))).cast("bigint")
+        + 1,
+    )
+    starts = (
+        toks.select(
+            "doc_id",
+            "t",
+            "n",
+            F.explode(F.sequence(F.lit(0), n_chunks.cast("int") - 1)).alias("ci"),
+        )
+        .withColumn("start", F.col("ci") * _CHUNK_S)
+        .filter(F.col("start") < F.col("n"))
+    )
+    return starts.select(
+        "doc_id",
+        (F.col("start") / _CHUNK_S).cast("bigint").alias("chunk_idx"),
+        F.col("start").cast("bigint").alias("start"),
+        F.least(F.col("n") - F.col("start"), F.lit(_CHUNK_W)).cast("bigint").alias("n_tokens"),
+        F.concat_ws(
+            " ",
+            F.slice(F.col("t"), F.col("start") + 1, F.lit(_CHUNK_W)),
+        ).alias("chunk_text"),
+    )
