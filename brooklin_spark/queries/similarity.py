@@ -480,3 +480,73 @@ def ann_ivf_topk_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(
         queries, emb, cent, k=_IVF_K, nprobe=_IVF_NPROBE, assign=_ivf_index(spark, sf_dir)
     )
+
+
+# ---------------------------------------------------------------------------
+# kNN label vote: classify each query vector by the majority label of its
+# 5 nearest neighbors (cosine) — the autolabel / label-propagation op a
+# training pipeline runs to extend sparse labels. Composes the broadcast
+# brute-force top-k (corpus never shuffles) with one tiny vote aggregation
+# over k·|queries| rows; ties break to the smallest label for cross-engine
+# determinism.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "knn_label_vote",
+    oracle="""
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, q.label AS true_label,
+             c.vec_id AS neighbor_id, c.label AS neighbor_label,
+             round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS sim
+      FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+    ranked AS (
+      SELECT query_id, true_label, neighbor_label,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+      FROM scored),
+    votes AS (
+      SELECT query_id, true_label, neighbor_label, COUNT(*) AS n_votes
+      FROM ranked WHERE rank <= 5
+      GROUP BY 1, 2, 3),
+    winner AS (
+      SELECT query_id, true_label, neighbor_label AS predicted_label, n_votes,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY n_votes DESC, neighbor_label ASC) AS rn
+      FROM votes)
+    SELECT query_id, true_label, predicted_label, CAST(n_votes AS BIGINT) AS n_votes,
+           CAST(predicted_label = true_label AS BOOLEAN) AS correct
+    FROM winner WHERE rn = 1
+    """,
+)
+def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    topk = S.brute_force_topk(queries, emb, k=5)
+    labels = emb.select("vec_id", "label")
+    votes = (
+        topk.join(
+            F.broadcast(labels.withColumnRenamed("vec_id", "neighbor_id")),
+            "neighbor_id",
+        )
+        .groupBy("query_id", F.col("label").alias("neighbor_label"))
+        .agg(F.count("*").alias("n_votes"))
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.desc("n_votes"), F.asc("neighbor_label")
+    )
+    winner = votes.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    truth = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    return (
+        winner.join(F.broadcast(truth), "query_id")
+        .select(
+            "query_id",
+            "true_label",
+            F.col("neighbor_label").alias("predicted_label"),
+            F.col("n_votes").cast("bigint").alias("n_votes"),
+            (F.col("neighbor_label") == F.col("true_label")).alias("correct"),
+        )
+    )
