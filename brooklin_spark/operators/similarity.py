@@ -623,7 +623,9 @@ def pq_encode(
     (no shuffle, partition-preserving), each Arrow batch doing m
     (batch × k) distance matmuls in numpy.
     """
-    rows = codebook.limit(k).select(id_col, vec_col).collect()
+    # orderBy before limit: a bare limit(k) on a >k-row codebook would
+    # pick arbitrary rows — the codeword set must be deterministic
+    rows = codebook.orderBy(id_col).limit(k).select(id_col, vec_col).collect()
     rows.sort(key=lambda r: r[0])
     cb = np.array([list(r[1]) for r in rows], dtype=np.float64)  # (k, D) RAW
     D = cb.shape[1]
