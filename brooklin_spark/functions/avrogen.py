@@ -114,6 +114,17 @@ class ColumnMeta:
 
 def _avro_field(col: ColumnMeta) -> dict:
     avro_type = db_type_to_avro(col.db_type)
+    if avro_type in ("array", "record"):
+        # ARRAY needs an items schema and TABLE (struct) needs name/fields
+        # — a bare "array"/"record" type is not a valid Avro document, so
+        # fail loudly instead of emitting a schema no parser accepts. The
+        # reference models these with nested FieldType trees
+        # (OracleTableType/OracleCollectionType); this generator's scope
+        # is flat relational tables (the chunked-JDBC snapshot source).
+        raise NotImplementedError(
+            f"column {col.name!r}: {col.db_type} requires a nested element "
+            "schema; flat relational columns only"
+        )
     field: dict = {"name": col.name, "meta": col.meta_string()}
     if col.nullable:
         # AvroJson.nullableType order: the real type first, then "null"

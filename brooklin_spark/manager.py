@@ -89,8 +89,14 @@ class PipelineManager:
             leader = self._running[dup].spec
             spec.transport = leader.transport
             spec.dest_uri = leader.dest_uri
-            if "memory.table" in leader.metadata:  # memory dest = table name
-                spec.metadata["memory.table"] = leader.metadata["memory.table"]
+            if leader.transport == "memory":
+                # record the leader's EFFECTIVE table (defaults to its
+                # name): the member must point at the view the shared
+                # query actually writes, even when the leader never set
+                # memory.table explicitly
+                spec.metadata["memory.table"] = leader.metadata.get(
+                    "memory.table", leader.name
+                )
             spec.status = PipelineStatus.READY
             self._persist(spec)
             self._running[dup].group.append(spec.name)
@@ -140,7 +146,11 @@ class PipelineManager:
         existing = self.get(spec.name)  # KeyError -> 404 at the facade
         spec.validate()
         check(self.authorizer, existing, Operation.UPDATE, principal)
-        for field_name in ("connector", "transport", "dest_uri"):
+        # source_uri is immutable too: it is the dedup identity AND the
+        # checkpoint's file-source log references the old source's files —
+        # resuming the same checkpoint against a new source replays/skips
+        # the wrong offsets (reference rule: recreate, don't mutate)
+        for field_name in ("connector", "transport", "dest_uri", "source_uri"):
             if getattr(spec, field_name) != getattr(existing, field_name):
                 raise ValueError(
                     f"update may not change {field_name} "
@@ -158,16 +168,34 @@ class PipelineManager:
         for k, v in existing.metadata.items():
             if k.startswith("system.") and k not in spec.metadata:
                 spec.metadata[k] = v
-        self._persist(spec)
         r = self._running.get(spec.name)
         if r is not None and r.query is not None and existing.status == PipelineStatus.READY:
             # live streaming query: rebuild it on the new config from the
-            # SAME checkpoint (config change, not replay)
-            self._restart(spec)
-        elif r is not None:
-            # bounded/poll pipeline: no physical rebuild (re-running the
-            # bootstrap would double-deliver); next poll reads the new spec
-            r.spec = spec
+            # SAME checkpoint (config change, not replay). Persist the new
+            # spec only AFTER the rebuild succeeds — if the new config
+            # cannot start, roll back to the old spec and revive the OLD
+            # query so a rejected update never leaves a dead pipeline
+            # marked READY (review r3 #1)
+            group = list(r.group)
+            try:
+                self._persist(spec)
+                self._restart(spec)
+            except Exception:
+                self._persist(existing)
+                cur = self._running.get(spec.name)
+                if cur is None or (
+                    cur.query is not None and not cur.query.isActive
+                ):
+                    self._running.pop(spec.name, None)
+                    self._start(existing, already_ready=True, group=group)
+                raise
+        else:
+            self._persist(spec)
+            if r is not None:
+                # bounded/poll pipeline: no physical rebuild (re-running
+                # the bootstrap would double-deliver); next poll reads the
+                # new spec
+                r.spec = spec
         return spec
 
     def delete(self, name: str, principal: str = "anonymous") -> None:
@@ -273,6 +301,13 @@ class PipelineManager:
 
         spec = self.get(name)
         check(self.authorizer, spec, Operation.UPDATE, principal)
+        # validate the PRIMARY's transition before any side effect — a
+        # rejected resume must not have already flipped (and persisted)
+        # sibling statuses (review r3 #4; pause() validates first too)
+        if not can_transition(spec.status, PipelineStatus.READY):
+            raise ValueError(
+                f"illegal transition {spec.status.value} -> READY for {name!r}"
+            )
         leader, members = self._group_names(name)
         if force:
             for other in members:
@@ -320,10 +355,14 @@ class PipelineManager:
             r.query.stop()
         shutil.rmtree(self._ckpt_dir(spec), ignore_errors=True)
         shutil.rmtree(self._holding_dir(spec), ignore_errors=True)
-        # a promoted leader may have inherited another name's state dirs;
-        # after discarding them the rebuilt query starts on dirs derived
-        # from its OWN name again (ADVICE r2 #4)
-        for k in ("system.checkpoint.dir", "system.holding.dir", "system.deadletter.dir"):
+        # a promoted leader may have inherited another name's checkpoint/
+        # holding dirs; after discarding them the rebuilt query starts on
+        # dirs derived from its OWN name again (ADVICE r2 #4). The
+        # DEADLETTER pointer is deliberately KEPT: its records are an
+        # audit trail the rewind does not invalidate, and popping the key
+        # would orphan the inherited directory while dead_letters() starts
+        # resolving to an empty name-derived one (review r3 #5)
+        for k in ("system.checkpoint.dir", "system.holding.dir"):
             spec.metadata.pop(k, None)
         self._persist(spec)
         if spec.status == PipelineStatus.READY:

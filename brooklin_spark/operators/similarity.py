@@ -158,12 +158,14 @@ def similar_pairs(
     collects the corpus to the driver and refuses above ``max_rows``
     (VERDICT r2 'what's wrong' #1 — the unguarded collect was a driver
     OOM at scale). Corpus-vs-corpus callers use similar_pairs_blocked."""
-    n = corpus.count()
-    if n > max_rows:
+    # limit(max_rows+1).count() enforces the bound while letting Spark
+    # stop scanning after max_rows+1 rows — a full count() would execute
+    # the whole upstream plan once just to check the guard
+    if corpus.limit(max_rows + 1).count() > max_rows:
         raise ValueError(
-            f"similar_pairs collects the corpus to the driver; {n} rows > "
-            f"max_rows={max_rows}. Use similar_pairs_blocked (exact, "
-            "distributed) or srp_bucket_pairs (approximate, fastest)."
+            f"similar_pairs collects the corpus to the driver; corpus has "
+            f"more than max_rows={max_rows} rows. Use similar_pairs_blocked "
+            "(exact, distributed) or srp_bucket_pairs (approximate, fastest)."
         )
     all_ids, allm = _collect_matrix(corpus, id_col, vec_col)
 

@@ -52,7 +52,7 @@ from brooklin_spark.model import PipelineSpec
 
 
 class _Handler(BaseHTTPRequestHandler):
-    manager: PipelineManager  # injected by serve()
+    manager: PipelineManager  # injected by DatastreamRestServer
     registry = None  # optional SchemaRegistry (schemas routes 404 without)
     lock: threading.Lock
 
@@ -81,143 +81,131 @@ class _Handler(BaseHTTPRequestHandler):
         return json.loads(spec.to_json())
 
     # ------------------------------------------------------------- routing
+    # Every verb computes (code, payload) under the control-plane lock and
+    # WRITES THE RESPONSE AFTER RELEASING IT — a stalled client socket
+    # must not block other mutations (review r3 #7). Unexpected exceptions
+    # become a 500 JSON error on every verb, never a dropped connection
+    # (review r3 #2).
+
     def do_GET(self):  # noqa: N802 (http.server API)
-        path = urlparse(self.path).path.rstrip("/")
-        parts = [p for p in path.split("/") if p]
-        try:
-            with self.lock:
-                if parts == ["health"]:
-                    return self._send(200, self.manager.diagnostics())
-                if (
-                    len(parts) == 2
-                    and parts[0] == "schemas"
-                    and self.registry is not None
-                ):
-                    return self._send(
-                        200,
-                        {"id": parts[1], "schema": json.loads(self.registry.get(parts[1]))},
-                    )
-                if parts == ["datastreams"]:
-                    return self._send(
-                        200, [self._spec_out(s) for s in self.manager.list()]
-                    )
-                if len(parts) == 2 and parts[0] == "datastreams":
-                    return self._send(200, self._spec_out(self.manager.get(parts[1])))
-                if (
-                    len(parts) == 3
-                    and parts[0] == "datastreams"
-                    and parts[2] == "pausedSourcePartitions"
-                ):
-                    name = parts[1]
-                    return self._send(
-                        200,
-                        {
-                            "paused": self.manager.paused_source_partitions(name),
-                            "autoPaused": self.manager.auto_paused_partitions(name),
-                        },
-                    )
-            return self._send(404, {"error": f"no such route: {path}"})
-        except KeyError as e:
-            return self._send(404, {"error": str(e)})
-        except Exception as e:  # pragma: no cover - defensive
-            return self._send(500, {"error": repr(e)})
+        self._send(*self._dispatch(self._get_routes))
 
     def do_POST(self):  # noqa: N802
-        path = urlparse(self.path).path.rstrip("/")
-        parts = [p for p in path.split("/") if p]
-        try:
-            body = self._body()
-            with self.lock:
-                if parts == ["schemas"] and self.registry is not None:
-                    # register an Avro schema; the returned id is the hex
-                    # digest framed into messages (serde.py MAGIC + digest)
-                    schema_id = self.registry.register(json.dumps(body))
-                    return self._send(201, {"id": schema_id})
-                if parts == ["datastreams"]:
-                    spec = PipelineSpec.from_json(json.dumps(body))
-                    if any(s.name == spec.name for s in self.manager.list()):
-                        return self._send(
-                            409, {"error": f"datastream exists: {spec.name}"}
-                        )
-                    self.manager.create(spec, principal=self._principal())
-                    return self._send(201, self._spec_out(self.manager.get(spec.name)))
-                if len(parts) == 3 and parts[0] == "datastreams":
-                    name, action = parts[1], parts[2]
-                    if action == "pause":
-                        self.manager.pause(
-                            name,
-                            principal=self._principal(),
-                            force=bool(body.get("force", False)),
-                        )
-                    elif action == "resume":
-                        self.manager.resume(
-                            name,
-                            principal=self._principal(),
-                            force=bool(body.get("force", False)),
-                        )
-                    elif action == "stop":
-                        self.manager.stop(name)
-                    elif action == "rewind":
-                        self.manager.rewind(name, principal=self._principal())
-                    elif action == "pauseSourcePartitions":
-                        self.manager.pause_source_partitions(
-                            name, [int(p) for p in body.get("partitions", [])]
-                        )
-                    elif action == "resumeSourcePartitions":
-                        parts_arg = body.get("partitions")
-                        self.manager.resume_source_partitions(
-                            name,
-                            [int(p) for p in parts_arg] if parts_arg is not None else None,
-                        )
-                    else:
-                        return self._send(404, {"error": f"no such action: {action}"})
-                    return self._send(200, self._spec_out(self.manager.get(name)))
-            return self._send(404, {"error": f"no such route: {path}"})
-        except PermissionError as e:
-            return self._send(403, {"error": str(e)})
-        except KeyError as e:
-            return self._send(404, {"error": str(e)})
-        except (ValueError, RuntimeError) as e:
-            return self._send(400, {"error": str(e)})
+        self._send(*self._dispatch(self._post_routes))
 
     def do_PUT(self):  # noqa: N802
+        self._send(*self._dispatch(self._put_routes))
+
+    def do_DELETE(self):  # noqa: N802
+        self._send(*self._dispatch(self._delete_routes))
+
+    def _dispatch(self, routes):
         path = urlparse(self.path).path.rstrip("/")
         parts = [p for p in path.split("/") if p]
         try:
             body = self._body()
             with self.lock:
-                if len(parts) == 2 and parts[0] == "datastreams":
-                    spec = PipelineSpec.from_json(json.dumps(body))
-                    if spec.name != parts[1]:
-                        return self._send(
-                            400,
-                            {"error": f"name mismatch: {spec.name!r} vs {parts[1]!r}"},
-                        )
-                    self.manager.update(spec, principal=self._principal())
-                    return self._send(200, self._spec_out(self.manager.get(parts[1])))
-            return self._send(404, {"error": f"no such route: {path}"})
+                out = routes(parts, body)
+            if out is not None:
+                return out
+            return 404, {"error": f"no such route: {path}"}
         except PermissionError as e:
-            return self._send(403, {"error": str(e)})
+            return 403, {"error": str(e)}
         except KeyError as e:
-            return self._send(404, {"error": str(e)})
+            return 404, {"error": str(e)}
         except (ValueError, RuntimeError) as e:
-            return self._send(400, {"error": str(e)})
+            return 400, {"error": str(e)}
+        except Exception as e:  # defensive: surface, don't drop the socket
+            return 500, {"error": repr(e)}
 
-    def do_DELETE(self):  # noqa: N802
-        path = urlparse(self.path).path.rstrip("/")
-        parts = [p for p in path.split("/") if p]
-        try:
-            with self.lock:
-                if len(parts) == 2 and parts[0] == "datastreams":
-                    self.manager.delete(parts[1], principal=self._principal())
-                    return self._send(200, {"deleted": parts[1]})
-            return self._send(404, {"error": f"no such route: {path}"})
-        except PermissionError as e:
-            return self._send(403, {"error": str(e)})
-        except KeyError as e:
-            return self._send(404, {"error": str(e)})
-        except (ValueError, RuntimeError) as e:
-            return self._send(400, {"error": str(e)})
+    # ----------------------------------------------------------- GET
+    def _get_routes(self, parts, _body):
+        if parts == ["health"]:
+            return 200, self.manager.diagnostics()
+        if len(parts) == 2 and parts[0] == "schemas" and self.registry is not None:
+            return 200, {
+                "id": parts[1],
+                "schema": json.loads(self.registry.get(parts[1])),
+            }
+        if parts == ["datastreams"]:
+            return 200, [self._spec_out(s) for s in self.manager.list()]
+        if len(parts) == 2 and parts[0] == "datastreams":
+            return 200, self._spec_out(self.manager.get(parts[1]))
+        if (
+            len(parts) == 3
+            and parts[0] == "datastreams"
+            and parts[2] == "pausedSourcePartitions"
+        ):
+            name = parts[1]
+            return 200, {
+                "paused": self.manager.paused_source_partitions(name),
+                "autoPaused": self.manager.auto_paused_partitions(name),
+            }
+        return None
+
+    # ----------------------------------------------------------- POST
+    def _post_routes(self, parts, body):
+        if parts == ["schemas"] and self.registry is not None:
+            # register an Avro schema; the returned id is the hex digest
+            # framed into messages (serde.py MAGIC + digest)
+            return 201, {"id": self.registry.register(json.dumps(body))}
+        if parts == ["datastreams"]:
+            spec = PipelineSpec.from_json(json.dumps(body))
+            if any(s.name == spec.name for s in self.manager.list()):
+                return 409, {"error": f"datastream exists: {spec.name}"}
+            self.manager.create(spec, principal=self._principal())
+            return 201, self._spec_out(self.manager.get(spec.name))
+        if len(parts) == 3 and parts[0] == "datastreams":
+            name, action = parts[1], parts[2]
+            if action == "pause":
+                self.manager.pause(
+                    name,
+                    principal=self._principal(),
+                    force=bool(body.get("force", False)),
+                )
+            elif action == "resume":
+                self.manager.resume(
+                    name,
+                    principal=self._principal(),
+                    force=bool(body.get("force", False)),
+                )
+            elif action == "stop":
+                self.manager.stop(name)
+            elif action == "rewind":
+                self.manager.rewind(name, principal=self._principal())
+            elif action == "pauseSourcePartitions":
+                self.manager.pause_source_partitions(
+                    name, [int(p) for p in body.get("partitions", [])]
+                )
+            elif action == "resumeSourcePartitions":
+                parts_arg = body.get("partitions")
+                self.manager.resume_source_partitions(
+                    name,
+                    [int(p) for p in parts_arg] if parts_arg is not None else None,
+                )
+            else:
+                return 404, {"error": f"no such action: {action}"}
+            return 200, self._spec_out(self.manager.get(name))
+        return None
+
+    # ----------------------------------------------------------- PUT
+    def _put_routes(self, parts, body):
+        if len(parts) == 2 and parts[0] == "datastreams":
+            spec = PipelineSpec.from_json(json.dumps(body))
+            if spec.name != parts[1]:
+                return 400, {
+                    "error": f"name mismatch: {spec.name!r} vs {parts[1]!r}"
+                }
+            self.manager.update(spec, principal=self._principal())
+            return 200, self._spec_out(self.manager.get(parts[1]))
+        return None
+
+    # ----------------------------------------------------------- DELETE
+    def _delete_routes(self, parts, _body):
+        if len(parts) == 2 and parts[0] == "datastreams":
+            self.manager.delete(parts[1], principal=self._principal())
+            return 200, {"deleted": parts[1]}
+        return None
 
 
 class DatastreamRestServer:

@@ -527,3 +527,69 @@ def test_group_force_pause_and_member_resume(spark, workdir, tmp_path):
     assert mgr.get("gf1").status == PipelineStatus.READY
     mgr.delete("gf1")
     mgr.delete("gf2")
+
+
+def test_update_failure_rolls_back_and_revives_old_query(spark, workdir, tmp_path):
+    """An update whose new config cannot start must roll the spec back and
+    revive the OLD query — never a dead pipeline marked READY (review r3)."""
+    import pytest as _pytest
+
+    src = str(tmp_path / "in")
+    _write_lines(src + "/a.txt", ["u"])
+    mgr = PipelineManager(spark, workdir)
+    spec = _file_spec("rb", src)
+    mgr.create(spec)
+    bad = _file_spec("rb", src)
+    # a non-numeric trigger cap fails build_source at query-rebuild time
+    bad.metadata["max.files.per.trigger"] = "not-a-number"
+    with _pytest.raises(Exception):
+        mgr.update(bad)
+    got = mgr.get("rb")
+    assert "max.files.per.trigger" not in got.metadata, "old spec restored"
+    assert got.status == PipelineStatus.READY
+    assert mgr.query_of("rb") is not None and mgr.query_of("rb").isActive, (
+        "old query revived after the failed update"
+    )
+    # still consumes
+    _write_lines(src + "/b.txt", ["u2"])
+    mgr.process_available("rb")
+    assert spark.sql("SELECT count(*) n FROM rb").first().n == 2
+    mgr.delete("rb")
+
+
+def test_update_rejects_source_uri_change(spark, workdir, tmp_path):
+    import pytest as _pytest
+
+    src = str(tmp_path / "in")
+    _write_lines(src + "/a.txt", ["s"])
+    mgr = PipelineManager(spark, workdir)
+    mgr.create(_file_spec("su", src))
+    other = str(tmp_path / "other")
+    _write_lines(other + "/a.txt", ["x"])
+    bad = _file_spec("su", other)
+    with _pytest.raises(ValueError, match="source_uri"):
+        mgr.update(bad)
+    mgr.delete("su")
+
+
+def test_dedup_member_gets_effective_default_table(spark, workdir, tmp_path):
+    """When the leader never set memory.table (view defaults to its name),
+    the member must still point at the leader's ACTUAL view (review r3)."""
+    src = str(tmp_path / "in")
+    _write_lines(src + "/a.txt", ["t"])
+    mgr = PipelineManager(spark, workdir)
+    lead = PipelineSpec(
+        name="deft1", connector="file", transport="memory",
+        source_uri=f"file://{src}", metadata={},
+    )
+    mgr.create(lead)
+    memb = PipelineSpec(
+        name="deft2", connector="file", transport="memory",
+        source_uri=f"file://{src}", metadata={},
+    )
+    mgr.create(memb)
+    assert mgr.get("deft2").metadata.get("memory.table") == "deft1"
+    mgr.delete("deft2")  # member delete must not touch the leader's view
+    mgr.process_available("deft1")
+    assert spark.sql("SELECT count(*) n FROM deft1").first().n == 1
+    mgr.delete("deft1")

@@ -316,7 +316,19 @@ def test_rest_update_datastream(server, spark, tmp_path):
         "metadata": {"memory.table": "upd"},
     }
     client.create_datastream(spec)
-    spark.sql("SELECT 1").collect()  # let the stream settle
+    # wait for the FIRST delivery before updating, so the no-replay check
+    # has a deterministic baseline (the restart must not re-deliver it)
+    import time as _t0
+
+    deadline0 = _t0.time() + 20
+    while _t0.time() < deadline0:
+        if (
+            spark.catalog.tableExists("upd")
+            and spark.sql("SELECT count(*) n FROM upd").first().n >= 1
+        ):
+            break
+        _t0.sleep(0.3)
+    assert spark.sql("SELECT count(*) n FROM upd").first().n == 1
 
     new_spec = dict(spec, metadata={"memory.table": "upd", "note": "v2"})
     out = client.update_datastream(new_spec)
