@@ -517,3 +517,69 @@ def dedup_apply_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("doc_id").cast("bigint").alias("id_checksum"),
         F.sum("n_chars").cast("bigint").alias("chars_kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Containment (overlap-coefficient) pairs: |A∩B| / min(|A|,|B|) >= 0.8 —
+# catches a short document wholly QUOTED inside a longer one, which
+# symmetric jaccard misses (|A∩B|/|A∪B| stays small when sizes differ).
+# The training-data case is boilerplate/quotation contamination. Same
+# windowed-cap self-join shape as dedup_ngram_jaccard (per-doc set size
+# carried on every shingle row; one term-keyed exchange both sides reuse),
+# only the final measure differs.
+# ---------------------------------------------------------------------------
+
+_CONTAIN_T = 0.8
+
+
+@query(
+    "dedup_containment_pairs",
+    oracle=f"""
+    WITH {G.shingle_cte(3)},
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           common * 1.0 / least(sa.n_sh, sb.n_sh) AS containment,
+           common * 1.0 / (sa.n_sh + sb.n_sh - common) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE common * 1.0 / least(sa.n_sh, sb.n_sh) >= {_CONTAIN_T}
+    """,
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = table(spark, sf_dir, "documents")
+    sh = D.shingle_rows_pandas(docs, n=3).select(
+        "id", "n", F.xxhash64("shingle").alias("shingle")
+    )
+    capped = sh.withColumn(
+        "c", F.count("*").over(W.partitionBy("shingle"))
+    ).filter(F.col("c") <= D.MAX_POSTING).drop("c")
+    a, b = capped.alias("a"), capped.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(
+            F.col("a.id").alias("doc_a"),
+            F.col("b.id").alias("doc_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
+        .agg(F.count("*").alias("common"))
+    )
+    containment = F.col("common") / F.least("na", "nb")
+    jac = F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
+    return common.select(
+        "doc_a",
+        "doc_b",
+        containment.alias("containment"),
+        jac.alias("jaccard"),
+    ).filter(F.col("containment") >= _CONTAIN_T)
