@@ -302,3 +302,31 @@ def test_similar_pairs_size_guard_refuses_big_corpus(spark, sf_correct):
     emb = table(spark, sf_correct, "embeddings")
     with _pytest.raises(ValueError, match="similar_pairs_blocked"):
         S.similar_pairs(emb, threshold=0.4, max_rows=10)
+
+
+def test_repetition_flags_shuffle_free(spark, sf_correct):
+    """Per-doc bigram stats are doc-local: the whole query must be one
+    mapInPandas pass over the scan plus its explicit repartition — no
+    aggregation exchange, no join."""
+    df = _q(spark, sf_correct, "text_repetition_flags")
+    plan = executed_plan(df)
+    assert "Join" not in plan and "HashAggregate" not in plan, plan
+    assert shuffle_count(df) <= 1, plan  # only the numbered repartition
+
+
+def test_pq_codes_shuffle_free(spark, sf_correct):
+    """PQ encoding: codebook in closure, corpus streams through
+    mapInPandas — zero exchanges, zero joins."""
+    df = _q(spark, sf_correct, "embedding_pq_codes")
+    plan = executed_plan(df)
+    assert "Join" not in plan, plan
+    assert shuffle_count(df) == 0, plan
+
+
+def test_pack_sequences_bounded_exchanges(spark, sf_correct):
+    """Concat-and-chunk packing: the per-source running-sum window and the
+    (source, seq) aggregation — at most two exchanges, no join."""
+    df = _q(spark, sf_correct, "pack_sequences")
+    plan = executed_plan(df)
+    assert "Join" not in plan, plan
+    assert shuffle_count(df) <= 2, plan
