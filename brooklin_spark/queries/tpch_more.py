@@ -635,3 +635,120 @@ def percentile_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("qm"), 8).alias("qty_median"),
         "n",
     )
+
+
+# ---------------------------------------------------------------------------
+# q11 shape (adapted — no partsupp): "important part value". Per-part
+# revenue contributed by suppliers from two nations, keeping parts whose
+# value exceeds a fixed fraction of the group total. The TPC-H plan shape
+# (grouped aggregate + HAVING vs a scalar subquery over the SAME
+# aggregate) is preserved: the aggregate is computed once, the global
+# total rides an unpartitioned window over the (small) per-part result
+# instead of a second scan or a driver collect. Exact decimal arithmetic
+# makes the threshold comparison engine-identical.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q11_important_part_value",
+    oracle=f"""
+    WITH pv AS (
+      SELECT l.l_partkey, SUM({_REV}) AS value
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name IN ('NATION_7', 'NATION_8')
+      GROUP BY l.l_partkey)
+    SELECT p.p_partkey, p.p_name, CAST(pv.value AS DOUBLE) AS part_value
+    FROM pv JOIN part p ON p.p_partkey = pv.l_partkey
+    WHERE CAST(pv.value AS DOUBLE) > (SELECT CAST(SUM(value) AS DOUBLE) FROM pv) * 0.001
+    """,
+)
+def q11_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_7", "NATION_8")
+    )
+    p = table(spark, sf_dir, "part")
+    picked = s.join(F.broadcast(n), n.n_nationkey == s.s_nationkey).select("s_suppkey")
+    pv = (
+        li.join(F.broadcast(picked), picked.s_suppkey == li.l_suppkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(dec("l_extendedprice") * one_minus("l_discount")).alias("value"))
+    )
+    # scalar total via an unpartitioned window over the per-part aggregate
+    # (|parts| rows, not |lineitem|) — no driver collect, no second scan
+    flt = (
+        pv.withColumn("total", F.sum("value").over(W.partitionBy()))
+        .filter(F.col("value").cast("double") > F.col("total").cast("double") * F.lit(0.001))
+    )
+    return flt.join(p, p.p_partkey == flt.l_partkey).select(
+        "p_partkey", "p_name", F.col("value").cast("double").alias("part_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q20 shape (adapted — no partsupp/availqty): "dominant supplier
+# promotion candidates". TPC-H q20 keeps suppliers whose stock of a
+# name-filtered part exceeds half the quantity shipped in a year; without
+# availqty the analogous predicate is a supplier that shipped MORE THAN
+# HALF of a part's total 1997 volume. The nested-subquery chain
+# (name-filtered parts -> per-(supplier, part) shipped quantity ->
+# correlated half-of-total threshold -> semi-join back to supplier) is
+# the same; quantities are small exact integers so 0.5x is exact.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q20_dominant_supplier_candidates",
+    oracle="""
+    WITH shipped AS (
+      SELECT l.l_suppkey, l.l_partkey, SUM(l.l_quantity) AS qty
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_name LIKE 'small%'
+        AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l.l_shipdate < TIMESTAMP '1998-01-01'
+      GROUP BY l.l_suppkey, l.l_partkey),
+    tot AS (SELECT l_partkey, SUM(qty) AS total_qty FROM shipped GROUP BY l_partkey),
+    dominant AS (
+      SELECT DISTINCT sh.l_suppkey FROM shipped sh
+      JOIN tot t ON t.l_partkey = sh.l_partkey
+      WHERE sh.qty > 0.5 * t.total_qty)
+    SELECT s.s_suppkey, s.s_name, n.n_name
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE s.s_suppkey IN (SELECT l_suppkey FROM dominant)
+    """,
+)
+def q20_dominant_supplier_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    p = table(spark, sf_dir, "part").filter(F.col("p_name").startswith("small"))
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    shipped = (
+        li.join(F.broadcast(p), p.p_partkey == li.l_partkey, "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    # per-part totals re-aggregate the per-(supplier, part) result — the
+    # second agg rides the first shuffle's partitioning on l_partkey only
+    # when keys align; AQE broadcasts tot back (|filtered parts| rows)
+    tot = shipped.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        F.sum("qty").alias("total_qty")
+    )
+    dominant = (
+        shipped.join(F.broadcast(tot), F.col("t_partkey") == shipped.l_partkey)
+        .filter(F.col("qty") > F.lit(0.5) * F.col("total_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(dominant, dominant.l_suppkey == s.s_suppkey, "left_semi")
+        .join(F.broadcast(n), n.n_nationkey == s.s_nationkey)
+        .select("s_suppkey", "s_name", "n_name")
+    )
