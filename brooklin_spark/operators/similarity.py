@@ -663,3 +663,81 @@ def pq_encode(
         + ", recon_err double"
     )
     return corpus.select(id_col, vec_col).mapInPandas(op, schema=schema)
+
+
+def pq_adc_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    codebook: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    topk: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k search over PQ codes — the query
+    path of an IVF-PQ index (Jegou et al., "Product Quantization for
+    Nearest Neighbor Search").
+
+    The query vector stays RAW while the corpus is compressed to m codes;
+    the approximate squared L2 distance is a sum of m lookup-table
+    entries, where LUT[q][j][c] = ||q_sub_j - codeword_c_sub_j||^2.
+    Deterministic end-to-end (rounded-6 subspace distances, lowest-code
+    assignment tie-break, rounded-6 sums), so the approximation itself is
+    oracle-checkable.
+
+    Plan: codebook (k x D) and query matrix (Q x D) are collected and
+    closed over — broadcast-small by contract — and the Q x m x k LUT is
+    precomputed driver-side. The corpus streams through ONE mapInPandas
+    that PQ-encodes each Arrow batch (the same kernel as ``pq_encode``)
+    and gathers LUT entries — no shuffle, the corpus codes never leave
+    their partition; only each batch's local top-k per query reaches the
+    final O(topk * partitions * queries) rank window. At 100 TB the
+    encode pass runs once at index-build time; this operator fuses it for
+    a self-contained oracle query.
+    """
+    from pyspark.sql import Window as W
+
+    rows = codebook.orderBy(id_col).limit(k).select(id_col, vec_col).collect()
+    rows.sort(key=lambda r: r[0])
+    cb = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    D = cb.shape[1]
+    if D % m:
+        raise ValueError(f"dim {D} not divisible by m={m}")
+    d = D // m
+    q_ids, qm = _collect_matrix(queries, id_col, vec_col)
+    lut = np.zeros((len(q_ids), m, cb.shape[0]))
+    for j in range(m):
+        diff = qm[:, None, j * d : (j + 1) * d] - cb[None, :, j * d : (j + 1) * d]
+        lut[:, j, :] = np.round((diff * diff).sum(-1), 6)
+
+    def op(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            raw = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            adc = np.zeros((len(ids), len(q_ids)))
+            for j in range(m):
+                diff = raw[:, None, j * d : (j + 1) * d] - cb[None, :, j * d : (j + 1) * d]
+                d2 = np.round((diff * diff).sum(-1), 6)
+                code = d2.argmin(axis=1)  # first min == lowest code on ties
+                adc += lut[:, j, code].T
+            adc = np.round(adc, 6)
+            out: dict[str, list] = {"query_id": [], "neighbor_id": [], "adc_dist": []}
+            for t, qid in enumerate(q_ids):
+                mask = np.flatnonzero(ids != qid)
+                order = mask[np.lexsort((ids[mask], adc[mask, t]))][:topk]
+                out["query_id"].extend([qid] * len(order))
+                out["neighbor_id"].extend(ids[order].tolist())
+                out["adc_dist"].extend(adc[order, t].tolist())
+            yield pd.DataFrame(out)
+
+    scored = corpus.select(id_col, vec_col).mapInPandas(
+        op, schema="query_id bigint, neighbor_id bigint, adc_dist double"
+    )
+    w = W.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= topk)
+    )

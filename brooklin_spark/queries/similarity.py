@@ -550,3 +550,62 @@ def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("neighbor_label") == F.col("true_label")).alias("correct"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PQ asymmetric-distance (ADC) search: raw query vector vs PQ-compressed
+# corpus — the query path of an IVF-PQ index. Every stage is deterministic
+# (rounded-6 subspace distances, lowest-code assignment tie-break), so the
+# ADC approximation itself is oracle-checkable: the SQL twin re-encodes
+# the corpus and re-derives the per-query lookup tables with the same
+# rounded arithmetic.
+# ---------------------------------------------------------------------------
+
+
+def _pq_qdist_sql(j: int) -> str:
+    # same subspace distance as _pq_dist_sql but aliased q (query side)
+    off = j * _PQ_SUB
+    return (
+        f"round(list_sum(list_transform(q.embedding[{off + 1}:{off + _PQ_SUB}], "
+        f"(x, i) -> (x::DOUBLE - cb.embedding[{off} + i]::DOUBLE) "
+        f"* (x::DOUBLE - cb.embedding[{off} + i]::DOUBLE))), 6)"
+    )
+
+
+@query(
+    "ann_pq_adc_topk",
+    oracle=f"""
+    WITH cb AS (SELECT vec_id AS code, embedding FROM embeddings WHERE vec_id < {_PQ_K}),
+    cd AS (
+      SELECT e.vec_id, cb.code,
+             {", ".join(f"{_pq_dist_sql(j)} AS d{j}" for j in range(_PQ_M))}
+      FROM embeddings e CROSS JOIN cb),
+    codes AS (
+      SELECT vec_id,
+             {", ".join(f"FIRST(code ORDER BY d{j} ASC, code ASC) AS c{j}" for j in range(_PQ_M))}
+      FROM cd GROUP BY vec_id),
+    qlut AS (
+      SELECT q.vec_id AS query_id, cb.code,
+             {", ".join(f"{_pq_qdist_sql(j)} AS d{j}" for j in range(_PQ_M))}
+      FROM embeddings q CROSS JOIN cb WHERE q.vec_id < 8),
+    adc AS (
+      SELECT t0.query_id, c.vec_id AS neighbor_id,
+             round({" + ".join(f"t{j}.d{j}" for j in range(_PQ_M))}, 6) AS adc_dist
+      FROM codes c
+      {" ".join(
+          f"JOIN qlut t{j} ON t{j}.code = c.c{j}"
+          + (" AND t%d.query_id = t0.query_id" % j if j else "")
+          for j in range(_PQ_M))}
+      WHERE c.vec_id <> t0.query_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, adc_dist,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_dist ASC, neighbor_id ASC) AS rank
+      FROM adc)
+    SELECT query_id, neighbor_id, adc_dist, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    cb = emb.filter(F.col("vec_id") < _PQ_K)
+    return S.pq_adc_topk(queries, emb, cb, m=_PQ_M, k=_PQ_K, topk=5)
