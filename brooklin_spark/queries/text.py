@@ -894,3 +894,109 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice(F.col("t"), F.col("start") + 1, F.lit(_CHUNK_W)),
         ).alias("chunk_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII detection + redaction — the compliance scrub every training-data
+# pipeline runs before tokenization. The synthetic corpus carries no real
+# PII, so both engines first inject deterministic doc_id-derived PII-shaped
+# strings (email / phone / IPv4) into a fraction of docs, then detect with
+# regex counts and redact with global regexp_replace — detection and
+# replacement are the real operators under test. Patterns stay inside the
+# Java-regex ∩ RE2 common subset (no lookaround / backrefs) so Spark and
+# DuckDB match identically; at 100 TB this is one projection-only map
+# stage, no shuffle.
+# ---------------------------------------------------------------------------
+
+_PII_EMAIL = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+_PII_PHONE = "\\+1-555-[0-9]{4}"
+_PII_IP = "10\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+
+@query(
+    "text_pii_redaction",
+    oracle=f"""
+    WITH injected AS (
+      SELECT doc_id, source,
+             text
+             || CASE WHEN doc_id % 5 = 0
+                THEN ' contact user' || doc_id || '@example.com now' ELSE '' END
+             || CASE WHEN doc_id % 7 = 0
+                THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today' ELSE '' END
+             || CASE WHEN doc_id % 11 = 0
+                THEN ' host 10.' || (doc_id % 256) || '.' || ((doc_id // 7) % 256) || '.' || ((doc_id // 13) % 256) ELSE '' END
+             AS t
+      FROM documents),
+    flagged AS (
+      SELECT doc_id, source, t,
+             len(regexp_extract_all(t, '{_PII_EMAIL}')) AS n_emails,
+             len(regexp_extract_all(t, '{_PII_PHONE}')) AS n_phones,
+             len(regexp_extract_all(t, '{_PII_IP}')) AS n_ips
+      FROM injected)
+    SELECT doc_id, source,
+           CAST(n_emails AS BIGINT) AS n_emails,
+           CAST(n_phones AS BIGINT) AS n_phones,
+           CAST(n_ips AS BIGINT) AS n_ips,
+           CAST(n_emails + n_phones + n_ips > 0 AS BOOLEAN) AS has_pii,
+           regexp_replace(regexp_replace(regexp_replace(t,
+               '{_PII_EMAIL}', '[EMAIL]', 'g'),
+               '{_PII_PHONE}', '[PHONE]', 'g'),
+               '{_PII_IP}', '[IP]', 'g') AS redacted
+    FROM flagged
+    """,
+)
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    t = F.concat(
+        F.col("text"),
+        F.when(
+            did % 5 == 0,
+            F.concat(F.lit(" contact user"), did.cast("string"), F.lit("@example.com now")),
+        ).otherwise(""),
+        F.when(
+            did % 7 == 0,
+            F.concat(
+                F.lit(" call +1-555-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+                F.lit(" today"),
+            ),
+        ).otherwise(""),
+        F.when(
+            did % 11 == 0,
+            F.concat(
+                F.lit(" host 10."),
+                (did % 256).cast("string"),
+                F.lit("."),
+                (F.expr("doc_id div 7") % 256).cast("string"),
+                F.lit("."),
+                (F.expr("doc_id div 13") % 256).cast("string"),
+            ),
+        ).otherwise(""),
+    )
+    injected = d.select("doc_id", "source", t.alias("t"))
+    flagged = injected.select(
+        "doc_id",
+        "source",
+        "t",
+        F.regexp_count("t", F.lit(_PII_EMAIL)).alias("n_emails"),
+        F.regexp_count("t", F.lit(_PII_PHONE)).alias("n_phones"),
+        F.regexp_count("t", F.lit(_PII_IP)).alias("n_ips"),
+    )
+    return flagged.select(
+        "doc_id",
+        "source",
+        F.col("n_emails").cast("bigint").alias("n_emails"),
+        F.col("n_phones").cast("bigint").alias("n_phones"),
+        F.col("n_ips").cast("bigint").alias("n_ips"),
+        (F.col("n_emails") + F.col("n_phones") + F.col("n_ips") > 0).alias("has_pii"),
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.col("t"), _PII_EMAIL, "[EMAIL]"),
+                _PII_PHONE,
+                "[PHONE]",
+            ),
+            _PII_IP,
+            "[IP]",
+        ).alias("redacted"),
+    )
