@@ -1000,3 +1000,89 @@ def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             "[IP]",
         ).alias("redacted"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus filter pipeline — the C4/Gopher-style keep/drop decision with
+# reason codes (first failing rule wins), composed from the heuristics the
+# individual queries establish: length floor, duplicate-word repetition,
+# stopword floor, composite quality floor. A real pretraining pipeline
+# materializes exactly this (doc_id, kept, reject_reason) table to drive
+# the downstream tokenizer and to audit per-rule kill rates. One scan, one
+# projection, no shuffle — at 100 TB this is a map-only stage.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "corpus_filter_pipeline",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, lang, source,
+             len({_TOK}) AS n_tokens,
+             len(list_distinct({_TOK})) AS n_distinct,
+             len(list_filter({_TOK}, x -> list_contains({_STOP['en']}, x))) AS stop_hits
+      FROM documents),
+    r AS (
+      SELECT doc_id, lang, source, n_tokens,
+             1.0 - CAST(n_distinct AS DOUBLE) / n_tokens AS dup_word_frac,
+             CAST(stop_hits AS DOUBLE) / n_tokens AS stop_ratio,
+             0.5 * least(n_tokens / 100.0, 1.0)
+               + 0.3 * (CAST(n_distinct AS DOUBLE) / n_tokens)
+               + 0.2 * least(5.0 * stop_hits / n_tokens, 1.0) AS quality
+      FROM d WHERE n_tokens > 0)
+    SELECT doc_id, lang, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+           round(dup_word_frac, 6) AS dup_word_frac,
+           round(quality, 6) AS quality,
+           CASE WHEN n_tokens < 20 THEN 'too_short'
+                WHEN dup_word_frac > 0.68 THEN 'repetitive'
+                WHEN stop_ratio < 0.01 THEN 'no_stopwords'
+                WHEN quality < 0.42 THEN 'low_quality'
+                ELSE 'kept' END AS verdict,
+           CAST(n_tokens >= 20 AND dup_word_frac <= 0.68
+                AND stop_ratio >= 0.01 AND quality >= 0.42 AS BOOLEAN) AS kept
+    FROM r
+    """,
+)
+def corpus_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    n_tok = X.token_count()
+    n_dis = X.distinct_token_count()
+    stop = X.stopword_hits(lang="en")
+    dup = 1.0 - n_dis.cast("double") / n_tok
+    stop_ratio = stop.cast("double") / n_tok
+    quality = (
+        0.5 * F.least(n_tok / 100.0, F.lit(1.0))
+        + 0.3 * (n_dis.cast("double") / n_tok)
+        + 0.2 * F.least(5.0 * stop / n_tok, F.lit(1.0))
+    )
+    base = docs.filter(n_tok > 0).select(
+        "doc_id",
+        "lang",
+        "source",
+        n_tok.cast("bigint").alias("n_tokens"),
+        dup.alias("dup_raw"),
+        stop_ratio.alias("stop_ratio"),
+        quality.alias("quality_raw"),
+    )
+    verdict = (
+        F.when(F.col("n_tokens") < 20, "too_short")
+        .when(F.col("dup_raw") > 0.68, "repetitive")
+        .when(F.col("stop_ratio") < 0.01, "no_stopwords")
+        .when(F.col("quality_raw") < 0.42, "low_quality")
+        .otherwise("kept")
+    )
+    return base.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_tokens",
+        F.round("dup_raw", 6).alias("dup_word_frac"),
+        F.round("quality_raw", 6).alias("quality"),
+        verdict.alias("verdict"),
+        (
+            (F.col("n_tokens") >= 20)
+            & (F.col("dup_raw") <= 0.68)
+            & (F.col("stop_ratio") >= 0.01)
+            & (F.col("quality_raw") >= 0.42)
+        ).alias("kept"),
+    )
