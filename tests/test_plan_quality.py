@@ -330,3 +330,41 @@ def test_pack_sequences_bounded_exchanges(spark, sf_correct):
     plan = executed_plan(df)
     assert "Join" not in plan, plan
     assert shuffle_count(df) <= 2, plan
+
+
+def test_pq_adc_topk_single_window_exchange(spark, sf_correct):
+    """ADC search: codebook + query LUT live in the closure; the corpus
+    streams through one mapInPandas and only per-batch top-k triples reach
+    the rank window — no join, a single exchange (the window's)."""
+    df = _q(spark, sf_correct, "ann_pq_adc_topk")
+    plan = executed_plan(df)
+    assert "Join" not in plan, plan
+    assert shuffle_count(df) <= 1, plan
+
+
+def test_pii_redaction_map_only(spark, sf_correct):
+    """PII scrub is a pure projection: scan -> regexp project, no shuffle,
+    no join, no aggregate."""
+    df = _q(spark, sf_correct, "text_pii_redaction")
+    plan = executed_plan(df)
+    assert "Join" not in plan and "HashAggregate" not in plan, plan
+    assert shuffle_count(df) == 0, plan
+
+
+def test_corpus_filter_pipeline_map_only(spark, sf_correct):
+    """Keep/drop verdicts are doc-local heuristics: one scan, one
+    projection, zero exchanges."""
+    df = _q(spark, sf_correct, "corpus_filter_pipeline")
+    plan = executed_plan(df)
+    assert "Join" not in plan and "HashAggregate" not in plan, plan
+    assert shuffle_count(df) == 0, plan
+
+
+def test_q11_single_fact_aggregation(spark, sf_correct):
+    """q11: supplier filter broadcasts into the fact scan; the per-part
+    aggregate is the only fact shuffle; the global-total window and the
+    part join ride the small aggregate."""
+    df = _q(spark, sf_correct, "q11_important_part_value")
+    plan = executed_plan(df)
+    assert broadcast_join_count(df) >= 1, plan
+    assert "SortMergeJoin" not in plan, plan
