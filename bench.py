@@ -51,6 +51,9 @@ BENCH_QUERIES = [
     "text_repetition_flags",    # bigram-histogram repetition filter
     "pack_sequences",           # concat-and-chunk context packing
     "embedding_pq_codes",       # product quantization
+    "ann_pq_adc_topk",          # PQ asymmetric-distance search
+    "text_pii_redaction",       # PII detect + redact (map-only)
+    "corpus_filter_pipeline",   # C4/Gopher keep-drop verdicts (map-only)
 ]
 
 

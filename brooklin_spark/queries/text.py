@@ -6,7 +6,7 @@ expressions; ratios come from integer sums so every value is exact.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from brooklin_spark.functions import text as X
@@ -1085,4 +1085,49 @@ def corpus_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("stop_ratio") >= 0.01)
             & (F.col("quality_raw") >= 0.42)
         ).alias("kept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token-balanced output sharding — the manifest-build step before a corpus
+# is written out as N training shards. Docs are ranked by token count
+# (desc, doc_id tie-break) and dealt round-robin across shards: the
+# classic LPT-style deal that bounds shard skew without sequential bin
+# packing. The global rank runs over (doc_id, n_tokens) PAIRS only —
+# 16 bytes/row after pruning, metadata scale even at 100 TB of text; the
+# manifest (not the text) is what shuffles.
+# ---------------------------------------------------------------------------
+
+_N_SHARDS = 8
+
+
+@query(
+    "corpus_shard_manifest",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, len({_TOK}) AS n_tokens FROM documents),
+    ranked AS (
+      SELECT doc_id, n_tokens,
+             ROW_NUMBER() OVER (ORDER BY n_tokens DESC, doc_id ASC) AS rk
+      FROM d),
+    assigned AS (
+      SELECT doc_id, n_tokens, (rk - 1) % {_N_SHARDS} AS shard FROM ranked)
+    SELECT CAST(shard AS BIGINT) AS shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
+           CAST(MAX(n_tokens) AS BIGINT) AS max_tokens
+    FROM assigned GROUP BY shard
+    """,
+)
+def corpus_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", X.token_count().alias("n_tokens"))
+    w = W.orderBy(F.desc("n_tokens"), F.asc("doc_id"))
+    assigned = d.withColumn("shard", (F.row_number().over(w) - 1) % _N_SHARDS)
+    return assigned.groupBy(F.col("shard").cast("bigint").alias("shard")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.min("n_tokens").cast("bigint").alias("min_tokens"),
+        F.max("n_tokens").cast("bigint").alias("max_tokens"),
     )
