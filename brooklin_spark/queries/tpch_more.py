@@ -752,3 +752,133 @@ def q20_dominant_supplier_candidates(spark: SparkSession, sf_dir: str) -> DataFr
         .join(F.broadcast(n), n.n_nationkey == s.s_nationkey)
         .select("s_suppkey", "s_name", "n_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# Approx-percentile sketch with a bounded-error contract (same pattern as
+# approx_distinct_sketch): Spark's approx_percentile (Greenwald-Khanna,
+# accuracy=10000 => rank error <= 1e-4·N) must land inside the exact
+# [p-1%, p+1%] interpolated bracket. The oracle pins the exact quantiles
+# and TRUE for the bounds — the property a sketch user relies on. At
+# 100 TB the sketch is mergeable map-side state vs the exact form's
+# per-group value buffer.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "approx_percentile_sketch",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 8) AS exact_p50,
+           ROUND(quantile_cont(l_extendedprice, 0.9), 8) AS exact_p90,
+           TRUE AS p50_within_1pct_rank,
+           TRUE AS p90_within_1pct_rank
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def approx_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    qs = F.array(*(F.lit(x) for x in (0.49, 0.5, 0.51, 0.89, 0.9, 0.91)))
+    agg = li.groupBy("l_returnflag").agg(
+        F.approx_percentile(F.col("l_extendedprice"), F.lit(0.5), F.lit(10000)).alias("ap50"),
+        F.approx_percentile(F.col("l_extendedprice"), F.lit(0.9), F.lit(10000)).alias("ap90"),
+        F.percentile(F.col("l_extendedprice"), qs).alias("ex"),
+    )
+    return agg.select(
+        "l_returnflag",
+        F.round(F.col("ex")[1], 8).alias("exact_p50"),
+        F.round(F.col("ex")[4], 8).alias("exact_p90"),
+        ((F.col("ap50") >= F.col("ex")[0]) & (F.col("ap50") <= F.col("ex")[2])).alias(
+            "p50_within_1pct_rank"
+        ),
+        ((F.col("ap90") >= F.col("ex")[3]) & (F.col("ap90") <= F.col("ex")[5])).alias(
+            "p90_within_1pct_rank"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ANALYZE-style column statistics — the profiler pass that feeds a
+# cost-based optimizer (row count, null fraction, NDV, min/max per
+# column). One scan, one aggregate row, unpivoted to long form; at 100 TB
+# this is the same single-pass multi-aggregate ANALYZE TABLE runs.
+# ---------------------------------------------------------------------------
+
+_STATS_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+@query(
+    "table_column_stats",
+    oracle=f"""
+    WITH a AS (
+      SELECT COUNT(*) AS n_rows,
+             {", ".join(
+               f"COUNT({c}) AS nn_{c}, COUNT(DISTINCT {c}) AS nd_{c}, "
+               f"MIN({c}) AS mn_{c}, MAX({c}) AS mx_{c}" for c in _STATS_COLS)}
+      FROM lineitem)
+    {" UNION ALL ".join(
+      f"SELECT '{c}' AS col_name, n_rows, n_rows - nn_{c} AS n_nulls, "
+      f"nd_{c} AS n_distinct, CAST(mn_{c} AS DOUBLE) AS min_val, "
+      f"CAST(mx_{c} AS DOUBLE) AS max_val FROM a" for c in _STATS_COLS)}
+    """,
+)
+def table_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    aggs = [F.count("*").alias("n_rows")]
+    for c in _STATS_COLS:
+        aggs += [
+            F.count(c).alias(f"nn_{c}"),
+            F.count_distinct(F.col(c)).alias(f"nd_{c}"),
+            F.min(c).alias(f"mn_{c}"),
+            F.max(c).alias(f"mx_{c}"),
+        ]
+    a = li.agg(*aggs)
+    parts = [
+        a.select(
+            F.lit(c).alias("col_name"),
+            F.col("n_rows"),
+            (F.col("n_rows") - F.col(f"nn_{c}")).alias("n_nulls"),
+            F.col(f"nd_{c}").alias("n_distinct"),
+            F.col(f"mn_{c}").cast("double").alias("min_val"),
+            F.col(f"mx_{c}").cast("double").alias("max_val"),
+        )
+        for c in _STATS_COLS
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Equi-width histogram profile (data distribution for CBO / skew
+# detection): 20 width_bucket bins over o_totalprice with data-derived
+# bounds. The 1-row min/max aggregate broadcasts back into the binning
+# scan — two passes, no driver collect, both map-side combinable.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "profile_price_histogram",
+    oracle="""
+    WITH b AS (SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders),
+    binned AS (
+      SELECT LEAST(CAST(FLOOR((o_totalprice - b.lo) / (b.hi - b.lo) * 20) AS BIGINT), 19) AS bin
+      FROM orders CROSS JOIN b)
+    SELECT bin, COUNT(*) AS n_orders
+    FROM binned GROUP BY 1
+    """,
+)
+def profile_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    b = o.agg(F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi"))
+    # same IEEE op order as the SQL twin: (v - lo) / (hi - lo) * 20
+    bin_expr = F.least(
+        F.floor((F.col("o_totalprice") - F.col("lo")) / (F.col("hi") - F.col("lo")) * 20),
+        F.lit(19),
+    ).cast("bigint")
+    return (
+        o.crossJoin(F.broadcast(b))
+        .groupBy(bin_expr.alias("bin"))
+        .agg(F.count("*").alias("n_orders"))
+    )
