@@ -833,21 +833,22 @@ def table_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(c).alias(f"mx_{c}"),
         ]
     a = li.agg(*aggs)
-    parts = [
-        a.select(
-            F.lit(c).alias("col_name"),
-            F.col("n_rows"),
-            (F.col("n_rows") - F.col(f"nn_{c}")).alias("n_nulls"),
-            F.col(f"nd_{c}").alias("n_distinct"),
-            F.col(f"mn_{c}").cast("double").alias("min_val"),
-            F.col(f"mx_{c}").cast("double").alias("max_val"),
-        )
-        for c in _STATS_COLS
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionAll(p)
-    return out
+    # explode-of-structs, NOT a unionAll of per-column selects: a union
+    # would re-execute the whole aggregate (and its scan) once per column
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col("n_rows").alias("n_rows"),
+                (F.col("n_rows") - F.col(f"nn_{c}")).alias("n_nulls"),
+                F.col(f"nd_{c}").alias("n_distinct"),
+                F.col(f"mn_{c}").cast("double").alias("min_val"),
+                F.col(f"mx_{c}").cast("double").alias("max_val"),
+            )
+            for c in _STATS_COLS
+        ]
+    )
+    return a.select(F.explode(rows).alias("s")).select("s.*")
 
 
 # ---------------------------------------------------------------------------

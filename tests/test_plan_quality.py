@@ -368,3 +368,14 @@ def test_q11_single_fact_aggregation(spark, sf_correct):
     plan = executed_plan(df)
     assert broadcast_join_count(df) >= 1, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_column_stats_single_scan(spark, sf_correct):
+    """ANALYZE-style profiler: one scan, one aggregate, the long form
+    comes from explode — NOT a per-column union re-executing the scan."""
+    df = _q(spark, sf_correct, "table_column_stats")
+    plan = executed_plan(df)
+    # one file index == one scan (the node name appears twice in formatted
+    # output: tree line + detail section)
+    assert plan.count("InMemoryFileIndex") == 1, plan
+    assert "Union" not in plan, plan
