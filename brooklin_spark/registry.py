@@ -41,6 +41,7 @@ def load_all() -> None:
         dedup,
         multimodal,
         pandas_udfs,
+        pyds_queries,
         relational,
         serde_queries,
         similarity,

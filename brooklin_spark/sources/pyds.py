@@ -1,0 +1,273 @@
+"""Spark 4 Python DataSource implementations — the official connector SPI.
+
+The reference's connector surface is an SPI (Connector.java:21,
+DatabaseChunkedReader.java:60); this module re-expresses two of its
+source shapes through Spark's first-class Python DataSource API instead
+of ad-hoc readers, so they plan, schedule, and checkpoint like any
+built-in format:
+
+1. ``chunked_duckdb`` — the chunked snapshot source
+   (DatabaseChunkedReader / MySqlChunkedQueryManager semantics,
+   SURVEY §2.1) against a LIVE embedded database: DuckDB executes
+   ``MOD(hash(pk), N) = shard`` database-side, one InputPartition per
+   hash shard, and supported WHERE predicates are pushed into the
+   database query via the SPI's ``pushFilters`` hook. No JDBC server
+   ships in this container; DuckDB standing in as the database makes the
+   previously golden-SQL-only chunk semantics actually executable.
+
+2. ``parquet_replay`` — a micro-batch stream source with explicit
+   numeric offsets over a deterministically-ordered file: Kafka-like
+   ``startingOffset`` / ``maxRecordsPerBatch`` flow control
+   (KafkaConnectorTask poll-loop semantics, SURVEY §2.1/§2.8) through
+   ``DataSourceStreamReader`` — initialOffset/latestOffset/partitions/
+   read/commit are the engine's own replay contract, so checkpoint
+   recovery and exactly-once offsets come from Structured Streaming, not
+   hand-rolled state.
+
+Each task opens its own in-process DuckDB connection (connections are
+not serializable); reads yield Arrow record batches, so rows never pass
+through Python object conversion.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    IsNotNull,
+    LessThan,
+    LessThanOrEqual,
+    SimpleDataSourceStreamReader,
+)
+
+_DUCK_TO_SPARK = {
+    "BIGINT": "bigint",
+    "UBIGINT": "bigint",
+    "INTEGER": "int",
+    "SMALLINT": "smallint",
+    "TINYINT": "tinyint",
+    "DOUBLE": "double",
+    "FLOAT": "float",
+    "VARCHAR": "string",
+    "BOOLEAN": "boolean",
+    "DATE": "date",
+    "TIMESTAMP": "timestamp_ntz",
+    "FLOAT[]": "array<float>",
+    "DOUBLE[]": "array<double>",
+}
+
+
+def _probe_schema(path: str) -> str:
+    """DDL schema string derived from the parquet footer via DuckDB."""
+    import duckdb
+
+    con = duckdb.connect()
+    try:
+        rows = con.execute(
+            f"DESCRIBE SELECT * FROM read_parquet('{path}')"
+        ).fetchall()
+    finally:
+        con.close()
+    cols = []
+    for name, typ, *_ in rows:
+        t = typ.upper()
+        if t.startswith("DECIMAL"):
+            spark_t = t.lower()
+        else:
+            spark_t = _DUCK_TO_SPARK.get(t)
+        if spark_t is None:
+            raise ValueError(f"unsupported parquet column type {typ} for {name}")
+        cols.append(f"{name} {spark_t}")
+    return ", ".join(cols)
+
+
+def _sql_literal(v) -> str:
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    return str(v)
+
+
+class _ShardPartition(InputPartition):
+    def __init__(self, shard: int, where: list):
+        self.shard = shard
+        self.where = where
+
+
+class ChunkedDuckDBReader(DataSourceReader):
+    """One InputPartition per hash shard; the database evaluates the
+    shard predicate AND every pushed filter (DatabaseChunkedReader's
+    'the DB does the work' contract)."""
+
+    def __init__(self, options):
+        self.path = options["path"]
+        self.pk = options["pk"]
+        self.num_shards = int(options.get("num_shards", "8"))
+        self.pushed: list[str] = []
+
+    def pushFilters(self, filters):
+        """Translate supported comparisons to database-side WHERE terms;
+        yield back what the database should not handle (Spark applies
+        those). The accepted terms filter EXACTLY, so double-application
+        by Spark is harmless."""
+        _OPS = {
+            EqualTo: "=",
+            GreaterThan: ">",
+            GreaterThanOrEqual: ">=",
+            LessThan: "<",
+            LessThanOrEqual: "<=",
+        }
+        # REPLACE, never append: the same reader instance serves every
+        # query planned over its DataFrame, so appending would leak one
+        # query's filters into the next (observed: an unfiltered count
+        # returning the previous query's filtered count)
+        self.pushed = []
+        for f in filters:
+            op = _OPS.get(type(f))
+            if op is not None and len(f.attribute) == 1:
+                self.pushed.append(
+                    f"{f.attribute[0]} {op} {_sql_literal(f.value)}"
+                )
+            elif isinstance(f, IsNotNull) and len(f.attribute) == 1:
+                self.pushed.append(f"{f.attribute[0]} IS NOT NULL")
+            else:
+                yield f
+
+    def partitions(self):
+        # consume-once: snapshot this query's pushed filters into the
+        # partitions and CLEAR reader state — the reader object can
+        # outlive the query (observed), and pushFilters is not re-invoked
+        # for filterless queries, so state left behind here would poison
+        # the next scan over the same DataFrame
+        where, self.pushed = self.pushed, []
+        return [_ShardPartition(i, where) for i in range(self.num_shards)]
+
+    def read(self, partition: _ShardPartition):
+        import duckdb
+
+        where = [f"MOD(hash({self.pk}), {self.num_shards}) = {partition.shard}"]
+        where += partition.where
+        con = duckdb.connect()
+        try:
+            cur = con.execute(
+                f"SELECT * FROM read_parquet('{self.path}') "
+                f"WHERE {' AND '.join(where)}"
+            )
+            reader = cur.fetch_record_batch(65536)
+            while True:
+                try:
+                    yield reader.read_next_batch()
+                except StopIteration:
+                    break
+        finally:
+            con.close()
+
+
+class ChunkedDuckDBDataSource(DataSource):
+    """spark.read.format("chunked_duckdb")
+    .options(path=..., pk=..., num_shards=...)"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "chunked_duckdb"
+
+    def schema(self) -> str:
+        return _probe_schema(self.options["path"])
+
+    def reader(self, schema) -> DataSourceReader:
+        return ChunkedDuckDBReader(self.options)
+
+
+class ParquetReplayStreamReader(SimpleDataSourceStreamReader):
+    """Numeric-offset micro-batch replay of a deterministically-ordered
+    file: offset = rows delivered so far; each read() advances by at most
+    ``batch_rows`` (the maxRecordsPerPoll flow-control knob,
+    KafkaConnectorTask poll-loop parity).
+
+    Simple-reader protocol on purpose: the engine owns offset
+    bookkeeping — on checkpoint recovery it replays the uncommitted
+    range via readBetweenOffsets(start, end) and CONTINUES from the
+    committed offset via read(start), so flow control survives restart
+    with no reader-side persistent state. (The partition-planning
+    DataSourceStreamReader protocol only tells a restarted reader the
+    committed offset once new data is planned — a fresh reader would
+    re-advertise from zero and processAllAvailable would see nothing to
+    do; measured exactly that before switching APIs.)
+    """
+
+    def __init__(self, options):
+        self.path = options["path"]
+        self.order_col = options["order_col"]
+        self.batch_rows = int(options.get("batch_rows", "1000"))
+        self.start_row = int(options.get("start_row", "0"))
+        import duckdb
+
+        con = duckdb.connect()
+        try:
+            self.total = con.execute(
+                f"SELECT COUNT(*) FROM read_parquet('{self.path}')"
+            ).fetchone()[0]
+        finally:
+            con.close()
+
+    def initialOffset(self) -> dict:
+        return {"rows": self.start_row}
+
+    def _fetch(self, lo: int, hi: int) -> list:
+        import duckdb
+
+        con = duckdb.connect()
+        try:
+            return con.execute(
+                f"SELECT * FROM read_parquet('{self.path}') "
+                f"ORDER BY {self.order_col} "
+                f"LIMIT {hi - lo} OFFSET {lo}"
+            ).fetchall()
+        finally:
+            con.close()
+
+    def read(self, start: dict):
+        lo = start["rows"]
+        hi = min(self.total, lo + self.batch_rows)
+        if hi <= lo:
+            return iter([]), start
+        return iter(self._fetch(lo, hi)), {"rows": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(self._fetch(start["rows"], end["rows"]))
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in the streaming checkpoint, nothing to ack
+
+
+class ParquetReplayDataSource(DataSource):
+    """spark.readStream.format("parquet_replay")
+    .options(path=..., order_col=..., batch_rows=...)"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "parquet_replay"
+
+    def schema(self) -> str:
+        return _probe_schema(self.options["path"])
+
+    def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
+        return ParquetReplayStreamReader(self.options)
+
+
+def register(spark) -> None:
+    """Idempotently register both formats on a session."""
+    spark.dataSource.register(ChunkedDuckDBDataSource)
+    spark.dataSource.register(ParquetReplayDataSource)
+
+
+def offsets_json(start_row: int) -> str:
+    """Kafka-parity helper: serialized start position for diagnostics."""
+    return json.dumps({"rows": start_row})

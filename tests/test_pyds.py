@@ -1,0 +1,152 @@
+"""Python DataSource SPI sources (brooklin_spark/sources/pyds.py):
+chunked-snapshot batch reader and offset-replay stream reader."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import EqualTo, GreaterThan, IsNotNull, StringContains
+
+from brooklin_spark.sources import pyds
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    pyds.register(spark)
+
+
+def _load(spark, sf, **extra):
+    opts = {"path": f"{sf}/customer.parquet", "pk": "c_custkey", "num_shards": "8"}
+    opts.update(extra)
+    return spark.read.format("chunked_duckdb").options(**opts).load()
+
+
+def test_chunked_source_covers_table_exactly(spark, sf_correct):
+    """Disjoint-total-cover: union of shard partitions == the table."""
+    got = _load(spark, sf_correct).agg(
+        F.count("*"), F.count_distinct("c_custkey"), F.sum("c_custkey")
+    ).collect()[0]
+    exp = (
+        spark.read.parquet(f"{sf_correct}/customer.parquet")
+        .agg(F.count("*"), F.count_distinct("c_custkey"), F.sum("c_custkey"))
+        .collect()[0]
+    )
+    assert tuple(got) == tuple(exp)
+
+
+def test_chunked_source_filter_state_is_per_query(spark, sf_correct):
+    """Regression: pushed filters must not leak between queries. The
+    reader object outlives a query and pushFilters is not re-invoked for
+    filterless scans — the original append-only state returned the
+    FILTERED count for an unfiltered count on a fresh load."""
+    base = spark.read.parquet(f"{sf_correct}/customer.parquet")
+    n_all = base.count()
+    n_rich = base.filter("c_acctbal > 5000.0").count()
+    assert n_rich < n_all
+    got_rich = _load(spark, sf_correct).filter("c_acctbal > 5000.0").count()
+    got_all = _load(spark, sf_correct).count()
+    got_rich2 = _load(spark, sf_correct).filter("c_acctbal > 5000.0").count()
+    assert (got_rich, got_all, got_rich2) == (n_rich, n_all, n_rich)
+
+
+def test_push_filters_translation_and_residual():
+    r = pyds.ChunkedDuckDBReader(
+        {"path": "x.parquet", "pk": "k", "num_shards": "4"}
+    )
+    residual = list(
+        r.pushFilters(
+            [
+                EqualTo(("c_mktsegment",), "BUILDING"),
+                GreaterThan(("c_acctbal",), 100.5),
+                IsNotNull(("c_name",)),
+                StringContains(("c_name",), "x"),  # not pushable
+            ]
+        )
+    )
+    assert r.pushed == [
+        "c_mktsegment = 'BUILDING'",
+        "c_acctbal > 100.5",
+        "c_name IS NOT NULL",
+    ]
+    assert len(residual) == 1 and isinstance(residual[0], StringContains)
+    # consume-once: partitions() hands filters to tasks and clears state
+    parts = r.partitions()
+    assert len(parts) == 4 and parts[0].where and r.pushed == []
+
+
+def test_sql_literal_escaping():
+    assert pyds._sql_literal("o'brien") == "'o''brien'"
+    assert pyds._sql_literal(True) == "TRUE"
+    assert pyds._sql_literal(3) == "3"
+
+
+def test_replay_stream_delivers_exactly_once(spark, sf_smoke):
+    ck = tempfile.mkdtemp(prefix="bk-replay-")
+    s = (
+        spark.readStream.format("parquet_replay")
+        .options(
+            path=f"{sf_smoke}/customer.parquet", order_col="c_custkey", batch_rows="40"
+        )
+        .load()
+    )
+    q = (
+        s.writeStream.format("memory")
+        .queryName("replay_once_t")
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql(
+        "SELECT count(*) n, count(distinct c_custkey) d FROM replay_once_t"
+    ).collect()[0]
+    exp = spark.read.parquet(f"{sf_smoke}/customer.parquet").count()
+    assert (got.n, got.d) == (exp, exp)
+
+
+def test_replay_stream_checkpoint_recovery(spark, sf_smoke):
+    """Stop after the first micro-batch, restart on the SAME checkpoint:
+    the second run must resume from the committed offset — full delivery,
+    zero duplicates (the section 2.8 offset-commit contract)."""
+    ck = tempfile.mkdtemp(prefix="bk-replay-rec-")
+
+    def stream():
+        return (
+            spark.readStream.format("parquet_replay")
+            .options(
+                path=f"{sf_smoke}/customer.parquet",
+                order_col="c_custkey",
+                batch_rows="60",
+            )
+            .load()
+        )
+
+    first: list = []
+    second: list = []
+
+    q1 = (
+        stream()
+        .writeStream.foreachBatch(lambda df, _e: first.extend(df.collect()))
+        .option("checkpointLocation", ck)
+        .trigger(once=True)  # exactly one micro-batch, then stop
+        .start()
+    )
+    q1.awaitTermination(120)
+    total = spark.read.parquet(f"{sf_smoke}/customer.parquet").count()
+    assert 0 < len(first) < total
+    q2 = (
+        stream()
+        .writeStream.foreachBatch(lambda df, _e: second.extend(df.collect()))
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    keys1 = {r.c_custkey for r in first}
+    keys2 = {r.c_custkey for r in second}
+    # the recovered run delivers exactly the remainder, each key once
+    assert len(first) + len(second) == total
+    assert not (keys1 & keys2) and len(keys2) == len(second)
