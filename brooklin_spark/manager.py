@@ -60,6 +60,13 @@ class PipelineManager:
         # consecutive send-failure counts per (pipeline, partition) — the
         # auto-pause trigger state (in-memory like the reference's task)
         self._send_failures: dict[tuple[str, int], int] = {}
+        # engine-pushed metrics (DynamicMetricsManager analog): a
+        # StreamingQueryListener that accumulates bounded per-query
+        # progress; metrics_summary() merges its reduce into the
+        # poll-based snapshot
+        from brooklin_spark.metrics import install as _install_metrics
+
+        self.metrics = _install_metrics(spark)
 
     # ------------------------------------------------------------------ CRUD
     def create(
@@ -702,13 +709,17 @@ class PipelineManager:
                 rate = prog.get("processedRowsPerSecond")
                 if rate:
                     rates.append(rate)
-        return {
+        out = {
             "pipelines": len(self.list()),
             "active_queries": active,
             "recent_batches": batches,
             "recent_input_rows": int(total_rows),
             "mean_processed_rows_per_sec": (sum(rates) / len(rates)) if rates else 0.0,
         }
+        # merge the listener's lifetime reduce (survives recentProgress's
+        # rolling window): totals + batch-latency percentiles
+        out["listener"] = self.metrics.summary()
+        return out
 
     # --------------------------------------------------------------- private
     def _find_duplicate(self, spec: PipelineSpec) -> str | None:

@@ -28,6 +28,8 @@ extra dependencies:
     GET    /datastreams/{name}/pausedSourcePartitions
     GET    /health                              diagnostics scatter-gather
                                                 (DiagnosticsAware /health)
+    GET    /metrics                             cluster metrics reduce
+                                                (ServerComponentHealthAggregator)
 
 Status mapping mirrors the Rest.li error semantics the reference uses:
 404 for unknown datastreams (HttpStatus.S_404_NOT_FOUND), 400 for invalid
@@ -122,6 +124,10 @@ class _Handler(BaseHTTPRequestHandler):
     def _get_routes(self, parts, _body):
         if parts == ["health"]:
             return 200, self.manager.diagnostics()
+        if parts == ["metrics"]:
+            # ServerComponentHealthAggregator analog: cluster-level
+            # metrics reduce (poll snapshot + listener lifetime totals)
+            return 200, self.manager.metrics_summary()
         if len(parts) == 2 and parts[0] == "schemas" and self.registry is not None:
             return 200, {
                 "id": parts[1],

@@ -466,3 +466,14 @@ def test_generated_schema_codec_round_trip_property(tr):
             got = C.resolve(schema, reader, C.encode(schema, row))
             want = {k: v for k, v in row.items() if k != dropped}
             assert got == want
+
+
+def test_metrics_route(server):
+    """GET /metrics: the cluster metrics reduce
+    (ServerComponentHealthAggregator analog) — poll snapshot + listener
+    lifetime totals are both present."""
+    code, out = _req("GET", f"{server.url}/metrics")
+    assert code == 200
+    assert {"pipelines", "active_queries", "listener"} <= set(out)
+    lst = out["listener"]
+    assert {"queries", "batches", "input_rows", "batch_ms_p50"} <= set(lst)
