@@ -472,7 +472,7 @@ def test_metrics_route(server):
     """GET /metrics: the cluster metrics reduce
     (ServerComponentHealthAggregator analog) — poll snapshot + listener
     lifetime totals are both present."""
-    code, out = _req("GET", f"{server.url}/metrics")
+    code, out = _req("GET", f"{server.address}/metrics")
     assert code == 200
     assert {"pipelines", "active_queries", "listener"} <= set(out)
     lst = out["listener"]
