@@ -763,6 +763,12 @@ class PipelineManager:
         dl_pred = spec.metadata.get("system.deadletter.predicate")
         auto_conf = self._auto_pause_conf(spec)
         if df.isStreaming:
+            # data-path counters (EventProducer meter parity): one
+            # map-side aggregate riding the existing job, delivered per
+            # micro-batch to the MetricsStore via observedMetrics
+            from brooklin_spark.metrics import observe_counters
+
+            df = observe_counters(df)
             ckpt = self._ckpt_dir(spec)
             if paused or dl_pred or auto_conf:
                 # composed splitting sink: paused rows → holding pen,

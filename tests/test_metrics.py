@@ -111,3 +111,37 @@ def test_history_is_bounded(spark):
     recent = st.recent("bounded_q")
     assert len(recent) == 4 and recent[0]["batchId"] == 6
     assert st.totals("bounded_q")["rows"] == 10  # totals keep counting
+
+
+def test_manager_pipeline_reports_observed_rows(spark, tmp_path):
+    """A managed pipeline carries data-path counters: the manager's
+    MetricsStore must see observed n_rows == delivered rows, and the
+    /metrics-backing summary must reflect them."""
+    import os
+
+    from brooklin_spark.manager import PipelineManager
+    from brooklin_spark.model import PipelineSpec
+
+    src = str(tmp_path / "in")
+    os.makedirs(src, exist_ok=True)
+    with open(os.path.join(src, "a.txt"), "w") as f:
+        f.write("m1\nm2\nm3\nm4\n")
+    mgr = PipelineManager(spark, str(tmp_path / "mgr"))
+    mgr.create(
+        PipelineSpec(
+            name="obs_pipe",
+            connector="file",
+            transport="memory",
+            source_uri=f"file://{src}",
+            metadata={"memory.table": "obs_pipe"},
+        )
+    )
+    try:
+        mgr.process_available("obs_pipe")
+        delivered = spark.sql("SELECT count(*) n FROM obs_pipe").collect()[0].n
+        assert delivered == 4
+        totals = mgr.metrics.totals("obs_pipe")
+        assert totals.get("observed_rows") == delivered
+        assert mgr.metrics_summary()["listener"]["observed_rows"] >= delivered
+    finally:
+        mgr.delete("obs_pipe")
