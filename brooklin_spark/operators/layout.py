@@ -37,3 +37,40 @@ def write_date_partitioned(
 
 def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def zvalue(x_bits: F.Column | str, y_bits: F.Column | str, bits: int = 8) -> F.Column:
+    """Morton/Z-order interleave of two ``bits``-bit bucket indexes —
+    the space-filling-curve key behind multidimensional clustering
+    (Delta's OPTIMIZE ZORDER BY, Iceberg sort orders). Pure bit
+    arithmetic, whole-stage-codegen friendly."""
+    x = F.col(x_bits) if isinstance(x_bits, str) else x_bits
+    y = F.col(y_bits) if isinstance(y_bits, str) else y_bits
+    terms = []
+    for j in range(bits):
+        terms.append(F.shiftleft(F.shiftright(x, j).bitwiseAND(F.lit(1)), 2 * j))
+        terms.append(F.shiftleft(F.shiftright(y, j).bitwiseAND(F.lit(1)), 2 * j + 1))
+    z = terms[0]
+    for t in terms[1:]:
+        z = z + t
+    return z
+
+
+def zvalue_sql(x_expr: str, y_expr: str, bits: int = 8) -> str:
+    """The identical interleave as portable SQL (oracle twin)."""
+    terms = []
+    for j in range(bits):
+        terms.append(f"((({x_expr} >> {j}) & 1) << {2 * j})")
+        terms.append(f"((({y_expr} >> {j}) & 1) << {2 * j + 1})")
+    return " + ".join(terms)
+
+
+def zorder_repartition(
+    df: DataFrame, z_col: F.Column, n_partitions: int
+) -> DataFrame:
+    """Range-partition by z-value: rows close in BOTH dimensions land in
+    the same output file, so parquet min/max statistics stay tight on
+    both columns at once — a filter on either dimension prunes files.
+    This is the write-side clustering step; pair with a partitioned write
+    from write_date_partitioned for the full layout."""
+    return df.withColumn("_z", z_col).repartitionByRange(n_partitions, "_z").drop("_z")

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from brooklin_spark.functions.exact import dec, dsum, one_minus
 from brooklin_spark.io import table
+from brooklin_spark.operators import layout as _layout
 from brooklin_spark.registry import query
 
 _REV = "CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l.l_discount AS DECIMAL(12,2)))"
@@ -882,4 +883,78 @@ def profile_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.crossJoin(F.broadcast(b))
         .groupBy(bin_expr.alias("bin"))
         .agg(F.count("*").alias("n_orders"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout statistics: Morton-interleave orders on (order day,
+# price-in-cents), both bucketed to 8 bits with all-integer arithmetic
+# (exact cross-engine), then profile the 256 coarse z-buckets. The
+# per-bucket min/max spans exhibit the property the layout exists for:
+# rows co-located by z are close in BOTH dimensions, so parquet min/max
+# stats prune files for a filter on EITHER column (operators/layout.py
+# zvalue/zorder_repartition is the write-side step).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "layout_zorder_stats",
+    oracle=f"""
+    WITH m AS (
+      SELECT MIN(DATEDIFF('day', TIMESTAMP '1995-01-01', o_orderdate)) AS dlo,
+             MAX(DATEDIFF('day', TIMESTAMP '1995-01-01', o_orderdate)) AS dhi,
+             MIN(CAST(round(o_totalprice * 100) AS BIGINT)) AS plo,
+             MAX(CAST(round(o_totalprice * 100) AS BIGINT)) AS phi
+      FROM orders),
+    b AS (
+      SELECT LEAST(((DATEDIFF('day', TIMESTAMP '1995-01-01', o_orderdate) - m.dlo) * 256)
+                     // (m.dhi - m.dlo + 1), 255) AS xb,
+             LEAST(((CAST(round(o_totalprice * 100) AS BIGINT) - m.plo) * 256)
+                     // (m.phi - m.plo + 1), 255) AS yb
+      FROM orders CROSS JOIN m),
+    z AS (
+      SELECT xb, yb, __ZSQL__ AS zv FROM b)
+    SELECT CAST(zv // 256 AS BIGINT) AS z_bucket,
+           COUNT(*) AS n_orders,
+           CAST(MIN(xb) AS BIGINT) AS min_day_bucket,
+           CAST(MAX(xb) AS BIGINT) AS max_day_bucket,
+           CAST(MIN(yb) AS BIGINT) AS min_price_bucket,
+           CAST(MAX(yb) AS BIGINT) AS max_price_bucket
+    FROM z GROUP BY 1
+    """.replace("__ZSQL__", _layout.zvalue_sql("xb", "yb")),
+)
+def layout_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from brooklin_spark.operators.layout import zvalue
+
+    o = table(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp"))
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    m = o.agg(
+        F.min(day).alias("dlo"),
+        F.max(day).alias("dhi"),
+        F.min(cents).alias("plo"),
+        F.max(cents).alias("phi"),
+    )
+    # all-integer bucketing via div (exact, matches DuckDB //)
+    b = o.crossJoin(F.broadcast(m)).select(
+        F.least(
+            F.expr(
+                "(CAST(datediff(o_orderdate, timestamp'1995-01-01') AS BIGINT) - dlo) * 256 div (dhi - dlo + 1)"
+            ),
+            F.lit(255).cast("bigint"),
+        ).alias("xb"),
+        F.least(
+            F.expr(
+                "(CAST(round(o_totalprice * 100) AS BIGINT) - plo) * 256 div (phi - plo + 1)"
+            ),
+            F.lit(255).cast("bigint"),
+        ).alias("yb"),
+    )
+    z = b.select("xb", "yb", zvalue("xb", "yb").alias("zv"))
+    return z.groupBy(F.expr("zv div 256").cast("bigint").alias("z_bucket")).agg(
+        F.count("*").alias("n_orders"),
+        F.min("xb").cast("bigint").alias("min_day_bucket"),
+        F.max("xb").cast("bigint").alias("max_day_bucket"),
+        F.min("yb").cast("bigint").alias("min_price_bucket"),
+        F.max("yb").cast("bigint").alias("max_price_bucket"),
     )

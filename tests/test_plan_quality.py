@@ -379,3 +379,58 @@ def test_column_stats_single_scan(spark, sf_correct):
     # output: tree line + detail section)
     assert plan.count("InMemoryFileIndex") == 1, plan
     assert "Union" not in plan, plan
+
+
+def test_zorder_clusters_both_dimensions(spark, sf_correct):
+    """zorder_repartition: files (partitions) must be tight in BOTH
+    dimensions — the property that lets parquet min/max stats prune on
+    either filter column. A date-only range layout leaves the price span
+    at ~full range per file; the z-order layout must cut it sharply."""
+    from pyspark.sql import functions as F
+
+    from brooklin_spark.operators.layout import zorder_repartition, zvalue
+
+    o = spark.read.parquet(f"{sf_correct}/orders.parquet")
+    day = F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp"))
+    m = o.agg(
+        F.min(day).alias("dlo"), F.max(day).alias("dhi"),
+        F.min("o_totalprice").alias("plo"), F.max("o_totalprice").alias("phi"),
+    )
+    b = o.crossJoin(F.broadcast(m)).select(
+        F.least(
+            F.expr(
+                "(CAST(datediff(o_orderdate, timestamp'1995-01-01') AS BIGINT) - dlo) * 256 div (dhi - dlo + 1)"
+            ),
+            F.lit(255).cast("bigint"),
+        ).alias("xb"),
+        F.least(
+            F.expr(
+                "(CAST(round(o_totalprice * 100) AS BIGINT) - CAST(round(plo * 100) AS BIGINT)) * 256 "
+                "div (CAST(round(phi * 100) AS BIGINT) - CAST(round(plo * 100) AS BIGINT) + 1)"
+            ),
+            F.lit(255).cast("bigint"),
+        ).alias("yb"),
+    )
+
+    def spans(df):
+        per = (
+            df.withColumn("pid", F.spark_partition_id())
+            .groupBy("pid")
+            .agg(
+                (F.max("xb") - F.min("xb")).alias("xs"),
+                (F.max("yb") - F.min("yb")).alias("ys"),
+            )
+            .agg(F.avg("xs"), F.avg("ys"))
+            .collect()[0]
+        )
+        return per[0], per[1]
+
+    z = zorder_repartition(b, zvalue("xb", "yb"), 16)
+    zx, zy = spans(z)
+    naive = b.repartitionByRange(16, "xb")
+    nx, ny = spans(naive)
+    # date-only layout: price span stays near full range (~255)
+    assert ny > 200, (nx, ny)
+    # z-order: BOTH spans far below full range, price span cut >2x
+    assert zy < ny / 2, (zy, ny)
+    assert zx < 200, (zx, nx)
