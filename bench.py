@@ -54,6 +54,8 @@ BENCH_QUERIES = [
     "ann_pq_adc_topk",          # PQ asymmetric-distance search
     "text_pii_redaction",       # PII detect + redact (map-only)
     "corpus_filter_pipeline",   # C4/Gopher keep-drop verdicts (map-only)
+    "graph_pagerank_influence", # 5-iteration PageRank (iterative joins)
+    "layout_zorder_stats",      # Morton-interleave layout profile
 ]
 
 
