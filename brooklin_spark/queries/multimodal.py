@@ -129,3 +129,91 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     media = M.synthesize_media_table(docs, width=32, height=24)
     return M.decode_image_features(media)
+
+
+# ---------------------------------------------------------------------------
+# Scene-cut detection over sampled frames — the shot-boundary pass a video
+# curation pipeline runs after frame sampling. The deterministic "video"
+# has real shot structure: frame k's signature is md5(text:shot) with
+# shot = k div shot_len and shot_len = 2 + doc_id % 3, so consecutive
+# frames are identical within a shot and ~32/32 characters apart across a
+# boundary — per-doc cut positions differ, and the detector (char-hamming
+# on LAG(signature) >= 8) must recover exactly the shot grid. The
+# 32-element hamming fold is an interpreted HOF, acceptable here because
+# the input is 8 rows per video (frames), not the corpus hot path.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_scene_cuts",
+    oracle="""
+    WITH vids AS (
+      SELECT doc_id, 2 + doc_id % 3 AS shot_len, text
+      FROM documents WHERE doc_id < 200),
+    frames AS (
+      SELECT doc_id, k,
+             md5(text || ':' || CAST(k // shot_len AS VARCHAR)) AS sig
+      FROM vids CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS k) g),
+    lagged AS (
+      SELECT doc_id, k, sig,
+             LAG(sig) OVER (PARTITION BY doc_id ORDER BY k) AS prev
+      FROM frames),
+    dists AS (
+      SELECT doc_id, k,
+             CASE WHEN prev IS NULL THEN 0
+                  ELSE len(list_filter(generate_series(1, 32),
+                           i -> substr(sig, i, 1) <> substr(prev, i, 1)))
+             END AS dist
+      FROM lagged)
+    SELECT doc_id,
+           COUNT(*) AS n_frames,
+           CAST(SUM(CASE WHEN dist >= 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+           string_agg(CASE WHEN dist >= 8 THEN CAST(k AS VARCHAR) END, ',' ORDER BY k)
+             AS cut_frames,
+           round(AVG(CAST(dist AS DOUBLE)), 6) AS mean_dist
+    FROM dists GROUP BY doc_id
+    """,
+)
+def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    vids = docs.select(
+        "doc_id", (F.lit(2) + F.col("doc_id") % 3).alias("shot_len"), "text"
+    )
+    frames = vids.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(7))).alias("k"),
+        "shot_len",
+        "text",
+    ).select(
+        "doc_id",
+        "k",
+        F.md5(
+            F.concat(
+                F.col("text"), F.lit(":"), F.expr("k div shot_len").cast("string")
+            )
+        ).alias("sig"),
+    )
+    w = W.partitionBy("doc_id").orderBy("k")
+    lagged = frames.withColumn("prev", F.lag("sig").over(w))
+    dist = F.when(F.col("prev").isNull(), F.lit(0)).otherwise(
+        F.expr(
+            "aggregate(sequence(1, 32), 0, "
+            "(acc, i) -> acc + IF(substr(sig, i, 1) <> substr(prev, i, 1), 1, 0))"
+        )
+    )
+    dists = lagged.select("doc_id", "k", dist.alias("dist"))
+    return dists.groupBy("doc_id").agg(
+        F.count("*").alias("n_frames"),
+        F.sum((F.col("dist") >= 8).cast("int")).cast("bigint").alias("n_cuts"),
+        F.concat_ws(
+            ",",
+            F.sort_array(
+                F.collect_list(
+                    F.when(F.col("dist") >= 8, F.struct("k")).otherwise(None)
+                )
+            ).getField("k").cast("array<string>"),
+        ).alias("cut_frames"),
+        F.round(F.avg(F.col("dist").cast("double")), 6).alias("mean_dist"),
+    )
