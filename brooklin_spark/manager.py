@@ -64,9 +64,9 @@ class PipelineManager:
         # StreamingQueryListener that accumulates bounded per-query
         # progress; metrics_summary() merges its reduce into the
         # poll-based snapshot
-        from brooklin_spark.metrics import install as _install_metrics
+        from brooklin_spark.metrics import shared as _shared_metrics
 
-        self.metrics = _install_metrics(spark)
+        self.metrics = _shared_metrics(spark)
 
     # ------------------------------------------------------------------ CRUD
     def create(

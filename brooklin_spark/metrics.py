@@ -135,6 +135,18 @@ def install(spark, window: int = 256) -> MetricsStore:
     return store
 
 
+def shared(spark, window: int = 256) -> MetricsStore:
+    """One store per SparkSession: listeners survive for the session's
+    lifetime and the engine fans every event out to ALL of them, so a
+    fresh listener per manager would accumulate across manager instances
+    (and lag the listener bus). Managers share the session's store."""
+    st = getattr(spark, "_brooklin_metrics_store", None)
+    if st is None:
+        st = install(spark, window)
+        spark._brooklin_metrics_store = st
+    return st
+
+
 def uninstall(spark, store: MetricsStore) -> None:
     spark.streams.removeListener(store)
 

@@ -140,8 +140,10 @@ def test_manager_pipeline_reports_observed_rows(spark, tmp_path):
         mgr.process_available("obs_pipe")
         delivered = spark.sql("SELECT count(*) n FROM obs_pipe").collect()[0].n
         assert delivered == 4
-        totals = mgr.metrics.totals("obs_pipe")
-        assert totals.get("observed_rows") == delivered
+        # listener events are ASYNC on the engine's bus — poll, don't race
+        assert _wait(
+            lambda: mgr.metrics.totals("obs_pipe").get("observed_rows") == delivered
+        ), mgr.metrics.totals("obs_pipe")
         assert mgr.metrics_summary()["listener"]["observed_rows"] >= delivered
     finally:
         mgr.delete("obs_pipe")
