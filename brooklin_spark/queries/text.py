@@ -1197,3 +1197,64 @@ def length_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("padding_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-id encoding — the tokenizer-encode step between filtering and
+# packing: build a 256-term vocabulary (global count desc, token asc),
+# map every token to its id (OOV -> 256 = vocab size), report per-doc OOV
+# rate plus a position-weighted checksum that pins the EXACT id sequence
+# (sum of (pos+1)*id), not just the multiset. Plan: explode -> one
+# token-keyed count shuffle (map-side combinable) -> tiny vocab broadcast
+# back -> per-doc aggregate. At 100 TB the vocab is a real tokenizer's
+# table; the encode pass itself stays a broadcast-join map stage.
+# ---------------------------------------------------------------------------
+
+_VOCAB_N = 256
+
+
+@query(
+    "text_token_ids",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, generate_subscripts(t, 1) AS pos, unnest(t) AS tok
+      FROM (SELECT doc_id, {_TOK} AS t FROM documents)),
+    counts AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+    ranked AS (
+      SELECT tok, ROW_NUMBER() OVER (ORDER BY c DESC, tok ASC) - 1 AS id
+      FROM counts),
+    vocab AS (SELECT tok, id FROM ranked WHERE id < {_VOCAB_N}),
+    ids AS (
+      SELECT t.doc_id, t.pos, COALESCE(v.id, {_VOCAB_N}) AS id
+      FROM toks t LEFT JOIN vocab v ON v.tok = t.tok)
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN id = {_VOCAB_N} THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           round(CAST(SUM(CASE WHEN id = {_VOCAB_N} THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS oov_rate,
+           CAST(SUM(pos * id) AS BIGINT) AS ids_checksum
+    FROM ids GROUP BY doc_id
+    """,
+)
+def text_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(X.tokens()).alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    counts = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    w = W.orderBy(F.desc("c"), F.asc("tok"))
+    vocab = (
+        counts.withColumn("id", F.row_number().over(w) - 1)
+        .filter(F.col("id") < _VOCAB_N)
+        .select(F.col("tok").alias("vtok"), "id")
+    )
+    ids = toks.join(F.broadcast(vocab), F.col("vtok") == toks.tok, "left").select(
+        "doc_id", "pos", F.coalesce(F.col("id"), F.lit(_VOCAB_N)).alias("id")
+    )
+    oov = (F.col("id") == _VOCAB_N).cast("int")
+    return ids.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(oov).cast("bigint").alias("n_oov"),
+        F.round(F.sum(oov).cast("double") / F.count("*"), 6).alias("oov_rate"),
+        F.sum(F.col("pos") * F.col("id")).cast("bigint").alias("ids_checksum"),
+    )
