@@ -6,7 +6,7 @@ the comparison path).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from brooklin_spark.io import table
@@ -192,4 +192,54 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         days.join(dau, "day")
         .join(wau, "day")
         .select(F.date_format("day", "yyyy-MM-dd").alias("day"), "dau", "wau")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-transition analysis (first-order Markov counts): per-user event
+# sequences lag-joined into (from_type -> to_type) transition counts with
+# conditional probabilities — the path-analysis primitive behind funnel
+# discovery. One key-partitioned window + one small groupBy; transition
+# matrix size is |event_types|^2, broadcast-tiny at any corpus scale.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM events),
+    trans AS (
+      SELECT prev_type AS from_type, event_type AS to_type, COUNT(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY 1, 2),
+    totals AS (
+      SELECT from_type, SUM(n) AS total FROM trans GROUP BY from_type)
+    SELECT t.from_type, t.to_type, CAST(t.n AS BIGINT) AS n_transitions,
+           round(CAST(t.n AS DOUBLE) / tot.total, 6) AS prob
+    FROM trans t JOIN totals tot ON tot.from_type = t.from_type
+    """,
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id", "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    trans = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy(F.col("prev_type").alias("from_type"), F.col("event_type").alias("to_type"))
+        .agg(F.count("*").alias("n"))
+    )
+    totals = trans.groupBy(F.col("from_type").alias("tf")).agg(
+        F.sum("n").alias("total")
+    )
+    return trans.join(F.broadcast(totals), F.col("tf") == trans.from_type).select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("bigint").alias("n_transitions"),
+        F.round(F.col("n").cast("double") / F.col("total"), 6).alias("prob"),
     )

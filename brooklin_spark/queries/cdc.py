@@ -166,3 +166,52 @@ def cdc_checkpoint_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             "checkpoint", checkpoint_col("partition", "committed_offset")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD Type-2 history build: every change event becomes a versioned row
+# with [valid_from, valid_to) and an is_current flag — the
+# slowly-changing-dimension materialization a warehouse derives from the
+# CDC stream that cdc_apply_upserts compacts. One key-partitioned window
+# (lead over event order); no second scan, no join. At 100 TB the window
+# partitions by key — the same shuffle the upsert compaction already pays.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cdc_scd2_history",
+    oracle="""
+    WITH versions AS (
+      SELECT user_id, event_id, props, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS version,
+             LEAD(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS next_scn
+      FROM events)
+    SELECT user_id,
+           CAST(version AS BIGINT) AS version,
+           event_id AS valid_from_scn,
+           COALESCE(next_scn, CAST(9223372036854775807 AS BIGINT)) AS valid_to_scn,
+           CAST(next_scn IS NULL AS BOOLEAN) AS is_current,
+           props AS value
+    FROM versions
+    """,
+)
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("event_id")
+    v = e.select(
+        "user_id",
+        "event_id",
+        "props",
+        F.row_number().over(w).cast("bigint").alias("version"),
+        F.lead("event_id").over(w).alias("next_scn"),
+    )
+    return v.select(
+        "user_id",
+        "version",
+        F.col("event_id").alias("valid_from_scn"),
+        F.coalesce(F.col("next_scn"), F.lit(9223372036854775807).cast("bigint")).alias(
+            "valid_to_scn"
+        ),
+        F.col("next_scn").isNull().alias("is_current"),
+        F.col("props").alias("value"),
+    )

@@ -117,3 +117,62 @@ def streaming_replay_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("total_acctbal"),
     )
     return run_to_completion(agg, mode="complete")
+
+
+_PII_EMAIL = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+
+
+@query(
+    "streaming_corpus_scrub",
+    oracle=f"""
+    WITH injected AS (
+      SELECT doc_id, lang,
+             text || CASE WHEN doc_id % 5 = 0
+               THEN ' contact user' || doc_id || '@example.com now' ELSE '' END AS t
+      FROM documents),
+    toks AS (
+      SELECT doc_id, lang, t,
+             len(list_filter(string_split(t, ' '), x -> x <> '')) AS n_tokens
+      FROM injected)
+    SELECT doc_id, lang,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_tokens >= 20 AS BOOLEAN) AS kept,
+           md5(regexp_replace(t, '{_PII_EMAIL}', '[EMAIL]', 'g')) AS redacted_md5
+    FROM toks
+    """,
+)
+def streaming_corpus_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ETL scrub: the documents corpus arrives through the
+    offset-replay DataSource in ~8 micro-batches and each batch is
+    filtered + PII-redacted STATELESSLY (map-only streaming — the shape a
+    continuous ingest scrubber runs; at 100 TB/day this is the same plan
+    per micro-batch, no state store). The drain equals the batch SQL only
+    if flow control delivered every doc exactly once; redacted text is
+    md5'd so the oracle row stays narrow."""
+    pyds.register(spark)
+    s = (
+        spark.readStream.format("parquet_replay")
+        .options(
+            path=f"{sf_dir}/documents.parquet",
+            order_col="doc_id",
+            batch_rows="64",
+        )
+        .load()
+    )
+    did = F.col("doc_id")
+    t = F.concat(
+        F.col("text"),
+        F.when(
+            did % 5 == 0,
+            F.concat(F.lit(" contact user"), did.cast("string"), F.lit("@example.com now")),
+        ).otherwise(""),
+    )
+    n_tok = F.size(F.filter(F.split(t, " "), lambda x: x != ""))
+    out = s.select(
+        "doc_id",
+        "lang",
+        n_tok.cast("bigint").alias("n_tokens"),
+        (n_tok >= 20).alias("kept"),
+        F.md5(F.regexp_replace(t, _PII_EMAIL, "[EMAIL]")).alias("redacted_md5"),
+    )
+    return run_to_completion(out, mode="append")
