@@ -243,3 +243,204 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_transitions"),
         F.round(F.col("n").cast("double") / F.col("total"), 6).alias("prob"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Markov path-anomaly scoring: each user's event sequence scored by the
+# sum of log transition probabilities under the corpus transition matrix
+# (events_transition_matrix) — unusual navigation paths (bots, abuse)
+# surface as low per-step likelihood. The matrix is |types|^2 and
+# broadcast back; the sequence pass is the same key-partitioned window.
+# round(6) per log term before summing keeps the fold engine-exact.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_path_anomaly",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM events),
+    trans AS (
+      SELECT prev_type AS from_type, event_type AS to_type, COUNT(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+    totals AS (SELECT from_type, SUM(n) AS total FROM trans GROUP BY from_type),
+    probs AS (
+      SELECT t.from_type, t.to_type,
+             round(ln(CAST(t.n AS DOUBLE) / tot.total), 6) AS logp
+      FROM trans t JOIN totals tot ON tot.from_type = t.from_type),
+    steps AS (
+      SELECT s.user_id, p.logp
+      FROM seq s JOIN probs p
+        ON p.from_type = s.prev_type AND p.to_type = s.event_type
+      WHERE s.prev_type IS NOT NULL)
+    SELECT user_id,
+           COUNT(*) AS n_steps,
+           round(SUM(logp), 6) AS log_likelihood,
+           round(SUM(logp) / COUNT(*), 6) AS per_step_logp
+    FROM steps GROUP BY user_id
+    """,
+)
+def events_path_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id", "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    trans = seq.groupBy(
+        F.col("prev_type").alias("from_type"), F.col("event_type").alias("to_type")
+    ).agg(F.count("*").alias("n"))
+    totals = trans.groupBy(F.col("from_type").alias("tf")).agg(
+        F.sum("n").alias("total")
+    )
+    probs = trans.join(F.broadcast(totals), F.col("tf") == trans.from_type).select(
+        "from_type",
+        "to_type",
+        F.round(F.log(F.col("n").cast("double") / F.col("total")), 6).alias("logp"),
+    )
+    steps = seq.join(
+        F.broadcast(probs),
+        (probs.from_type == seq.prev_type) & (probs.to_type == seq.event_type),
+    )
+    return steps.groupBy("user_id").agg(
+        F.count("*").alias("n_steps"),
+        F.round(F.sum("logp"), 6).alias("log_likelihood"),
+        F.round(F.sum("logp") / F.count("*"), 6).alias("per_step_logp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket affinity (association lift): part pairs co-ordered in the
+# same order, lift = P(a,b) / (P(a)·P(b)). The in-order self-join is
+# bounded by basket size (avg ~4 lines), so pair counts grow linearly
+# with orders — the same carried-size discipline as the n-gram dedup
+# join. Support floor keeps the matrix sparse.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "basket_part_affinity",
+    oracle="""
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n_orders AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM baskets),
+    part_freq AS (
+      SELECT l_partkey, COUNT(*) AS f FROM baskets GROUP BY l_partkey),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS together
+      FROM baskets a JOIN baskets b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 3)
+    SELECT p.part_a, p.part_b, CAST(p.together AS BIGINT) AS n_together,
+           round(CAST(p.together AS DOUBLE) * n.n / (fa.f * fb.f), 6) AS lift
+    FROM pairs p
+    JOIN part_freq fa ON fa.l_partkey = p.part_a
+    JOIN part_freq fb ON fb.l_partkey = p.part_b
+    CROSS JOIN n_orders n
+    """,
+)
+def basket_part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = baskets.select("l_orderkey").distinct().count()
+    freq = baskets.groupBy(F.col("l_partkey").alias("fp")).agg(
+        F.count("*").alias("f")
+    )
+    b2 = baskets.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = (
+        baskets.join(b2, (F.col("ok") == baskets.l_orderkey) & (b2.part_b > baskets.l_partkey))
+        .groupBy(F.col("l_partkey").alias("part_a"), "part_b")
+        .agg(F.count("*").alias("together"))
+        .filter(F.col("together") >= 3)
+    )
+    fa = freq.withColumnRenamed("fp", "pa").withColumnRenamed("f", "f_a")
+    fb = freq.withColumnRenamed("fp", "pb").withColumnRenamed("f", "f_b")
+    return (
+        pairs.join(F.broadcast(fa), F.col("pa") == pairs.part_a)
+        .join(F.broadcast(fb), F.col("pb") == pairs.part_b)
+        .select(
+            "part_a",
+            "part_b",
+            F.col("together").cast("bigint").alias("n_together"),
+            F.round(
+                F.col("together").cast("double") * n_orders / (F.col("f_a") * F.col("f_b")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation: per-customer recency/frequency/monetary quintiles
+# (ntile with deterministic tie-breaks) composed into a segment label —
+# the standard audience-building aggregate. Two passes over orders: one
+# per-customer rollup, three cheap ntile windows over the 150k-row
+# customer aggregate (NOT the fact table).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "customers_rfm_segments",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey,
+             MAX(o_orderdate) AS last_order,
+             COUNT(*) AS frequency,
+             SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS monetary
+      FROM orders GROUP BY o_custkey),
+    scored AS (
+      SELECT o_custkey, frequency,
+             CAST(monetary AS DOUBLE) AS monetary,
+             NTILE(5) OVER (ORDER BY last_order ASC, o_custkey ASC) AS r_score,
+             NTILE(5) OVER (ORDER BY frequency ASC, o_custkey ASC) AS f_score,
+             NTILE(5) OVER (ORDER BY monetary ASC, o_custkey ASC) AS m_score
+      FROM cust)
+    SELECT CAST(r_score AS BIGINT) AS r_score,
+           CAST(f_score AS BIGINT) AS f_score,
+           CAST(m_score AS BIGINT) AS m_score,
+           CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4 THEN 'champion'
+                WHEN r_score >= 4 AND f_score <= 2 THEN 'new'
+                WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk'
+                WHEN r_score <= 2 AND m_score <= 2 THEN 'hibernating'
+                ELSE 'regular' END AS segment,
+           COUNT(*) AS n_customers,
+           round(AVG(monetary), 6) AS avg_monetary
+    FROM scored GROUP BY 1, 2, 3, 4
+    """,
+)
+def customers_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias("monetary"),
+    )
+    scored = cust.select(
+        "o_custkey",
+        "frequency",
+        F.col("monetary").cast("double").alias("monetary"),
+        F.ntile(5).over(W.orderBy(F.asc("last_order"), F.asc("o_custkey"))).alias("r_score"),
+        F.ntile(5).over(W.orderBy(F.asc("frequency"), F.asc("o_custkey"))).alias("f_score"),
+        F.ntile(5).over(W.orderBy(F.asc("monetary"), F.asc("o_custkey"))).alias("m_score"),
+    )
+    seg = (
+        F.when((F.col("r_score") >= 4) & (F.col("f_score") >= 4) & (F.col("m_score") >= 4), "champion")
+        .when((F.col("r_score") >= 4) & (F.col("f_score") <= 2), "new")
+        .when((F.col("r_score") <= 2) & (F.col("f_score") >= 4), "at_risk")
+        .when((F.col("r_score") <= 2) & (F.col("m_score") <= 2), "hibernating")
+        .otherwise("regular")
+    )
+    return scored.groupBy(
+        F.col("r_score").cast("bigint").alias("r_score"),
+        F.col("f_score").cast("bigint").alias("f_score"),
+        F.col("m_score").cast("bigint").alias("m_score"),
+        seg.alias("segment"),
+    ).agg(
+        F.count("*").alias("n_customers"),
+        F.round(F.avg("monetary"), 6).alias("avg_monetary"),
+    )
