@@ -1258,3 +1258,45 @@ def text_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(oov).cast("double") / F.count("*"), 6).alias("oov_rate"),
         F.sum(F.col("pos") * F.col("id")).cast("bigint").alias("ids_checksum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split — the final assignment step before
+# shards are written: md5-hash-mod on doc_id (seeded, content-independent)
+# puts ~80/10/10 in train/val/test with zero coordination; per-(split,
+# lang) counts audit the stratification. Map-only + tiny groupBy.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sample_train_val_test",
+    oracle="""
+    WITH assigned AS (
+      SELECT doc_id, lang,
+             CASE
+               WHEN ascii(substr(md5('split:' || doc_id), 1, 1)) % 10 < 8 THEN 'train'
+               WHEN ascii(substr(md5('split:' || doc_id), 1, 1)) % 10 = 8 THEN 'val'
+               ELSE 'test' END AS split
+      FROM documents)
+    SELECT split, lang, COUNT(*) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
+    FROM assigned GROUP BY 1, 2
+    """,
+)
+def sample_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    bucket = (
+        F.ascii(F.substring(F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 1))
+        % 10
+    )
+    split = (
+        F.when(bucket < 8, "train").when(bucket == 8, "val").otherwise("test")
+    )
+    return docs.select("doc_id", "lang", split.alias("split")).groupBy(
+        "split", "lang"
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.min("doc_id").cast("bigint").alias("min_doc_id"),
+        F.max("doc_id").cast("bigint").alias("max_doc_id"),
+    )

@@ -958,3 +958,49 @@ def layout_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("yb").cast("bigint").alias("min_price_bucket"),
         F.max("yb").cast("bigint").alias("max_price_bucket"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew-key profile: the diagnostic run BEFORE choosing a salting factor —
+# top-20 heaviest join keys with their share of the table and a
+# rows-vs-uniform amplification factor. One count aggregate + a
+# TakeOrdered top-k over the (small) per-key result; at 100 TB this is
+# the exact query a pipeline runs to decide operators/skew.py's N.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "skew_key_profile",
+    oracle="""
+    WITH per_key AS (
+      SELECT l_suppkey AS key, COUNT(*) AS n FROM lineitem GROUP BY l_suppkey),
+    tot AS (SELECT SUM(n) AS total, COUNT(*) AS n_keys FROM per_key),
+    ranked AS (
+      SELECT key, n, ROW_NUMBER() OVER (ORDER BY n DESC, key ASC) AS rk
+      FROM per_key)
+    SELECT r.key, CAST(r.n AS BIGINT) AS n_rows,
+           round(CAST(r.n AS DOUBLE) / t.total, 6) AS share,
+           round(CAST(r.n AS DOUBLE) * t.n_keys / t.total, 6) AS x_uniform
+    FROM ranked r CROSS JOIN tot t
+    WHERE r.rk <= 20
+    """,
+)
+def skew_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    per_key = li.groupBy(F.col("l_suppkey").alias("key")).agg(
+        F.count("*").alias("n")
+    )
+    tot = per_key.agg(
+        F.sum("n").alias("total"), F.count("*").alias("n_keys")
+    )
+    ranked = per_key.withColumn(
+        "rk", F.row_number().over(W.orderBy(F.desc("n"), F.asc("key")))
+    ).filter(F.col("rk") <= 20)
+    return ranked.crossJoin(F.broadcast(tot)).select(
+        "key",
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.round(F.col("n").cast("double") / F.col("total"), 6).alias("share"),
+        F.round(F.col("n").cast("double") * F.col("n_keys") / F.col("total"), 6).alias(
+            "x_uniform"
+        ),
+    )
