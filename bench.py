@@ -58,6 +58,8 @@ BENCH_QUERIES = [
     "layout_zorder_stats",      # Morton-interleave layout profile
     "multimodal_scene_cuts",    # shot-boundary detection on frames
     "text_token_ids",           # vocab-encode with OOV accounting
+    "cdc_scd2_history",         # SCD2 validity intervals (key window)
+    "basket_part_affinity",     # market-basket lift (in-order self-join)
 ]
 
 
