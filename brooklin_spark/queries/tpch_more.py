@@ -1004,3 +1004,162 @@ def skew_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "x_uniform"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# NULL-semantics battery: the corpus carries no NULLs, so they are
+# synthesized with NULLIF and pushed through the surfaces where engines
+# classically diverge — COUNT(*) vs COUNT(col), null group keys,
+# null-safe equality, COALESCE chains, SUM-of-empty. Cross-engine
+# agreement here pins the ANSI behaviors the whole oracle matrix
+# silently relies on.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scalar_null_battery",
+    oracle="""
+    WITH d AS (
+      SELECT o_orderkey,
+             NULLIF(o_orderstatus, 'O') AS status_n,
+             NULLIF(o_totalprice, 0.0) AS price_n,
+             CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderpriority END AS prio_n
+      FROM orders)
+    SELECT COALESCE(status_n, '<null>') AS status_key,
+           COUNT(*) AS n_rows,
+           COUNT(prio_n) AS n_prio_nonnull,
+           CAST(SUM(CASE WHEN prio_n IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_prio_null,
+           CAST(SUM(CASE WHEN status_n IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_nullsafe_null,
+           CAST(SUM(CAST(price_n AS DECIMAL(12,2))) AS DOUBLE) AS price_sum,
+           COALESCE(CAST(MIN(CASE WHEN 1 = 0 THEN price_n END) AS DOUBLE), -1.0)
+             AS min_of_empty
+    FROM d GROUP BY status_n
+    """,
+)
+def scalar_null_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    d = o.select(
+        "o_orderkey",
+        F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("status_n"),
+        F.nullif(F.col("o_totalprice"), F.lit(0.0)).alias("price_n"),
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(None)).otherwise(
+            F.col("o_orderpriority")
+        ).alias("prio_n"),
+    )
+    return d.groupBy("status_n").agg(
+        F.count("*").alias("n_rows"),
+        F.count("prio_n").alias("n_prio_nonnull"),
+        F.sum(F.col("prio_n").isNull().cast("int")).cast("bigint").alias("n_prio_null"),
+        F.sum(F.col("status_n").eqNullSafe(F.lit(None)).cast("int"))
+        .cast("bigint")
+        .alias("n_nullsafe_null"),
+        F.sum(F.col("price_n").cast("decimal(12,2)")).cast("double").alias("price_sum"),
+        F.coalesce(
+            F.min(F.when(F.lit(1) == 0, F.col("price_n"))).cast("double"), F.lit(-1.0)
+        ).alias("min_of_empty"),
+    ).select(
+        F.coalesce(F.col("status_n"), F.lit("<null>")).alias("status_key"),
+        "n_rows",
+        "n_prio_nonnull",
+        "n_prio_null",
+        "n_nullsafe_null",
+        "price_sum",
+        "min_of_empty",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Data-quality validation report (dbt-test style): one row per check —
+# key uniqueness, referential integrity, value ranges, accepted values,
+# cross-field consistency — with violation counts. A pipeline gates
+# promotion on this table; every check is a scan-local aggregate or a
+# single anti-join, unioned into the report.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dq_validation_report",
+    oracle="""
+    SELECT 'orders_pk_unique' AS check_name,
+           (SELECT CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) FROM orders) AS n_violations
+    UNION ALL
+    SELECT 'orders_custkey_fk',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+    UNION ALL
+    SELECT 'lineitem_orderkey_fk',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+    UNION ALL
+    SELECT 'lineitem_qty_range',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+            WHERE l_quantity < 1 OR l_quantity > 50)
+    UNION ALL
+    SELECT 'lineitem_discount_range',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+            WHERE l_discount < 0.0 OR l_discount > 0.1)
+    UNION ALL
+    SELECT 'orders_status_accepted',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+            WHERE o_orderstatus NOT IN ('O', 'F', 'P'))
+    UNION ALL
+    SELECT 'orders_price_positive',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders WHERE o_totalprice <= 0)
+    """,
+)
+def dq_validation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    c = table(spark, sf_dir, "customer")
+
+    def row(name: str, df_count) -> DataFrame:
+        return df_count.select(
+            F.lit(name).alias("check_name"),
+            F.col("n").cast("bigint").alias("n_violations"),
+        )
+
+    checks = [
+        row(
+            "orders_pk_unique",
+            o.agg((F.count("*") - F.count_distinct(F.col("o_orderkey"))).alias("n")),
+        ),
+        row(
+            "orders_custkey_fk",
+            o.join(c, c.c_custkey == o.o_custkey, "left_anti").agg(
+                F.count("*").alias("n")
+            ),
+        ),
+        row(
+            "lineitem_orderkey_fk",
+            li.join(o, o.o_orderkey == li.l_orderkey, "left_anti").agg(
+                F.count("*").alias("n")
+            ),
+        ),
+        row(
+            "lineitem_qty_range",
+            li.filter((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)).agg(
+                F.count("*").alias("n")
+            ),
+        ),
+        row(
+            "lineitem_discount_range",
+            li.filter((F.col("l_discount") < 0.0) | (F.col("l_discount") > 0.1)).agg(
+                F.count("*").alias("n")
+            ),
+        ),
+        row(
+            "orders_status_accepted",
+            o.filter(~F.col("o_orderstatus").isin("O", "F", "P")).agg(
+                F.count("*").alias("n")
+            ),
+        ),
+        row(
+            "orders_price_positive",
+            o.filter(F.col("o_totalprice") <= 0).agg(F.count("*").alias("n")),
+        ),
+    ]
+    out = checks[0]
+    for ch in checks[1:]:
+        out = out.unionAll(ch)
+    return out
