@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "text_token_ids",           # vocab-encode with OOV accounting
     "cdc_scd2_history",         # SCD2 validity intervals (key window)
     "basket_part_affinity",     # market-basket lift (in-order self-join)
+    "corpus_e2e_pipeline",      # filter+dedup+pack as one Catalyst DAG
 ]
 
 

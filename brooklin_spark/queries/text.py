@@ -1300,3 +1300,90 @@ def sample_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").cast("bigint").alias("min_doc_id"),
         F.max("doc_id").cast("bigint").alias("max_doc_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end corpus pipeline in ONE Catalyst DAG — the flagship
+# composition: quality-filter (corpus_filter_pipeline rules) -> exact
+# near-dup removal (min-doc_id per md5 fingerprint via ONE window, no
+# join-back) -> greedy context packing (pack_sequences' running-sum
+# deal). Three shuffles total (fingerprint window, per-source pack
+# window, final group), every stage pipelined by the optimizer — the
+# argument for declaring the whole pipeline instead of materializing
+# between stages. Output grain: packed sequence.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "corpus_e2e_pipeline",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, source, text,
+             len({_TOK}) AS n_tokens,
+             len(list_distinct({_TOK})) AS n_distinct,
+             len(list_filter({_TOK}, x -> list_contains({_STOP['en']}, x))) AS stop_hits
+      FROM documents),
+    kept AS (
+      SELECT doc_id, source, text, n_tokens FROM scored
+      WHERE n_tokens >= 20
+        AND 1.0 - CAST(n_distinct AS DOUBLE) / n_tokens <= 0.68
+        AND CAST(stop_hits AS DOUBLE) / n_tokens >= 0.01
+        AND 0.5 * least(n_tokens / 100.0, 1.0)
+            + 0.3 * (CAST(n_distinct AS DOUBLE) / n_tokens)
+            + 0.2 * least(5.0 * stop_hits / n_tokens, 1.0) >= 0.42),
+    deduped AS (
+      SELECT doc_id, source, n_tokens FROM kept
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1),
+    placed AS (
+      SELECT source, doc_id, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tokens AS start_off
+      FROM deduped)
+    SELECT source,
+           CAST(start_off // 256 AS BIGINT) AS seq_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM placed
+    GROUP BY source, CAST(start_off // 256 AS BIGINT)
+    """,
+)
+def corpus_e2e_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    n_tok = X.token_count()
+    n_dis = X.distinct_token_count()
+    stop = X.stopword_hits(lang="en")
+    quality = (
+        0.5 * F.least(n_tok / 100.0, F.lit(1.0))
+        + 0.3 * (n_dis.cast("double") / n_tok)
+        + 0.2 * F.least(5.0 * stop / n_tok, F.lit(1.0))
+    )
+    kept = docs.filter(
+        (n_tok >= 20)
+        & (1.0 - n_dis.cast("double") / n_tok <= 0.68)
+        & (stop.cast("double") / n_tok >= 0.01)
+        & (quality >= 0.42)
+    ).select("doc_id", "source", "text", n_tok.cast("bigint").alias("n_tokens"))
+    wfp = W.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = (
+        kept.withColumn("rn", F.row_number().over(wfp))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "source", "n_tokens")
+    )
+    wpk = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    placed = deduped.withColumn(
+        "start_off", F.sum("n_tokens").over(wpk) - F.col("n_tokens")
+    )
+    seq = F.floor(F.col("start_off") / 256).cast("bigint")
+    return placed.groupBy("source", seq.alias("seq_id")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )

@@ -434,3 +434,13 @@ def test_zorder_clusters_both_dimensions(spark, sf_correct):
     # z-order: BOTH spans far below full range, price span cut >2x
     assert zy < ny / 2, (zy, ny)
     assert zx < 200, (zx, nx)
+
+
+def test_e2e_pipeline_three_shuffles(spark, sf_correct):
+    """Filter -> fingerprint-window dedup -> pack -> group compose into
+    ONE DAG with at most three exchanges (fingerprint partition, source
+    partition, final agg) and no join anywhere."""
+    df = _q(spark, sf_correct, "corpus_e2e_pipeline")
+    plan = executed_plan(df)
+    assert "Join" not in plan, plan
+    assert shuffle_count(df) <= 3, plan
