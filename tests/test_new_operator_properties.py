@@ -1,0 +1,82 @@
+"""Property tests for the second-session operators: Morton interleave,
+PageRank mass conservation, PQ-ADC consistency with exact distances."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from brooklin_spark import registry
+
+registry.load_all()
+
+
+def _py_zvalue(x: int, y: int, bits: int = 8) -> int:
+    z = 0
+    for j in range(bits):
+        z |= ((x >> j) & 1) << (2 * j)
+        z |= ((y >> j) & 1) << (2 * j + 1)
+    return z
+
+
+def test_zvalue_is_bijective_and_matches_sql(spark):
+    """zvalue() must agree with the independent Python interleave on the
+    full 8-bit grid and be a bijection onto [0, 65536)."""
+    from brooklin_spark.operators.layout import zvalue
+
+    grid = [(x, y) for x in range(0, 256, 17) for y in range(0, 256, 13)]
+    pdf = pd.DataFrame(grid, columns=["xb", "yb"])
+    df = spark.createDataFrame(pdf).select(
+        "xb", "yb", zvalue("xb", "yb").alias("z")
+    )
+    rows = df.collect()
+    seen = set()
+    for r in rows:
+        assert r.z == _py_zvalue(r.xb, r.yb), (r.xb, r.yb, r.z)
+        assert 0 <= r.z < 65536
+        assert r.z not in seen
+        seen.add(r.z)
+
+
+def test_zvalue_locality(spark):
+    """Neighbors in either dimension stay within a bounded z-distance at
+    aligned positions — the clustering property the layout relies on."""
+    from brooklin_spark.operators.layout import zvalue
+
+    pdf = pd.DataFrame({"xb": [4, 5, 4], "yb": [8, 8, 9]})
+    z = [r.z for r in spark.createDataFrame(pdf).select(zvalue("xb", "yb").alias("z")).collect()]
+    # (4,8)->(5,8) flips one x-bit; (4,8)->(4,9) one y-bit
+    assert abs(z[1] - z[0]) in (1, 2)
+    assert abs(z[2] - z[0]) in (1, 2)
+
+
+def test_pagerank_mass_conserved(spark, sf_smoke):
+    """With no dangling nodes (undirected edge set), total rank mass must
+    stay ~1 through the damped iterations."""
+    df = registry.QUERIES["graph_pagerank_influence"](spark, sf_smoke)
+    total = df.agg(F.sum("rank")).collect()[0][0]
+    assert abs(total - 1.0) < 1e-3, total
+
+
+def test_pq_adc_distance_exact_on_codewords(spark, sf_correct):
+    """A corpus vector that IS a codeword reconstructs exactly, so its
+    ADC distance to any query equals the sum of the query's subspace
+    distances to that codeword — ADC top-k then ranks codeword rows by
+    TRUE distance. Verified by recomputing both sides in numpy."""
+    from brooklin_spark.io import table
+    from brooklin_spark.operators.similarity import pq_adc_topk
+
+    emb = table(spark, sf_correct, "embeddings")
+    cb = emb.filter(F.col("vec_id") < 16)
+    queries = emb.filter(F.col("vec_id") < 2)
+    out = pq_adc_topk(queries, cb, cb, m=4, k=16, topk=3).toPandas()
+    qrows = {r[0]: np.array(list(r[1]), dtype=np.float64) for r in queries.collect()}
+    crows = {r[0]: np.array(list(r[1]), dtype=np.float64) for r in cb.collect()}
+    for _, row in out.iterrows():
+        q, c = qrows[row.query_id], crows[row.neighbor_id]
+        true = 0.0
+        for j in range(4):
+            d = q[j * 16 : (j + 1) * 16] - c[j * 16 : (j + 1) * 16]
+            true += np.round((d * d).sum(), 6)
+        assert abs(row.adc_dist - np.round(true, 6)) < 1e-6, row
