@@ -217,3 +217,72 @@ def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cut_frames"),
         F.round(F.avg(F.col("dist").cast("double")), 6).alias("mean_dist"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Image resize, oracle-checked end-to-end: the 32x24 fake-decoded image
+# block-averages to 8x6 (exact 4x4 blocks), and the resized BYTES are
+# pinned numerically — per-image mean plus a position-weighted checksum
+# over the row-major output — so the whole binary-in/binary-out path
+# (synthesize -> decode -> resize -> write-back payload) is cross-engine
+# verified, not just shape-tested. Truncation parity: block mean is a sum
+# of 16 uint8s / 16 (exact in double), int() == FLOOR for non-negatives.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_image_resize",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, md5(text) AS seed FROM documents WHERE doc_id < 100),
+    chunks AS (
+      SELECT doc_id, c.range AS c, md5(seed || ':' || c.range) AS dh
+      FROM base, range(48) c),
+    px AS (
+      SELECT doc_id,
+             c * 16 + p.range AS i,
+             (('0x' || substr(dh, p.range * 2 + 1, 2))::INT) AS v
+      FROM chunks, range(16) p),
+    blocks AS (
+      SELECT doc_id,
+             ((i // 32) // 4) * 8 + ((i % 32) // 4) AS bi,
+             CAST(FLOOR(AVG(v)) AS BIGINT) AS b
+      FROM px GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(8 AS INT) AS width,
+           CAST(6 AS INT) AS height,
+           round(AVG(CAST(b AS DOUBLE)), 6) AS resized_mean,
+           CAST(SUM((bi + 1) * b) AS BIGINT) AS checksum
+    FROM blocks GROUP BY doc_id
+    """,
+)
+def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as _np
+    import pandas as _pd
+
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    media = M.synthesize_media_table(docs, width=32, height=24)
+    resized = M.resize_image(media, out_w=8, out_h=6)
+
+    def op(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, payload, w, h in zip(
+                pdf["doc_id"], pdf["payload"], pdf["width"], pdf["height"]
+            ):
+                b = _np.frombuffer(bytes(payload), dtype=_np.uint8).astype(_np.int64)
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "width": int(w),
+                        "height": int(h),
+                        "resized_mean": round(float(b.mean()), 6),
+                        "checksum": int(((_np.arange(b.size) + 1) * b).sum()),
+                    }
+                )
+            yield _pd.DataFrame(rows)
+
+    return resized.mapInPandas(
+        op,
+        schema="doc_id bigint, width int, height int, resized_mean double, checksum bigint",
+    )
