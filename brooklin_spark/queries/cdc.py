@@ -215,3 +215,56 @@ def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("next_scn").isNull().alias("is_current"),
         F.col("props").alias("value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming CDC materialization through the REAL materialize sink: the
+# change stream replays in micro-batches, each foreachBatch merge writes
+# a new versioned snapshot (highest-scn-wins, tombstone-retaining,
+# pointer-swapped — sinks/materialize.py), and the final reader view must
+# equal the one-shot batch compaction. This is the consumer-side MERGE
+# the reference leaves to users, exercised end-to-end with engine
+# checkpoints rather than as a batch shortcut.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "streaming_cdc_materialize",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT user_id, event_id, props, {_OP_SQL} AS op_code,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      FROM events)
+    SELECT CAST(user_id AS VARCHAR) AS k, props AS value, op_code, event_id AS scn
+    FROM ranked WHERE rn = 1 AND op_code <> 'DELETE'
+    """,
+)
+def streaming_cdc_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from brooklin_spark.functions.envelope import OP_CODE_EXPR
+    from brooklin_spark.sinks.materialize import merge_batch, read_state
+    from brooklin_spark.streaming.pipelines import events_stream
+
+    s = events_stream(spark, sf_dir)
+    env = s.select(
+        F.col("user_id").cast("string").alias("key"),
+        F.col("props").alias("value"),
+        OP_CODE_EXPR.alias("op_code"),
+        F.col("event_id").alias("scn"),
+        F.lit(None).cast("bigint").alias("offset"),
+    )
+    root = tempfile.mkdtemp(prefix=f"bk-mat-{uuid.uuid4().hex[:8]}-")
+    ckpt = tempfile.mkdtemp(prefix=f"bk-mat-ck-{uuid.uuid4().hex[:8]}-")
+    q = (
+        env.writeStream.foreachBatch(lambda df, _e: merge_batch(df, root, spark))
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    st = read_state(spark, root)
+    return st.select("k", "value", "op_code", "scn")

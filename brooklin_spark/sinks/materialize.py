@@ -64,7 +64,47 @@ def read_state(spark, root: str) -> DataFrame | None:
     return raw.filter(F.col("op_code") != "DELETE")
 
 
-def merge_batch(batch_df: DataFrame, root: str, spark=None) -> None:
+def versions(root: str) -> list[int]:
+    """All snapshot versions still on disk (ascending)."""
+    if not os.path.isdir(root):
+        return []
+    out = []
+    for fn in os.listdir(root):
+        if fn.startswith("v") and fn[1:].isdigit():
+            out.append(int(fn[1:]))
+    return sorted(out)
+
+
+def read_state_at(spark, root: str, version: int) -> DataFrame:
+    """Time-travel read: the reader view AS OF a retained snapshot
+    version (tombstones filtered). Raises KeyError for vacuumed or
+    never-written versions — time travel is bounded by retention, like
+    any table format."""
+    if version not in versions(root):
+        raise KeyError(f"version {version} not retained in {root}")
+    return spark.read.parquet(os.path.join(root, f"v{version}")).filter(
+        F.col("op_code") != "DELETE"
+    )
+
+
+def vacuum(root: str, keep_last: int = 2) -> list[int]:
+    """Drop all but the newest ``keep_last`` snapshots (never the current
+    pointer target). Returns the versions removed."""
+    cur = current_version(root)
+    keep = set(versions(root)[-max(keep_last, 1):])
+    if cur is not None:
+        keep.add(cur)
+    removed = []
+    for v in versions(root):
+        if v not in keep:
+            shutil.rmtree(os.path.join(root, f"v{v}"), ignore_errors=True)
+            removed.append(v)
+    return removed
+
+
+def merge_batch(
+    batch_df: DataFrame, root: str, spark=None, keep_versions: int = 2
+) -> None:
     """Merge one envelope micro-batch into the state table."""
     spark = spark or batch_df.sparkSession
     if batch_df.isEmpty():
@@ -96,6 +136,7 @@ def merge_batch(batch_df: DataFrame, root: str, spark=None) -> None:
     with open(tmp, "w") as f:
         f.write(str(v))
     os.replace(tmp, os.path.join(root, _POINTER))
-    # retain previous snapshot only (time travel depth 1; older are garbage)
-    for old in range(1, v - 1):
+    # retain the newest keep_versions snapshots for time travel
+    # (read_state_at); older ones are garbage
+    for old in range(1, v - keep_versions + 1):
         shutil.rmtree(os.path.join(root, f"v{old}"), ignore_errors=True)

@@ -170,3 +170,31 @@ def test_materialize_restart_continues_incrementally(spark, tmp_path):
     assert current_version(root) == v1 + 1
     assert read_state(spark, root).count() == 3
     mgr2.delete("restmat")
+
+
+def test_time_travel_and_vacuum(spark, tmp_path):
+    """read_state_at serves retained snapshots; vacuum bounds retention
+    and never drops the current pointer target."""
+    from brooklin_spark.sinks.materialize import (
+        read_state_at,
+        vacuum,
+        versions,
+    )
+
+    root = str(tmp_path / "tt")
+    merge_batch(_envelope_rows(spark, [("a", "v1", "INSERT", 1)]), root, spark)
+    merge_batch(_envelope_rows(spark, [("a", "v2", "UPDATE", 2)]), root, spark)
+    assert versions(root) == [1, 2]
+    old = {r.k: bytes(r.value) for r in read_state_at(spark, root, 1).collect()}
+    new = {r.k: bytes(r.value) for r in read_state_at(spark, root, 2).collect()}
+    assert old == {"a": b"v1"} and new == {"a": b"v2"}
+    merge_batch(_envelope_rows(spark, [("b", "x", "INSERT", 3)]), root, spark)
+    # default keep_versions=2: v1 is gone, v2/v3 remain
+    assert versions(root) == [2, 3]
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        read_state_at(spark, root, 1)
+    removed = vacuum(root, keep_last=1)
+    assert removed == [2] and versions(root) == [3]
+    assert {r.k for r in read_state_at(spark, root, 3).collect()} == {"a", "b"}
