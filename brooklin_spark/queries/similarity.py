@@ -609,3 +609,70 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 8)
     cb = emb.filter(F.col("vec_id") < _PQ_K)
     return S.pq_adc_topk(queries, emb, cb, m=_PQ_M, k=_PQ_K, topk=5)
+
+
+# ---------------------------------------------------------------------------
+# Scalar int8 quantization (SQ8): per-dimension [min, max] ranges over the
+# corpus, each value mapped to round(255 * (x - lo) / (hi - lo)) - 128 —
+# the 4x-compression step vector stores apply before PQ. Ranges come from
+# ONE (dim)-keyed partial-agg shuffle (vectors never shuffle whole) and
+# broadcast back into a map-only encode; output pins per-vector code
+# stats + reconstruction error so the byte mapping itself is
+# oracle-checked.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "embedding_sq8_codes",
+    oracle="""
+    WITH flat AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+             unnest(embedding)::DOUBLE AS x
+      FROM embeddings),
+    rng AS (
+      SELECT i, MIN(x) AS lo, MAX(x) AS hi FROM flat GROUP BY i),
+    codes AS (
+      SELECT f.vec_id, f.i, f.x,
+             CAST(round(255.0 * (f.x - r.lo) / (r.hi - r.lo)) AS BIGINT) - 128 AS code,
+             r.lo, r.hi
+      FROM flat f JOIN rng r ON r.i = f.i),
+    recon AS (
+      SELECT vec_id, code,
+             (CAST(code + 128 AS DOUBLE) / 255.0) * (hi - lo) + lo - x AS err
+      FROM codes)
+    SELECT vec_id,
+           CAST(MIN(code) AS BIGINT) AS min_code,
+           CAST(MAX(code) AS BIGINT) AS max_code,
+           CAST(SUM(code) AS BIGINT) AS code_sum,
+           round(sqrt(SUM(err * err)), 6) AS recon_err
+    FROM recon GROUP BY vec_id
+    """,
+)
+def embedding_sq8_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "vec_id", F.posexplode("embedding").alias("i0", "xf")
+    ).select("vec_id", (F.col("i0") + 1).alias("i"), F.col("xf").cast("double").alias("x"))
+    rng = flat.groupBy("i").agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    codes = flat.join(F.broadcast(rng), "i").select(
+        "vec_id",
+        "x",
+        "lo",
+        "hi",
+        (
+            F.round(255.0 * (F.col("x") - F.col("lo")) / (F.col("hi") - F.col("lo")))
+            .cast("bigint")
+            - 128
+        ).alias("code"),
+    )
+    err = (
+        (F.col("code") + 128).cast("double") / 255.0 * (F.col("hi") - F.col("lo"))
+        + F.col("lo")
+        - F.col("x")
+    )
+    return codes.select("vec_id", "code", err.alias("err")).groupBy("vec_id").agg(
+        F.min("code").cast("bigint").alias("min_code"),
+        F.max("code").cast("bigint").alias("max_code"),
+        F.sum("code").cast("bigint").alias("code_sum"),
+        F.round(F.sqrt(F.sum(F.col("err") * F.col("err"))), 6).alias("recon_err"),
+    )
