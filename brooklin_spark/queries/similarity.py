@@ -676,3 +676,72 @@ def embedding_sq8_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("code").cast("bigint").alias("code_sum"),
         F.round(F.sqrt(F.sum(F.col("err") * F.col("err"))), 6).alias("recon_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic benchmark decontamination: the embedding-space twin of
+# dedup_decontamination_flags — a corpus vector is contaminated when any
+# benchmark vector (here the first 8, standing in for an eval set's
+# embeddings) is within cosine >= tau. The benchmark matrix is closed
+# over (broadcast-small by contract); the corpus streams map-only and
+# emits a flag + the best-matching benchmark id. Catches paraphrased
+# contamination the shingle-based flags miss.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "decontamination_embedding_flags",
+    oracle="""
+    WITH bench AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
+    scored AS (
+      SELECT c.vec_id,
+             b.vec_id AS bench_id,
+             round(list_cosine_similarity(c.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim
+      FROM embeddings c CROSS JOIN bench b
+      WHERE c.vec_id >= 8),
+    best AS (
+      SELECT vec_id,
+             FIRST(bench_id ORDER BY sim DESC, bench_id ASC) AS nearest_bench,
+             MAX(sim) AS best_sim
+      FROM scored GROUP BY vec_id)
+    SELECT vec_id, CAST(nearest_bench AS BIGINT) AS nearest_bench,
+           best_sim,
+           CAST(best_sim >= 0.35 AS BOOLEAN) AS contaminated
+    FROM best
+    """,
+)
+def decontamination_embedding_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    emb = table(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") < 8)
+    corpus = emb.filter(F.col("vec_id") >= 8)
+    b_ids, bm = S._collect_matrix(bench, "vec_id", "embedding")
+
+    def op(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            sims = np.round(S._batch_matrix(pdf["embedding"]) @ bm.T, 6)
+            # ties: highest sim, then lowest bench id — argmax returns the
+            # first (lowest-index) maximum and b_ids is sorted ascending
+            best = sims.argmax(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": ids,
+                    "nearest_bench": b_ids[best],
+                    "best_sim": sims[np.arange(len(ids)), best],
+                }
+            )
+
+    scored = corpus.select("vec_id", "embedding").mapInPandas(
+        op, schema="vec_id bigint, nearest_bench bigint, best_sim double"
+    )
+    return scored.select(
+        "vec_id",
+        "nearest_bench",
+        "best_sim",
+        (F.col("best_sim") >= 0.35).alias("contaminated"),
+    )

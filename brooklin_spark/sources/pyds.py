@@ -63,6 +63,11 @@ _DUCK_TO_SPARK = {
 }
 
 
+def _q(path: str) -> str:
+    """Single-quote a path for embedding in a DuckDB literal."""
+    return path.replace("'", "''")
+
+
 def _probe_schema(path: str) -> str:
     """DDL schema string derived from the parquet footer via DuckDB."""
     import duckdb
@@ -70,7 +75,7 @@ def _probe_schema(path: str) -> str:
     con = duckdb.connect()
     try:
         rows = con.execute(
-            f"DESCRIBE SELECT * FROM read_parquet('{path}')"
+            f"DESCRIBE SELECT * FROM read_parquet('{_q(path)}')"
         ).fetchall()
     finally:
         con.close()
@@ -157,7 +162,7 @@ class ChunkedDuckDBReader(DataSourceReader):
         con = duckdb.connect()
         try:
             cur = con.execute(
-                f"SELECT * FROM read_parquet('{self.path}') "
+                f"SELECT * FROM read_parquet('{_q(self.path)}') "
                 f"WHERE {' AND '.join(where)}"
             )
             reader = cur.fetch_record_batch(65536)
@@ -189,7 +194,11 @@ class ParquetReplayStreamReader(SimpleDataSourceStreamReader):
     """Numeric-offset micro-batch replay of a deterministically-ordered
     file: offset = rows delivered so far; each read() advances by at most
     ``batch_rows`` (the maxRecordsPerPoll flow-control knob,
-    KafkaConnectorTask poll-loop parity).
+    KafkaConnectorTask poll-loop parity). Each batch re-sorts for its
+    LIMIT/OFFSET slice, so a full replay costs O(batches * sort) — sized
+    for bootstrap/replay of bounded files (the reference's snapshot
+    use-case), not unbounded tailing; a production variant would keyset-
+    paginate on order_col exactly like sources/jdbc_chunked.py.
 
     Simple-reader protocol on purpose: the engine owns offset
     bookkeeping — on checkpoint recovery it replays the uncommitted
@@ -212,7 +221,7 @@ class ParquetReplayStreamReader(SimpleDataSourceStreamReader):
         con = duckdb.connect()
         try:
             self.total = con.execute(
-                f"SELECT COUNT(*) FROM read_parquet('{self.path}')"
+                f"SELECT COUNT(*) FROM read_parquet('{_q(self.path)}')"
             ).fetchone()[0]
         finally:
             con.close()
@@ -226,7 +235,7 @@ class ParquetReplayStreamReader(SimpleDataSourceStreamReader):
         con = duckdb.connect()
         try:
             return con.execute(
-                f"SELECT * FROM read_parquet('{self.path}') "
+                f"SELECT * FROM read_parquet('{_q(self.path)}') "
                 f"ORDER BY {self.order_col} "
                 f"LIMIT {hi - lo} OFFSET {lo}"
             ).fetchall()
