@@ -168,8 +168,9 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            COUNT(*) AS n_frames,
            CAST(SUM(CASE WHEN dist >= 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
-           string_agg(CASE WHEN dist >= 8 THEN CAST(k AS VARCHAR) END, ',' ORDER BY k)
-             AS cut_frames,
+           COALESCE(string_agg(CASE WHEN dist >= 8 THEN CAST(k AS VARCHAR) END, ',' ORDER BY k), '')
+             AS cut_frames,  -- '' not NULL for zero cuts: Spark's concat_ws over an empty array yields ''
+
            round(AVG(CAST(dist AS DOUBLE)), 6) AS mean_dist
     FROM dists GROUP BY doc_id
     """,

@@ -673,8 +673,11 @@ def q11_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = table(spark, sf_dir, "part")
     picked = s.join(F.broadcast(n), n.n_nationkey == s.s_nationkey).select("s_suppkey")
+    # no broadcast hint on picked: it is a FRACTION of the supplier table
+    # (2 of 25 nations), unbounded at scale — AQE broadcasts it when its
+    # runtime size allows, falls back to a key shuffle when it doesn't
     pv = (
-        li.join(F.broadcast(picked), picked.s_suppkey == li.l_suppkey)
+        li.join(picked, picked.s_suppkey == li.l_suppkey)
         .groupBy("l_partkey")
         .agg(F.sum(dec("l_extendedprice") * one_minus("l_discount")).alias("value"))
     )
@@ -742,8 +745,10 @@ def q20_dominant_supplier_candidates(spark: SparkSession, sf_dir: str) -> DataFr
     tot = shipped.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
         F.sum("qty").alias("total_qty")
     )
+    # tot is per-(filtered)part — unbounded at scale; leave the broadcast
+    # decision to AQE's runtime stats rather than forcing it
     dominant = (
-        shipped.join(F.broadcast(tot), F.col("t_partkey") == shipped.l_partkey)
+        shipped.join(tot, F.col("t_partkey") == shipped.l_partkey)
         .filter(F.col("qty") > F.lit(0.5) * F.col("total_qty"))
         .select("l_suppkey")
         .distinct()
