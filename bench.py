@@ -61,6 +61,10 @@ BENCH_QUERIES = [
     "cdc_scd2_history",         # SCD2 validity intervals (key window)
     "basket_part_affinity",     # market-basket lift (in-order self-join)
     "corpus_e2e_pipeline",      # filter+dedup+pack as one Catalyst DAG
+    # round-3 third-session additions
+    "text_bm25_search",         # BM25 ranked retrieval, broadcast df + top-k
+    "events_gap_fill",          # dense-spine time-series gap fill
+    "events_concurrency_profile",  # distributed-prefix-sum sweep line
 ]
 
 

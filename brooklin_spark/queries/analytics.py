@@ -460,3 +460,170 @@ def customers_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_customers"),
         F.round(F.avg("monetary"), 6).alias("avg_monetary"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-series gap fill: dense per-type hourly spine (sequence + explode)
+# left-joined onto the observed counts — missing hours appear as zero rows
+# with is_gap=true, plus a per-type cumulative count. Scale: the spine is
+# |types| x |hours| GENERATED rows (never shuffled from raw events); counts
+# are pre-aggregated before the join, so the join touches aggregate-sized
+# inputs only. The monitoring shape that turns sparse event rollups into
+# chartable dense series.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_gap_fill",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS n
+      FROM events GROUP BY 1, 2),
+    bounds AS (SELECT event_type, MIN(h) AS lo, MAX(h) AS hi FROM hourly GROUP BY 1),
+    spine AS (
+      SELECT b.event_type, unnest(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS h
+      FROM bounds b)
+    SELECT s.event_type,
+           strftime(s.h, '%Y-%m-%d %H:%M:%S') AS hour,
+           CAST(COALESCE(hy.n, 0) AS BIGINT) AS n,
+           CAST(SUM(COALESCE(hy.n, 0)) OVER (
+             PARTITION BY s.event_type ORDER BY s.h) AS BIGINT) AS cum_n,
+           hy.n IS NULL AS is_gap
+    FROM spine s
+    LEFT JOIN hourly hy ON hy.event_type = s.event_type AND hy.h = s.h
+    """,
+)
+def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count("*").alias("n"))
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("h").alias("lo"), F.max("h").alias("hi")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("h"),
+    )
+    filled = spine.join(hourly, ["event_type", "h"], "left")
+    w = W.partitionBy("event_type").orderBy("h")
+    n0 = F.coalesce("n", F.lit(0))
+    return filled.select(
+        "event_type",
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        n0.cast("bigint").alias("n"),
+        F.sum(n0).over(w).cast("bigint").alias("cum_n"),
+        F.col("n").isNull().alias("is_gap"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Interval-concurrency profile (sweep line, two-level): gap-sessionized user
+# sessions become +1/-1 boundary deltas; the running sum of deltas is the
+# number of concurrently-open sessions at each instant, and the output is
+# each day's peak. The naive form is ONE global ordered window (a scale
+# non-starter), so the engine decomposes the prefix sum: net delta per
+# timestamp (shuffle on ts), per-DAY delta totals cumulated over the tiny
+# day list (broadcast back), then an ORDER BY ts window scoped to each day
+# partition plus the day's carried-in offset. Same math, no single-partition
+# pass over the event volume — the canonical distributed-prefix-sum shape.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_concurrency_profile",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN date_diff('second',
+                                 LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                                 ts) > 1800
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events),
+    numbered AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      FROM flagged),
+    sess AS (
+      SELECT user_id, session_seq, MIN(ts) AS st, MAX(ts) AS en
+      FROM numbered GROUP BY user_id, session_seq),
+    deltas AS (
+      SELECT st AS ts, 1 AS d FROM sess
+      UNION ALL
+      SELECT en + INTERVAL 1 SECOND AS ts, -1 AS d FROM sess),
+    net AS (SELECT ts, SUM(d) AS d FROM deltas GROUP BY ts),
+    run AS (SELECT ts, SUM(d) OVER (ORDER BY ts) AS conc FROM net),
+    peaks AS (
+      SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+             CAST(MAX(conc) AS BIGINT) AS peak_concurrency
+      FROM run GROUP BY 1),
+    starts AS (
+      SELECT strftime(CAST(st AS DATE), '%Y-%m-%d') AS day,
+             COUNT(*) AS sessions_started
+      FROM sess GROUP BY 1)
+    SELECT p.day, p.peak_concurrency,
+           CAST(COALESCE(s.sessions_started, 0) AS BIGINT) AS sessions_started
+    FROM peaks p LEFT JOIN starts s ON s.day = p.day
+    """,
+)
+def events_concurrency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    uw = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(uw)
+    gap_s = F.unix_timestamp("ts") - F.unix_timestamp(prev_ts)
+    is_new = F.when(prev_ts.isNull() | (gap_s > 1800), 1).otherwise(0)
+    numbered = e.select("user_id", "ts", "event_id").withColumn(
+        "session_seq",
+        F.sum(is_new).over(uw.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    sess = numbered.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("st"), F.max("ts").alias("en")
+    )
+    # One pass over sessions: each emits its two boundary deltas via a
+    # 2-element array explode (no union = no second evaluation of the
+    # session subtree). The +1 rows ARE the session starts, so the
+    # starts-per-day count folds into the same ts-level aggregation.
+    bound = sess.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("st").alias("ts"), F.lit(1).alias("d")),
+                F.struct(
+                    (F.col("en") + F.expr("INTERVAL 1 SECOND")).alias("ts"),
+                    F.lit(-1).alias("d"),
+                ),
+            )
+        ).alias("b")
+    ).select("b.ts", "b.d")
+    net = bound.groupBy("ts").agg(
+        F.sum("d").alias("d"),
+        F.sum(F.when(F.col("d") == 1, 1).otherwise(0)).alias("n_starts"),
+    )
+    # net is boundary-aggregate-sized (<= 2 rows per session, deduped by
+    # ts); three downstream branches read it, so cut the lineage once —
+    # the same localCheckpoint discipline the PageRank rounds use.
+    net = net.localCheckpoint(eager=False)
+    day = F.col("ts").cast("date")
+    # Per-day totals cumulated over the (tiny) day list -> carried-in offset.
+    daily = net.groupBy(day.alias("day")).agg(F.sum("d").alias("day_d"))
+    dw = W.orderBy("day")  # |days| rows only — not the event volume
+    offsets = daily.select(
+        "day", (F.sum("day_d").over(dw) - F.col("day_d")).alias("carry")
+    )
+    within = W.partitionBy(day).orderBy("ts")
+    run = net.join(F.broadcast(offsets), day == F.col("day")).select(
+        F.col("ts"),
+        (F.sum("d").over(within) + F.col("carry")).alias("conc"),
+    )
+    peaks = run.groupBy(
+        F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias("day")
+    ).agg(F.max("conc").cast("bigint").alias("peak_concurrency"))
+    starts = net.groupBy(
+        F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias("day")
+    ).agg(F.sum("n_starts").alias("sessions_started"))
+    return peaks.join(starts, "day", "left").select(
+        "day",
+        "peak_concurrency",
+        F.coalesce("sessions_started", F.lit(0)).cast("bigint").alias("sessions_started"),
+    )

@@ -684,3 +684,138 @@ def graph_pagerank_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return ranks
+
+
+# ---------------------------------------------------------------------------
+# Blocked fuzzy name matching (entity resolution): candidate pairs of
+# distinct part names that share a blocking key (last name token) and sit
+# within edit distance 4 — the record-linkage companion to the shingle/LSH
+# dedup family, for short strings where n-gram Jaccard is too coarse.
+# Shape: DISTINCT names (one shuffle), equi-join on the block key (never a
+# cartesian — same candidates-first discipline as LSH banding), levenshtein
+# verify inline JVM-side. At 100 TB the block key bounds each group exactly
+# like an LSH band bucket.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "fuzzy_name_match_pairs",
+    oracle="""
+    WITH names AS (SELECT DISTINCT p_name FROM part),
+    k AS (SELECT p_name, string_split(p_name, ' ')[-1] AS blk FROM names)
+    SELECT a.blk AS block, a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
+           round(1.0 - levenshtein(a.p_name, b.p_name) * 1.0 /
+                 greatest(length(a.p_name), length(b.p_name)), 8) AS sim
+    FROM k a JOIN k b ON a.blk = b.blk AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 4
+    """,
+)
+def fuzzy_name_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    names = table(spark, sf_dir, "part").select("p_name").distinct()
+    keyed = names.select(
+        "p_name", F.element_at(F.split("p_name", " "), -1).alias("blk")
+    )
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.p_name") < F.col("b.p_name")),
+        )
+        .filter(dist <= 4)
+        .select(
+            F.col("a.blk").alias("block"),
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            dist.cast("bigint").alias("dist"),
+            F.round(
+                1.0
+                - dist
+                / F.greatest(
+                    F.length(F.col("a.p_name")), F.length(F.col("b.p_name"))
+                ),
+                8,
+            ).alias("sim"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-hop BFS reach: minimum hop distance from a seed set over the bipartite
+# customer-supplier order graph (same edge table as PageRank) — the
+# "blast radius" query of lineage/impact analysis. Shape: per round, ONE
+# frontier⋈edges equi-join (frontier is the only thing that moves; at
+# real scale it's the small side and broadcasts) + an anti-join against
+# the visited set; the static edge table is localCheckpoint'ed once. The
+# unrolled-round DAG is linear — each round feeds exactly one consumer —
+# so Catalyst executes it as one job, like the PageRank rounds.
+# ---------------------------------------------------------------------------
+
+_BFS_HOPS = 3
+
+
+def _bfs_round_sql(k: int) -> str:
+    return f"""
+    f{k + 1} AS (
+      SELECT DISTINCT e.dst AS node FROM edges e JOIN f{k} ON f{k}.node = e.src
+      WHERE e.dst NOT IN (SELECT node FROM v{k})),
+    v{k + 1} AS (
+      SELECT node, hops FROM v{k}
+      UNION ALL SELECT node, {k + 1} AS hops FROM f{k + 1})"""
+
+
+@query(
+    "graph_nhop_reach",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT DISTINCT 'c' || o.o_custkey AS c_node, 's' || l.l_suppkey AS s_node
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+    edges AS (
+      SELECT c_node AS src, s_node AS dst FROM pairs
+      UNION ALL
+      SELECT s_node AS src, c_node AS dst FROM pairs),
+    f0 AS (
+      SELECT DISTINCT 'c' || c_custkey AS node FROM customer WHERE c_custkey < 10),
+    v0 AS (SELECT node, 0 AS hops FROM f0),
+    {", ".join(_bfs_round_sql(k).strip() for k in range(_BFS_HOPS))}
+    SELECT node, CAST(hops AS BIGINT) AS hops FROM v{_BFS_HOPS}
+    """,
+)
+def graph_nhop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    cust = table(spark, sf_dir, "customer")
+    pairs = (
+        o.join(li, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c_node"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s_node"),
+        )
+        .distinct()
+    )
+    edges = (
+        pairs.select(F.col("c_node").alias("src"), F.col("s_node").alias("dst"))
+        .unionAll(
+            pairs.select(F.col("s_node").alias("src"), F.col("c_node").alias("dst"))
+        )
+        .localCheckpoint()  # static graph, read every round
+    )
+    frontier = (
+        cust.filter(F.col("c_custkey") < 10)
+        .select(F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("node"))
+        .distinct()
+    )
+    visited = frontier.select("node", F.lit(0).alias("hops"))
+    for k in range(_BFS_HOPS):
+        nxt = (
+            edges.join(F.broadcast(frontier), frontier.node == edges.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+        )
+        visited = visited.unionAll(nxt.select("node", F.lit(k + 1).alias("hops")))
+        frontier = nxt
+    return visited.select("node", F.col("hops").cast("bigint").alias("hops"))

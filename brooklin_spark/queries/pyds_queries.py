@@ -176,3 +176,48 @@ def streaming_corpus_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.regexp_replace(t, _PII_EMAIL, "[EMAIL]")).alias("redacted_md5"),
     )
     return run_to_completion(out, mode="append")
+
+
+# ---------------------------------------------------------------------------
+# Stream-static enrichment: the canonical Structured Streaming dimension
+# join — a fact stream (orders replayed in micro-batches through the
+# offset-replay source) joined per-batch to a STATIC broadcast dimension
+# (customer), rolled up by segment. No state store is involved: a
+# stream-static inner join is stateless by construction (each micro-batch
+# joins against the same static relation), which is exactly why it is THE
+# enrichment shape for 100 TB/day ingest — dimension updates ride a
+# restart, state stays empty. Drain equals the batch join only if every
+# offset range arrived exactly once.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "streaming_static_enrich",
+    oracle="""
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY 1
+    """,
+)
+def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pyds.register(spark)
+    s = (
+        spark.readStream.format("parquet_replay")
+        .options(
+            path=f"{sf_dir}/orders.parquet",
+            order_col="o_orderkey",
+            batch_rows="2048",
+        )
+        .load()
+    )
+    dim = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    enriched = s.join(F.broadcast(dim), s.o_custkey == dim.c_custkey)
+    agg = enriched.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+        .cast("double")
+        .alias("revenue"),
+    )
+    return run_to_completion(agg, mode="complete")

@@ -1387,3 +1387,88 @@ def corpus_e2e_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval: score every document against a fixed bag of query
+# terms (Robertson/Sparck Jones BM25, k1=1.2 b=0.75) and return the top 20.
+# Shape: term-filtered tf (the IN-list prunes map-side before any shuffle),
+# 3-row df table broadcast back, per-doc lengths join on doc_id, global
+# top-k via sort+limit (TakeOrderedAndProject — no single-partition window
+# over the corpus). n_docs/avgdl are two driver scalars from one tiny agg.
+# The search-engine shape a corpus store serves next to its analytics.
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("spark", "merge", "window")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_IN = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+
+@query(
+    "text_bm25_search",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOK}) AS term FROM documents),
+    lens AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM lens),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks
+      WHERE term IN ({_BM25_IN}) GROUP BY doc_id, term),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id,
+             SUM(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+                 * tf.tf * ({_BM25_K1} + 1)
+                 / (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * lens.dl / s.avgdl))
+             ) AS score,
+             COUNT(*) AS n_terms
+      FROM tf
+      JOIN df USING (term)
+      JOIN lens USING (doc_id)
+      CROSS JOIN stats s
+      GROUP BY tf.doc_id),
+    ranked AS (
+      SELECT doc_id, score, n_terms,
+             ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+      FROM scored)
+    SELECT doc_id, round(score, 8) AS score, CAST(n_terms AS BIGINT) AS n_terms,
+           CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 20
+    """,
+)
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(X.tokens()).alias("term"))
+    lens = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    n_docs, avgdl = lens.agg(F.count("*"), F.avg("dl")).first()  # two scalars
+    tf = (
+        toks.filter(F.col("term").isin(*_BM25_TERMS))  # map-side prune
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log(
+        F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + _BM25_K1 * (
+        1 - _BM25_B + _BM25_B * F.col("dl") / F.lit(float(avgdl))
+    )
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(lens, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(idf * F.col("tf") * (_BM25_K1 + 1) / denom).alias("score"),
+            F.count("*").alias("n_terms"),
+        )
+    )
+    # Global top-20 rides TakeOrderedAndProject; the 20-row rank window is free.
+    top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
+    rw = W.orderBy(F.desc("score"), F.asc("doc_id"))
+    return top.select(
+        "doc_id",
+        F.round("score", 8).alias("score"),
+        F.col("n_terms").cast("bigint").alias("n_terms"),
+        F.row_number().over(rw).cast("bigint").alias("rank"),
+    )

@@ -444,3 +444,45 @@ def test_e2e_pipeline_three_shuffles(spark, sf_correct):
     plan = executed_plan(df)
     assert "Join" not in plan, plan
     assert shuffle_count(df) <= 3, plan
+
+
+def test_gap_fill_joins_aggregates_only(spark, sf_correct):
+    """The dense spine joins PRE-AGGREGATED hourly counts — bounded
+    exchanges, no cartesian expansion of the raw events."""
+    df = _q(spark, sf_correct, "events_gap_fill")
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+    assert shuffle_count(df) <= 4, plan
+
+
+def test_bm25_topk_rides_take_ordered(spark, sf_correct):
+    """Global top-20 must be TakeOrderedAndProject (no single-partition
+    sort of the scored corpus); the 3-row df table broadcasts back."""
+    df = _q(spark, sf_correct, "text_bm25_search")
+    plan = executed_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert broadcast_join_count(df) >= 1, plan
+
+
+def test_fuzzy_match_blocked_equi_join(spark, sf_correct):
+    """The block key must plan as an equi-join (hash/broadcast), never a
+    nested-loop — the same candidates-first discipline as LSH banding."""
+    df = _q(spark, sf_correct, "fuzzy_name_match_pairs")
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+
+
+def test_concurrency_profile_no_global_event_window(spark, sf_correct):
+    """The distributed prefix sum: the only ORDER BY windows are (a) the
+    |days|-row offset cumsum and (b) per-day partitions — never one
+    unpartitioned window over the boundary volume. We assert the shape by
+    checking every window operator's input is either day-partitioned or
+    fed by the tiny per-day aggregate (plan has no Window whose child
+    repartitions everything to a single partition except the daily one)."""
+    df = _q(spark, sf_correct, "events_concurrency_profile")
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    # exactly ONE SinglePartition exchange — the |days|-row offset cumsum;
+    # the boundary-level running sum is partitioned by day, the session
+    # window by user_id.
+    assert plan.count("SinglePartition") == 1, plan
