@@ -627,3 +627,81 @@ def events_concurrency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "peak_concurrency",
         F.coalesce("sessions_started", F.lit(0)).cast("bigint").alias("sessions_started"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Distribution-drift report (PSI): population stability index of the event
+# value distribution, first half of the month (reference) vs second half
+# (current), per event type — the canonical feature-drift monitor a
+# training pipeline gates retraining on. Shape: ONE scan, one groupBy on
+# (type, bin) with conditional ref/cur counts riding the same aggregate
+# (no second pass, no join of two scans); per-type totals come off the
+# ≤10-bin-per-type result via a tiny window. Laplace smoothing keeps
+# empty bins finite; fixed-width bins keep both engines bit-identical.
+# ---------------------------------------------------------------------------
+
+_PSI_SPLIT = "2024-01-16"
+_PSI_BIN_W = 50.0
+_PSI_NBINS = 10
+
+
+@query(
+    "drift_psi_report",
+    oracle=f"""
+    WITH binned AS (
+      SELECT event_type,
+             LEAST(CAST(FLOOR(value / {_PSI_BIN_W}) AS BIGINT), {_PSI_NBINS - 1}) AS bin,
+             SUM(CASE WHEN CAST(ts AS DATE) < DATE '{_PSI_SPLIT}' THEN 1 ELSE 0 END) AS n_ref,
+             SUM(CASE WHEN CAST(ts AS DATE) < DATE '{_PSI_SPLIT}' THEN 0 ELSE 1 END) AS n_cur
+      FROM events GROUP BY 1, 2),
+    tot AS (
+      SELECT event_type, bin, n_ref, n_cur,
+             SUM(n_ref) OVER (PARTITION BY event_type) AS t_ref,
+             SUM(n_cur) OVER (PARTITION BY event_type) AS t_cur,
+             COUNT(*) OVER (PARTITION BY event_type) AS nb
+      FROM binned),
+    terms AS (
+      SELECT event_type,
+             (n_ref + 0.5) / (t_ref + 0.5 * nb) AS p,
+             (n_cur + 0.5) / (t_cur + 0.5 * nb) AS q,
+             n_ref, n_cur
+      FROM tot)
+    SELECT event_type,
+           CAST(SUM(n_ref) AS BIGINT) AS n_ref,
+           CAST(SUM(n_cur) AS BIGINT) AS n_cur,
+           round(SUM((p - q) * ln(p / q)), 8) AS psi,
+           CAST(SUM((p - q) * ln(p / q)) > 0.1 AS BOOLEAN) AS drifted
+    FROM terms GROUP BY event_type
+    """,
+)
+def drift_psi_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    is_ref = F.col("ts").cast("date") < F.lit(_PSI_SPLIT).cast("date")
+    binned = e.groupBy(
+        "event_type",
+        F.least(
+            F.floor(F.col("value") / _PSI_BIN_W).cast("bigint"),
+            F.lit(_PSI_NBINS - 1).cast("bigint"),
+        ).alias("bin"),
+    ).agg(
+        F.sum(F.when(is_ref, 1).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(is_ref, 0).otherwise(1)).alias("n_cur"),
+    )
+    tw = W.partitionBy("event_type")
+    tot = binned.select(
+        "event_type",
+        "n_ref",
+        "n_cur",
+        F.sum("n_ref").over(tw).alias("t_ref"),
+        F.sum("n_cur").over(tw).alias("t_cur"),
+        F.count("*").over(tw).alias("nb"),
+    )
+    p = (F.col("n_ref") + 0.5) / (F.col("t_ref") + 0.5 * F.col("nb"))
+    q = (F.col("n_cur") + 0.5) / (F.col("t_cur") + 0.5 * F.col("nb"))
+    term = (p - q) * F.log(p / q)
+    return tot.groupBy("event_type").agg(
+        F.sum("n_ref").cast("bigint").alias("n_ref"),
+        F.sum("n_cur").cast("bigint").alias("n_cur"),
+        F.round(F.sum(term), 8).alias("psi"),
+        (F.sum(term) > 0.1).alias("drifted"),
+    )

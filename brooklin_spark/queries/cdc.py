@@ -268,3 +268,68 @@ def streaming_cdc_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
     st = read_state(spark, root)
     return st.select("k", "value", "op_code", "scn")
+
+
+# ---------------------------------------------------------------------------
+# GDPR purge manifest: "forget these customers" as a cascade audit — the
+# rows each table would lose when a deletion request lands, BEFORE any
+# destructive write (the manifest is what a compliance pipeline reviews
+# and replays). Cascade: customer -> orders (FK o_custkey) -> lineitem
+# (FK l_orderkey). Shape: the seed key set is filter-derived and rides
+# BROADCAST semi-joins down the chain — the fact tables are never
+# shuffled, only probed; per-table stats union into a 3-row manifest.
+# ---------------------------------------------------------------------------
+
+_PURGE_MOD = 97
+
+
+@query(
+    "gdpr_purge_manifest",
+    oracle=f"""
+    WITH seed AS (SELECT c_custkey FROM customer WHERE c_custkey % {_PURGE_MOD} = 0),
+    o AS (SELECT o_orderkey, o_custkey FROM orders
+          WHERE o_custkey IN (SELECT c_custkey FROM seed)),
+    l AS (SELECT l_orderkey FROM lineitem
+          WHERE l_orderkey IN (SELECT o_orderkey FROM o))
+    SELECT 'customer' AS table_name, COUNT(*) AS n_rows,
+           COUNT(DISTINCT c_custkey) AS n_keys,
+           CAST(MIN(c_custkey) AS BIGINT) AS min_key,
+           CAST(MAX(c_custkey) AS BIGINT) AS max_key
+    FROM seed
+    UNION ALL
+    SELECT 'orders', COUNT(*), COUNT(DISTINCT o_orderkey),
+           CAST(MIN(o_orderkey) AS BIGINT), CAST(MAX(o_orderkey) AS BIGINT)
+    FROM o
+    UNION ALL
+    SELECT 'lineitem', COUNT(*), COUNT(DISTINCT l_orderkey),
+           CAST(MIN(l_orderkey) AS BIGINT), CAST(MAX(l_orderkey) AS BIGINT)
+    FROM l
+    """,
+)
+def gdpr_purge_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    seed = cust.filter(F.col("c_custkey") % _PURGE_MOD == 0).select("c_custkey")
+    o = orders.join(
+        F.broadcast(seed), orders.o_custkey == seed.c_custkey, "left_semi"
+    ).select("o_orderkey", "o_custkey")
+    okeys = o.select("o_orderkey")
+    l = li.join(
+        F.broadcast(okeys), li.l_orderkey == okeys.o_orderkey, "left_semi"
+    ).select("l_orderkey")
+
+    def stats(df: DataFrame, name: str, key: str) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("table_name"),
+            F.count("*").alias("n_rows"),
+            F.countDistinct(key).alias("n_keys"),
+            F.min(key).cast("bigint").alias("min_key"),
+            F.max(key).cast("bigint").alias("max_key"),
+        )
+
+    return (
+        stats(seed, "customer", "c_custkey")
+        .unionAll(stats(o, "orders", "o_orderkey"))
+        .unionAll(stats(l, "lineitem", "l_orderkey"))
+    )

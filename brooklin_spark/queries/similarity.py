@@ -745,3 +745,58 @@ def decontamination_embedding_flags(spark: SparkSession, sf_dir: str) -> DataFra
         "best_sim",
         (F.col("best_sim") >= 0.35).alias("contaminated"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka (MRL) truncation audit: how much L2 energy the first 16 of 64
+# dimensions retain, per label — the decision metric for serving truncated
+# embeddings (Kusupati et al., MRL). Shape: pure JVM higher-order funcs on
+# the array column (NO explode — 64x fewer rows than the posexplode form),
+# one groupBy(label). Sequential list_reduce on both engines pins the
+# fold order; per-row round-8 before the aggregate keeps AVG exact.
+# ---------------------------------------------------------------------------
+
+_MRL_DIMS = 16
+
+
+@query(
+    "embedding_mrl_truncate",
+    oracle=f"""
+    WITH e AS (
+      SELECT label,
+             list_reduce(list_prepend(0.0, list_transform(embedding[1:{_MRL_DIMS}],
+               x -> x::DOUBLE * x::DOUBLE)), (a, b) -> a + b) AS ss16,
+             list_reduce(list_prepend(0.0, list_transform(embedding,
+               x -> x::DOUBLE * x::DOUBLE)), (a, b) -> a + b) AS ss64
+      FROM embeddings),
+    r AS (SELECT label, round(ss16 / ss64, 8) AS energy FROM e)
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           round(AVG(energy), 6) AS avg_energy,
+           round(MIN(energy), 6) AS min_energy,
+           round(MAX(energy), 6) AS max_energy,
+           CAST(SUM(CASE WHEN energy < 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS n_low_energy
+    FROM r GROUP BY label
+    """,
+)
+def embedding_mrl_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+
+    def sumsq(col):
+        return F.aggregate(
+            col, F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")
+        )
+
+    energy = F.round(
+        sumsq(F.slice("embedding", 1, _MRL_DIMS)) / sumsq(F.col("embedding")), 8
+    )
+    r = emb.select("label", energy.alias("energy"))
+    return r.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.round(F.avg("energy"), 6).alias("avg_energy"),
+        F.round(F.min("energy"), 6).alias("min_energy"),
+        F.round(F.max("energy"), 6).alias("max_energy"),
+        F.sum(F.when(F.col("energy") < 0.2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_low_energy"),
+    )

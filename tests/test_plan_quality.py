@@ -486,3 +486,29 @@ def test_concurrency_profile_no_global_event_window(spark, sf_correct):
     # the boundary-level running sum is partitioned by day, the session
     # window by user_id.
     assert plan.count("SinglePartition") == 1, plan
+
+
+def test_drift_psi_single_scan_single_agg_exchange(spark, sf_correct):
+    """Ref/cur counts ride ONE conditional aggregate over ONE scan — no
+    second pass over events, no self-join of two period scans."""
+    df = _q(spark, sf_correct, "drift_psi_report")
+    assert len(read_schema_columns(df)) == 1, read_schema_columns(df)
+    assert shuffle_count(df) <= 3, executed_plan(df)
+
+
+def test_gdpr_purge_cascade_broadcast_semi_joins(spark, sf_correct):
+    """The key sets probe the fact tables via broadcast semi-joins — the
+    fact tables are never shuffled."""
+    df = _q(spark, sf_correct, "gdpr_purge_manifest")
+    plan = executed_plan(df)
+    assert plan.count("LeftSemi") >= 2, plan
+    assert broadcast_join_count(df) >= 2, plan
+
+
+def test_mrl_truncate_no_explode_single_shuffle(spark, sf_correct):
+    """Energy ratios are array HOFs on the vector column — no posexplode
+    row blow-up; only the label aggregate shuffles."""
+    df = _q(spark, sf_correct, "embedding_mrl_truncate")
+    plan = executed_plan(df)
+    assert "Generate" not in plan, plan
+    assert shuffle_count(df) <= 1, plan
