@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "text_bm25_search",         # BM25 ranked retrieval, broadcast df + top-k
     "events_gap_fill",          # dense-spine time-series gap fill
     "events_concurrency_profile",  # distributed-prefix-sum sweep line
+    "text_bpe_train",           # 6-round BPE merge training (iterative)
 ]
 
 

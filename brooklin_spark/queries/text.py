@@ -1472,3 +1472,131 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_terms").cast("bigint").alias("n_terms"),
         F.row_number().over(rw).cast("bigint").alias("rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge training (Sennrich et al. 2016): learn the first 6 byte-pair
+# merges from the corpus, frequency-weighted — the tokenizer-TRAINING step
+# upstream of text_token_ids' encode. The engine works on the word-count
+# model table (vocab-sized, NOT corpus-sized — the corpus is touched once
+# to build it), exactly how production BPE trainers scale. Per round: one
+# posexplode + pair aggregate (one shuffle over vocab), argmax to the
+# driver (model state, like the k-means centroids), then the merge applied
+# RELATIONALLY — greedy left-to-right non-overlap via run-parity windows
+# (a maximal run of eligible positions merges at every 2nd offset), no
+# Python in the loop. localCheckpoint per round bounds the 6-round DAG.
+# Oracle: the same 6 rounds unrolled as generated SQL (PageRank pattern).
+# ---------------------------------------------------------------------------
+
+_BPE_ROUNDS = 6
+
+
+def _bpe_round_sql(k: int) -> str:
+    return f"""
+pairs_{k} AS (
+  SELECT f.s AS l, f.s1 AS r, SUM(f.cnt) AS cnt
+  FROM (
+    SELECT wid, cnt, i, s, LEAD(s) OVER (PARTITION BY wid ORDER BY i) AS s1
+    FROM (SELECT wid, cnt, generate_subscripts(syms,1) AS i, unnest(syms) AS s
+          FROM words_{k})
+  ) f WHERE f.s1 IS NOT NULL
+  GROUP BY 1, 2),
+best_{k} AS (
+  SELECT l, r, cnt FROM pairs_{k} ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+words_{k + 1} AS (
+  WITH flat AS (
+    SELECT wid, cnt, generate_subscripts(syms,1) AS i, unnest(syms) AS s
+    FROM words_{k}),
+  nxt AS (
+    SELECT wid, cnt, i, s, LEAD(s) OVER (PARTITION BY wid ORDER BY i) AS s1 FROM flat),
+  elig AS (
+    SELECT *, (s = (SELECT l FROM best_{k}) AND s1 = (SELECT r FROM best_{k})) AS e FROM nxt),
+  runs AS (
+    SELECT *, CASE WHEN e THEN i - ROW_NUMBER() OVER (PARTITION BY wid, e ORDER BY i) END AS run_id
+    FROM elig),
+  marked AS (
+    SELECT *, CASE WHEN e THEN (ROW_NUMBER() OVER (PARTITION BY wid, run_id ORDER BY i) - 1) % 2 = 0
+              ELSE FALSE END AS do_merge
+    FROM runs),
+  consumed AS (
+    SELECT *, COALESCE(LAG(do_merge) OVER (PARTITION BY wid ORDER BY i), FALSE) AS eaten
+    FROM marked)
+  SELECT wid, cnt,
+         list(CASE WHEN do_merge THEN s || s1 ELSE s END ORDER BY i) AS syms
+  FROM consumed WHERE NOT eaten GROUP BY wid, cnt)"""
+
+
+@query(
+    "text_bpe_train",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest({_TOK}) AS w FROM documents),
+    words_0 AS (
+      SELECT w AS wid, COUNT(*) AS cnt,
+             list_transform(generate_series(1, length(w)), i -> w[i]) AS syms
+      FROM toks GROUP BY w),
+    {",".join(_bpe_round_sql(k) for k in range(_BPE_ROUNDS))}
+    SELECT * FROM (
+      {" UNION ALL ".join(
+        f"SELECT CAST({k + 1} AS BIGINT) AS round, l AS left_sym, r AS right_sym,"
+        f" l || r AS merged, CAST(cnt AS BIGINT) AS pair_count FROM best_{k}"
+        for k in range(_BPE_ROUNDS)
+      )}
+    ) ORDER BY round
+    """,
+)
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(X.tokens()).alias("w"))
+    words = (
+        toks.groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.col("w").alias("wid"), "cnt", F.split("w", "(?!$)").alias("syms")
+        )
+        .localCheckpoint()  # the vocab-sized model table
+    )
+    merges: list[tuple] = []
+    for k in range(_BPE_ROUNDS):
+        flat = words.select("wid", "cnt", F.posexplode("syms").alias("i", "s"))
+        wwin = W.partitionBy("wid").orderBy("i")
+        nxt = flat.withColumn("s1", F.lead("s").over(wwin))
+        pairs = (
+            nxt.filter(F.col("s1").isNotNull())
+            .groupBy("s", "s1")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        best = pairs.orderBy(F.desc("cnt"), F.asc("s"), F.asc("s1")).first()
+        left, right, cnt = best["s"], best["s1"], int(best["cnt"])
+        merges.append((k + 1, left, right, left + right, cnt))
+        elig = nxt.withColumn("e", (F.col("s") == left) & (F.col("s1") == right))
+        ewin = W.partitionBy("wid", "e").orderBy("i")
+        runs = elig.withColumn(
+            "run_id", F.when(F.col("e"), F.col("i") - F.row_number().over(ewin))
+        )
+        rwin = W.partitionBy("wid", "run_id").orderBy("i")
+        marked = runs.withColumn(
+            "do_merge",
+            F.when(F.col("e"), (F.row_number().over(rwin) - 1) % 2 == 0).otherwise(
+                F.lit(False)
+            ),
+        )
+        consumed = marked.withColumn(
+            "eaten", F.coalesce(F.lag("do_merge").over(wwin), F.lit(False))
+        )
+        sym = F.when(F.col("do_merge"), F.concat("s", "s1")).otherwise(F.col("s"))
+        words = (
+            consumed.filter(~F.col("eaten"))
+            .groupBy("wid", "cnt")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("i"), sym.alias("sym")))
+                ).alias("z")
+            )
+            .select("wid", "cnt", F.transform("z", lambda x: x["sym"]).alias("syms"))
+            .localCheckpoint()
+        )
+    return spark.createDataFrame(
+        merges,
+        "round bigint, left_sym string, right_sym string, merged string, pair_count bigint",
+    )
