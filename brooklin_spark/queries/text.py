@@ -1545,7 +1545,12 @@ words_{k + 1} AS (
     ) ORDER BY round
     """,
 )
-def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _bpe_train_registered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_bpe_train(spark, sf_dir)
+
+
+def _bpe_fit(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, list[tuple]]:
+    """Run the BPE rounds; return (final word-symbol table, merge list)."""
     docs = table(spark, sf_dir, "documents")
     toks = docs.select(F.explode(X.tokens()).alias("w"))
     words = (
@@ -1596,7 +1601,51 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("wid", "cnt", F.transform("z", lambda x: x["sym"]).alias("syms"))
             .localCheckpoint()
         )
+    return words, merges
+
+
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, merges = _bpe_fit(spark, sf_dir)
     return spark.createDataFrame(
         merges,
         "round bigint, left_sym string, right_sym string, merged string, pair_count bigint",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Subword vocabulary after the learned merges: corpus frequency and word
+# coverage per surviving symbol — the encode-side audit of the trainer
+# above (what the token-id table would look like if cut at this merge
+# count). One posexplode + one aggregate over the vocab-sized final word
+# table; corpus counts ride the word counts, so the corpus is still only
+# touched once. Oracle: the trainer's unrolled SQL continued one step to
+# aggregate words_6.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_bpe_vocab_stats",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest({_TOK}) AS w FROM documents),
+    words_0 AS (
+      SELECT w AS wid, COUNT(*) AS cnt,
+             list_transform(generate_series(1, length(w)), i -> w[i]) AS syms
+      FROM toks GROUP BY w),
+    {",".join(_bpe_round_sql(k) for k in range(_BPE_ROUNDS))}
+    SELECT s.sym,
+           CAST(SUM(s.cnt) AS BIGINT) AS total_count,
+           CAST(COUNT(DISTINCT s.wid) AS BIGINT) AS n_words,
+           CAST(length(s.sym) AS BIGINT) AS sym_len
+    FROM (SELECT wid, cnt, unnest(syms) AS sym FROM words_{_BPE_ROUNDS}) s
+    GROUP BY s.sym
+    """,
+)
+def text_bpe_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    words, _ = _bpe_fit(spark, sf_dir)
+    flat = words.select("wid", "cnt", F.explode("syms").alias("sym"))
+    return flat.groupBy("sym").agg(
+        F.sum("cnt").cast("bigint").alias("total_count"),
+        F.countDistinct("wid").cast("bigint").alias("n_words"),
+        F.length(F.first("sym")).cast("bigint").alias("sym_len"),
     )
