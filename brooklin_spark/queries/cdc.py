@@ -333,3 +333,145 @@ def gdpr_purge_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(stats(o, "orders", "o_orderkey"))
         .unionAll(stats(l, "lineitem", "l_orderkey"))
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 point-in-time lookup: each purchase event resolved against the
+# dimension version (SCD2 history over the user's signup/click changes)
+# valid at the fact's SCN — the temporal-join consumer of cdc_scd2_history.
+# The oracle states it as the textbook interval join (from <= scn < to);
+# the ENGINE refuses that shape (an inequality join explodes at scale) and
+# instead runs the as-of composition: dim versions and facts union-tagged,
+# ONE window pass per user carries the last-seen version struct forward.
+# Same semantics, one shuffle on user_id, zero joins.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cdc_scd2_pit_lookup",
+    oracle="""
+    WITH src AS (
+      SELECT user_id, event_id, props FROM events
+      WHERE event_type IN ('signup', 'click')),
+    dim AS (
+      SELECT user_id, props,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS version,
+             event_id AS valid_from_scn,
+             COALESCE(LEAD(event_id) OVER (PARTITION BY user_id ORDER BY event_id),
+                      CAST(9223372036854775807 AS BIGINT)) AS valid_to_scn
+      FROM src),
+    facts AS (
+      SELECT event_id, user_id FROM events WHERE event_type = 'purchase')
+    SELECT f.event_id, f.user_id,
+           CAST(d.version AS BIGINT) AS dim_version,
+           d.props AS dim_value,
+           d.version IS NOT NULL AS matched
+    FROM facts f
+    LEFT JOIN dim d ON d.user_id = f.user_id
+      AND f.event_id >= d.valid_from_scn AND f.event_id < d.valid_to_scn
+    """,
+)
+def cdc_scd2_pit_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    dim_src = e.filter(F.col("event_type").isin("signup", "click"))
+    w = W.partitionBy("user_id").orderBy("event_id")
+    dim = dim_src.select(
+        "user_id",
+        F.col("event_id").alias("scn"),
+        F.struct(
+            F.row_number().over(w).cast("bigint").alias("version"),
+            F.col("props").alias("value"),
+        ).alias("ver"),
+        F.lit(1).alias("is_dim"),
+    )
+    facts = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("scn"),
+        F.lit(None).cast(dim.schema["ver"].dataType).alias("ver"),
+        F.lit(0).alias("is_dim"),
+    )
+    # event ids are globally unique, so (scn) alone orders dim vs fact
+    # rows unambiguously; the carried struct is the version in effect.
+    tagged = dim.unionByName(facts)
+    cw = (
+        W.partitionBy("user_id")
+        .orderBy("scn")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = tagged.withColumn(
+        "eff", F.last("ver", ignorenulls=True).over(cw)
+    ).filter(F.col("is_dim") == 0)
+    return carried.select(
+        F.col("scn").alias("event_id"),
+        "user_id",
+        F.col("eff.version").alias("dim_version"),
+        F.col("eff.value").alias("dim_value"),
+        F.col("eff").isNotNull().alias("matched"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental aggregate-view refresh (IVM): a materialized per-user
+# aggregate built over the first half of the month is refreshed by
+# MERGING the second half's CDC deltas (error rows retract, everything
+# else inserts) instead of recomputing — the algebraic property (SUM and
+# COUNT are abelian-group aggregates) that makes continuous view refresh
+# O(delta), not O(table), at 100 TB. Shape: two partial aggregates + one
+# full-outer merge on the key; the oracle is the FULL RECOMPUTE, so the
+# green row *proves* refreshed == recomputed. Decimal sums keep the
+# retraction arithmetic exact.
+# ---------------------------------------------------------------------------
+
+_IVM_SPLIT = "2024-01-16"
+
+
+@query(
+    "cdc_incremental_agg_refresh",
+    oracle=f"""
+    SELECT user_id,
+           CAST(SUM(CASE WHEN CAST(ts AS DATE) < DATE '{_IVM_SPLIT}' THEN 1
+                         WHEN event_type = 'error' THEN -1 ELSE 1 END) AS BIGINT)
+             AS n_events,
+           CAST(SUM(CASE WHEN CAST(ts AS DATE) < DATE '{_IVM_SPLIT}'
+                           THEN CAST(value AS DECIMAL(14,2))
+                         WHEN event_type = 'error'
+                           THEN -CAST(value AS DECIMAL(14,2))
+                         ELSE CAST(value AS DECIMAL(14,2)) END) AS DOUBLE)
+             AS sum_value
+    FROM events
+    GROUP BY user_id
+    HAVING SUM(CASE WHEN CAST(ts AS DATE) < DATE '{_IVM_SPLIT}' THEN 1
+                    WHEN event_type = 'error' THEN -1 ELSE 1 END) <> 0
+    """,
+)
+def cdc_incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    is_base = F.col("ts").cast("date") < F.lit(_IVM_SPLIT).cast("date")
+    dec = F.col("value").cast("decimal(14,2)")
+    # The materialized state: plain insert-only aggregate over the base.
+    state = (
+        e.filter(is_base)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("s_n"), F.sum(dec).alias("s_sum"))
+    )
+    # The delta batch: signed by CDC op (error = DELETE retraction).
+    sign = F.when(F.col("event_type") == "error", -1).otherwise(1)
+    delta = (
+        e.filter(~is_base)
+        .groupBy("user_id")
+        .agg(
+            F.sum(sign).alias("d_n"),
+            F.sum(sign.cast("decimal(4,0)") * dec).alias("d_sum"),
+        )
+    )
+    zero = F.lit(0).cast("decimal(14,2)")
+    merged = state.join(delta, "user_id", "full_outer").select(
+        "user_id",
+        (F.coalesce("s_n", F.lit(0)) + F.coalesce("d_n", F.lit(0)))
+        .cast("bigint")
+        .alias("n_events"),
+        (F.coalesce(F.col("s_sum"), zero) + F.coalesce(F.col("d_sum"), zero))
+        .cast("double")
+        .alias("sum_value"),
+    )
+    return merged.filter(F.col("n_events") != 0)

@@ -512,3 +512,22 @@ def test_mrl_truncate_no_explode_single_shuffle(spark, sf_correct):
     plan = executed_plan(df)
     assert "Generate" not in plan, plan
     assert shuffle_count(df) <= 1, plan
+
+
+def test_scd2_pit_lookup_is_joinless_asof(spark, sf_correct):
+    """The interval lookup must run as the union-tag + carry-forward
+    window (as-of form) — zero joins, bounded exchanges — never the
+    oracle's inequality join."""
+    df = _q(spark, sf_correct, "cdc_scd2_pit_lookup")
+    plan = executed_plan(df)
+    assert "Join" not in plan, plan
+    assert shuffle_count(df) <= 2, plan
+
+
+def test_ivm_refresh_aggregates_before_merge(spark, sf_correct):
+    """IVM: both sides reduce to per-key partial aggregates BEFORE the
+    full-outer merge — the merge joins aggregate-sized inputs."""
+    df = _q(spark, sf_correct, "cdc_incremental_agg_refresh")
+    plan = executed_plan(df)
+    assert plan.count("HashAggregate") >= 4, plan
+    assert "FullOuter" in plan, plan
