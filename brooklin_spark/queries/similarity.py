@@ -800,3 +800,82 @@ def embedding_mrl_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_low_energy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN recall evaluation: recall@5 of the IVF(nprobe=2) index against the
+# exact brute-force neighbors, per query — the index-quality gate a
+# vector-search deployment monitors (the LSH twin is dedup_lsh_recall).
+# Both sides reuse the production operators; the tiny top-k lists join on
+# (query, neighbor) and reduce to one row per query. Self-evaluation at
+# 100 TB runs on a SAMPLE of queries — the shape is identical.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ann_ivf_recall_eval",
+    oracle=f"""
+    WITH b_scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS sim
+      FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+    brute AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+        FROM b_scored) t WHERE rank <= {_IVF_K}),
+    cent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < {_IVF_C}),
+    c_scored AS (
+      SELECT e.vec_id, c.cid,
+             round(list_cosine_similarity(e.embedding::DOUBLE[], c.cvec::DOUBLE[]), 6) AS sim
+      FROM embeddings e CROSS JOIN cent c),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
+        FROM c_scored) t WHERE rn = 1),
+    probes AS (
+      SELECT vec_id AS query_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
+        FROM c_scored WHERE vec_id < 10) t WHERE rn <= {_IVF_NPROBE}),
+    cand AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id
+      FROM probes p JOIN assign a ON a.cid = p.cid
+      WHERE a.vec_id <> p.query_id),
+    rescored AS (
+      SELECT c.query_id, c.neighbor_id,
+             round(list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[]), 6) AS sim
+      FROM cand c
+      JOIN embeddings q ON q.vec_id = c.query_id
+      JOIN embeddings n ON n.vec_id = c.neighbor_id),
+    ivf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+        FROM rescored) t WHERE rank <= {_IVF_K})
+    SELECT b.query_id,
+           CAST(COUNT(i.neighbor_id) AS BIGINT) AS n_hits,
+           round(COUNT(i.neighbor_id) * 1.0 / {_IVF_K}, 6) AS recall_at_k
+    FROM brute b
+    LEFT JOIN ivf i ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+    GROUP BY b.query_id
+    """,
+)
+def ann_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    brute = S.brute_force_topk(queries, emb, k=_IVF_K).select(
+        "query_id", "neighbor_id"
+    )
+    cent = emb.filter(F.col("vec_id") < _IVF_C)
+    ivf = S.ivf_topk(queries, emb, cent, k=_IVF_K, nprobe=_IVF_NPROBE).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    joined = brute.join(ivf, ["query_id", "neighbor_id"], "left")
+    return joined.groupBy("query_id").agg(
+        F.sum(F.coalesce("hit", F.lit(0))).cast("bigint").alias("n_hits"),
+        F.round(
+            F.sum(F.coalesce("hit", F.lit(0))) / F.lit(float(_IVF_K)), 6
+        ).alias("recall_at_k"),
+    )
