@@ -475,3 +475,59 @@ def cdc_incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sum_value"),
     )
     return merged.filter(F.col("n_events") != 0)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic PII tokenization with referential integrity: customer keys
+# are replaced by keyed-hash tokens (md5 over a salt || key) in BOTH the
+# dimension and the fact table, and the revenue rollup is computed over
+# the TOKENIZED join — proving the pseudonymized tables still join
+# correctly (the property a privacy-preserving analytics export must
+# keep). Map-side token derivation (no lookup table to leak), broadcast
+# dim join; the oracle re-derives the same tokens and must land on the
+# same segment totals.
+# ---------------------------------------------------------------------------
+
+_TOKEN_SALT = "brooklin-pii-v1:"
+
+
+@query(
+    "security_tokenized_join",
+    oracle=f"""
+    WITH c AS (
+      SELECT md5('{_TOKEN_SALT}' || CAST(c_custkey AS VARCHAR)) AS c_token,
+             c_mktsegment
+      FROM customer),
+    o AS (
+      SELECT md5('{_TOKEN_SALT}' || CAST(o_custkey AS VARCHAR)) AS o_token,
+             CAST(o_totalprice AS DECIMAL(12,2)) AS price
+      FROM orders)
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_orders,
+           COUNT(DISTINCT c.c_token) AS n_tokens,
+           CAST(SUM(o.price) AS DOUBLE) AS revenue
+    FROM o JOIN c ON c.c_token = o.o_token
+    GROUP BY 1
+    """,
+)
+def security_tokenized_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+
+    def token(key_col):
+        return F.md5(F.concat(F.lit(_TOKEN_SALT), F.col(key_col).cast("string")))
+
+    c = cust.select(token("c_custkey").alias("c_token"), "c_mktsegment")
+    o = orders.select(
+        token("o_custkey").alias("o_token"),
+        F.col("o_totalprice").cast("decimal(12,2)").alias("price"),
+    )
+    return (
+        o.join(F.broadcast(c), o.o_token == c.c_token)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.countDistinct("c_token").alias("n_tokens"),
+            F.sum("price").cast("double").alias("revenue"),
+        )
+    )
