@@ -1574,34 +1574,45 @@ def _bpe_fit(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, list[tuple]]:
         best = pairs.orderBy(F.desc("cnt"), F.asc("s"), F.asc("s1")).first()
         left, right, cnt = best["s"], best["s1"], int(best["cnt"])
         merges.append((k + 1, left, right, left + right, cnt))
-        elig = nxt.withColumn("e", (F.col("s") == left) & (F.col("s1") == right))
-        ewin = W.partitionBy("wid", "e").orderBy("i")
-        runs = elig.withColumn(
-            "run_id", F.when(F.col("e"), F.col("i") - F.row_number().over(ewin))
-        )
-        rwin = W.partitionBy("wid", "run_id").orderBy("i")
-        marked = runs.withColumn(
-            "do_merge",
-            F.when(F.col("e"), (F.row_number().over(rwin) - 1) % 2 == 0).otherwise(
-                F.lit(False)
-            ),
-        )
-        consumed = marked.withColumn(
-            "eaten", F.coalesce(F.lag("do_merge").over(wwin), F.lit(False))
-        )
-        sym = F.when(F.col("do_merge"), F.concat("s", "s1")).otherwise(F.col("s"))
-        words = (
-            consumed.filter(~F.col("eaten"))
-            .groupBy("wid", "cnt")
-            .agg(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("i"), sym.alias("sym")))
-                ).alias("z")
-            )
-            .select("wid", "cnt", F.transform("z", lambda x: x["sym"]).alias("syms"))
-            .localCheckpoint()
-        )
+        words = bpe_apply_merge(words, left, right).localCheckpoint()
     return words, merges
+
+
+def bpe_apply_merge(words: DataFrame, left: str, right: str) -> DataFrame:
+    """Apply ONE BPE merge (left,right)->left||right to every symbol
+    array, greedy left-to-right non-overlapping — relationally: eligible
+    positions (s_i=left, s_{i+1}=right) merge at even offsets within each
+    maximal run (run parity), the merged-away right symbol is dropped via
+    a lag flag. words: (wid, cnt, syms array<string>)."""
+    flat = words.select("wid", "cnt", F.posexplode("syms").alias("i", "s"))
+    wwin = W.partitionBy("wid").orderBy("i")
+    nxt = flat.withColumn("s1", F.lead("s").over(wwin))
+    elig = nxt.withColumn("e", (F.col("s") == left) & (F.col("s1") == right))
+    ewin = W.partitionBy("wid", "e").orderBy("i")
+    runs = elig.withColumn(
+        "run_id", F.when(F.col("e"), F.col("i") - F.row_number().over(ewin))
+    )
+    rwin = W.partitionBy("wid", "run_id").orderBy("i")
+    marked = runs.withColumn(
+        "do_merge",
+        F.when(F.col("e"), (F.row_number().over(rwin) - 1) % 2 == 0).otherwise(
+            F.lit(False)
+        ),
+    )
+    consumed = marked.withColumn(
+        "eaten", F.coalesce(F.lag("do_merge").over(wwin), F.lit(False))
+    )
+    sym = F.when(F.col("do_merge"), F.concat("s", "s1")).otherwise(F.col("s"))
+    return (
+        consumed.filter(~F.col("eaten"))
+        .groupBy("wid", "cnt")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("i"), sym.alias("sym")))
+            ).alias("z")
+        )
+        .select("wid", "cnt", F.transform("z", lambda x: x["sym"]).alias("syms"))
+    )
 
 
 def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:

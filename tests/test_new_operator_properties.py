@@ -80,3 +80,41 @@ def test_pq_adc_distance_exact_on_codewords(spark, sf_correct):
             d = q[j * 16 : (j + 1) * 16] - c[j * 16 : (j + 1) * 16]
             true += np.round((d * d).sum(), 6)
         assert abs(row.adc_dist - np.round(true, 6)) < 1e-6, row
+
+
+def _py_bpe_merge(syms: list[str], left: str, right: str) -> list[str]:
+    """Reference greedy left-to-right non-overlapping single-merge pass."""
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def test_bpe_merge_application_matches_reference(spark):
+    """The run-parity relational merge must equal the sequential greedy
+    merger on adversarial run-heavy inputs (overlap cases like 'aaaa'
+    that a natural-language corpus may never exercise)."""
+    from brooklin_spark.queries.text import bpe_apply_merge
+
+    cases = [
+        "a", "aa", "aaa", "aaaa", "aaaaa", "aaaaaa",
+        "baaab", "abab", "aabb", "abba", "ababab",
+        "xaay", "aaxaa", "aaaxaaa", "xyzzy", "",
+        "ababa", "bbaabbaa", "aabaa",
+    ]
+    rows = [(w, 1, list(w)) for w in cases if w]
+    df = spark.createDataFrame(rows, "wid string, cnt long, syms array<string>")
+    for left, right in [("a", "a"), ("a", "b"), ("b", "a")]:
+        got = {
+            r["wid"]: list(r["syms"])
+            for r in bpe_apply_merge(df, left, right).collect()
+        }
+        for w in got:
+            assert got[w] == _py_bpe_merge(list(w), left, right), (
+                w, left, right, got[w]
+            )
