@@ -810,12 +810,20 @@ def graph_nhop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     visited = frontier.select("node", F.lit(0).alias("hops"))
     for k in range(_BFS_HOPS):
+        # frontier and visited are each consumed TWICE per round (expand +
+        # union); without a per-round checkpoint the lazy DAG doubles per
+        # round (measured 53 exchanges at 3 hops). Both tables are
+        # reach-bounded — materializing them is the iterative-graph
+        # discipline, same as the PageRank static tables.
         nxt = (
             edges.join(F.broadcast(frontier), frontier.node == edges.src)
             .select(F.col("dst").alias("node"))
             .distinct()
             .join(visited.select("node"), "node", "left_anti")
+            .localCheckpoint()
         )
-        visited = visited.unionAll(nxt.select("node", F.lit(k + 1).alias("hops")))
+        visited = visited.unionAll(
+            nxt.select("node", F.lit(k + 1).alias("hops"))
+        ).localCheckpoint()
         frontier = nxt
     return visited.select("node", F.col("hops").cast("bigint").alias("hops"))
