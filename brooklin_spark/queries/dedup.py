@@ -600,6 +600,40 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # nothing is collected driver-side.
 # ---------------------------------------------------------------------------
 
+def _graph_int_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite customer-supplier edges with INTEGER node ids
+    (custkey*2 / suppkey*2+1): the graph kernels shuffle longs, not
+    'c123' strings — half the shuffle bytes and integer hashing on the
+    1M+-edge table at sf0.1+. The display string is formatted only on
+    the final per-node result rows."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    pairs = (
+        o.join(li, li.l_orderkey == o.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("c_node"),
+            (F.col("l_suppkey") * 2 + 1).alias("s_node"),
+        )
+        .distinct()
+    )
+    return pairs.select(
+        F.col("c_node").alias("src"), F.col("s_node").alias("dst")
+    ).unionAll(pairs.select(F.col("s_node").alias("src"), F.col("c_node").alias("dst")))
+
+
+def _graph_node_str(col: str):
+    """Format the integer node id back to the oracle's 'c<k>'/'s<k>'."""
+    n = F.col(col)
+    return (
+        F.when(
+            n % 2 == 0,
+            F.concat(F.lit("c"), (n / 2).cast("long").cast("string")),
+        ).otherwise(
+            F.concat(F.lit("s"), ((n - 1) / 2).cast("long").cast("string"))
+        )
+    )
+
+
 _PR_D = 0.85
 _PR_ITERS = 5
 
@@ -637,53 +671,73 @@ def _pr_iter_sql(k: int) -> str:
     """,
 )
 def graph_pagerank_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # materialize the STATIC graph tables once (edges/degree are re-read
+    # every round; unchecked, the orders+lineitem join would re-execute
+    # per round). The per-round ranks stay LAZY: each round's output
+    # feeds exactly one consumer, so the five rounds compile into one
+    # linear DAG executed once — measured faster at sf1 than eager
+    # per-round checkpoints (20.7 s vs 27.5 s best-of-2), which paid five
+    # materialization barriers for lineage nothing re-derives. The
+    # out-degree is joined onto the edge table ONCE (edeg) instead of a
+    # second join inside every round — 5 fewer joins per run.
     o = table(spark, sf_dir, "orders")
     li = table(spark, sf_dir, "lineitem")
+    # ONE checkpoint of the narrow distinct-pair table; everything else
+    # (edges, degree, node set, n) derives from it without touching the
+    # fact tables again. In the doubled graph deg(c)=pairs per customer
+    # and deg(s)=pairs per supplier, so degree is two tiny groupBys over
+    # pairs — no 2x-edge aggregation, no separate nodes scan.
     pairs = (
         o.join(li, li.l_orderkey == o.o_orderkey)
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c_node"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s_node"),
+            (F.col("o_custkey") * 2).alias("c_node"),
+            (F.col("l_suppkey") * 2 + 1).alias("s_node"),
         )
         .distinct()
+        .localCheckpoint()
+    )
+    degree = (
+        pairs.groupBy(F.col("c_node").alias("node")).agg(F.count("*").alias("deg"))
+        .unionAll(
+            pairs.groupBy(F.col("s_node").alias("node")).agg(
+                F.count("*").alias("deg")
+            )
+        )
     )
     edges = pairs.select(
         F.col("c_node").alias("src"), F.col("s_node").alias("dst")
     ).unionAll(pairs.select(F.col("s_node").alias("src"), F.col("c_node").alias("dst")))
-    # materialize the STATIC graph tables once (edges/nodes/degree are
-    # re-read every round; unchecked, the orders+lineitem join would
-    # re-execute per round). The per-round ranks stay LAZY: each round's
-    # output feeds exactly one consumer, so the five rounds compile into
-    # one linear DAG executed once — measured faster at sf1 than eager
-    # per-round checkpoints (20.7 s vs 27.5 s best-of-2), which paid five
-    # materialization barriers for lineage nothing re-derives.
-    edges = edges.localCheckpoint()
-    nodes = edges.select(F.col("src").alias("node")).distinct().localCheckpoint()
-    n = nodes.count()  # scalar graph size (legitimate: one long)
-    degree = edges.groupBy(F.col("src").alias("node")).agg(
-        F.count("*").alias("deg")
-    ).localCheckpoint()
+    # spread the checkpointed edge table across the executor cores: AQE
+    # coalesces the (byte-small) exchange to 1 partition, which would run
+    # every round's probe join as a single task — partition count should
+    # track cores, not bytes, for the table every iteration scans.
+    edeg = (
+        edges.join(degree, degree.node == edges.src)  # AQE picks broadcast locally
+        .select("src", "dst", "deg")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint()
+    )
+    nodes = degree.select("node")  # one row per node by construction
+    n = degree.count()  # scalar graph size (legitimate: one long)
     ranks = nodes.select("node", F.round(F.lit(1.0) / n, 8).alias("rank"))
     base = (1.0 - _PR_D) / n
     for _ in range(_PR_ITERS):
-        contribs = (
-            edges.join(ranks, ranks.node == edges.src)
-            .join(degree.withColumnRenamed("node", "dnode"), F.col("dnode") == edges.src)
-            .select(F.col("dst"), (F.col("rank") / F.col("deg")).alias("contrib"))
+        contribs = edeg.join(ranks, ranks.node == edeg.src).select(
+            F.col("dst"), (F.col("rank") / F.col("deg")).alias("contrib")
         )
-        summed = contribs.groupBy(F.col("dst").alias("cnode")).agg(
+        summed = contribs.groupBy(F.col("dst").alias("node")).agg(
             F.sum("contrib").alias("inflow")
         )
-        ranks = (
-            nodes.join(summed, summed.cnode == nodes.node, "left")
-            .select(
-                "node",
-                F.round(
-                    F.lit(base) + _PR_D * F.coalesce(F.col("inflow"), F.lit(0.0)), 8
-                ).alias("rank"),
-            )
+        # the oracle LEFT-joins nodes for inflow-less nodes, but in the
+        # DOUBLED bipartite graph every node has an incoming edge (each
+        # pair emits both directions), so the aggregate already covers
+        # the full node set — the per-round nodes join is provably
+        # redundant and dropping it removes 5 broadcast joins.
+        ranks = summed.select(
+            "node",
+            F.round(F.lit(base) + _PR_D * F.col("inflow"), 8).alias("rank"),
         )
-    return ranks
+    return ranks.select(_graph_node_str("node").alias("node"), "rank")
 
 
 # ---------------------------------------------------------------------------
@@ -785,27 +839,12 @@ def _bfs_round_sql(k: int) -> str:
     """,
 )
 def graph_nhop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = table(spark, sf_dir, "orders")
-    li = table(spark, sf_dir, "lineitem")
     cust = table(spark, sf_dir, "customer")
-    pairs = (
-        o.join(li, li.l_orderkey == o.o_orderkey)
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c_node"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s_node"),
-        )
-        .distinct()
-    )
-    edges = (
-        pairs.select(F.col("c_node").alias("src"), F.col("s_node").alias("dst"))
-        .unionAll(
-            pairs.select(F.col("s_node").alias("src"), F.col("c_node").alias("dst"))
-        )
-        .localCheckpoint()  # static graph, read every round
-    )
+    # static graph, read every round; integer node ids (see _graph_int_edges)
+    edges = _graph_int_edges(spark, sf_dir).localCheckpoint()
     frontier = (
         cust.filter(F.col("c_custkey") < 10)
-        .select(F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("node"))
+        .select((F.col("c_custkey") * 2).alias("node"))
         .distinct()
     )
     visited = frontier.select("node", F.lit(0).alias("hops"))
@@ -826,4 +865,7 @@ def graph_nhop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
             nxt.select("node", F.lit(k + 1).alias("hops"))
         ).localCheckpoint()
         frontier = nxt
-    return visited.select("node", F.col("hops").cast("bigint").alias("hops"))
+    return visited.select(
+        _graph_node_str("node").alias("node"),
+        F.col("hops").cast("bigint").alias("hops"),
+    )
