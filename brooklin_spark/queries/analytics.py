@@ -705,3 +705,81 @@ def drift_psi_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(term), 8).alias("psi"),
         (F.sum(term) > 0.1).alias("drifted"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Closed-form OLS trend per segment: slope/intercept/R^2 of daily revenue
+# against the day index, per market segment — regression as PURE
+# AGGREGATION (sufficient statistics Sx, Sy, Sxy, Sxx, Syy), the way
+# distributed ML-lite fits at 100 TB: two groupBys, no iteration, no
+# driver math beyond none. All sums are exact (bigint day index, decimal
+# revenue); the normal-equation ratios drop to double at the end
+# (round-6). Day index is days since the fact table's epoch.
+# ---------------------------------------------------------------------------
+
+_OLS_EPOCH = "1995-01-01"
+
+
+@query(
+    "orders_revenue_trend_ols",
+    oracle=f"""
+    WITH daily AS (
+      SELECT c.c_mktsegment AS segment,
+             DATEDIFF('day', DATE '{_OLS_EPOCH}', CAST(o.o_orderdate AS DATE)) AS x,
+             SUM(CAST(o.o_totalprice AS DECIMAL(14,2))) AS y
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2),
+    stats AS (
+      SELECT segment,
+             COUNT(*) AS n,
+             SUM(x) AS sx,
+             CAST(SUM(y) AS DOUBLE) AS sy,
+             SUM(x * x) AS sxx,
+             CAST(SUM(x * y) AS DOUBLE) AS sxy,
+             CAST(SUM(y * y) AS DOUBLE) AS syy
+      FROM daily GROUP BY segment)
+    SELECT segment,
+           CAST(n AS BIGINT) AS n_days,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+             AS intercept,
+           round(POWER(n * sxy - sx * sy, 2)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM stats
+    """,
+)
+def orders_revenue_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    daily = (
+        o.join(F.broadcast(c), c.c_custkey == o.o_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit(_OLS_EPOCH).cast("date")
+            ).alias("x"),
+        )
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(14,2)")).alias("y"))
+    )
+    stats = daily.groupBy("segment").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    n, sx, sy, sxx, sxy, syy = (
+        F.col("n"), F.col("sx"), F.col("sy"), F.col("sxx"), F.col("sxy"), F.col("syy")
+    )
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return stats.select(
+        "segment",
+        n.cast("bigint").alias("n_days"),
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.round(
+            F.pow(n * sxy - sx * sy, 2) / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("r2"),
+    )

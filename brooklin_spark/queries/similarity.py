@@ -879,3 +879,88 @@ def ann_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.coalesce("hit", F.lit(0))) / F.lit(float(_IVF_K)), 6
         ).alias("recall_at_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PCA top component by power iteration — the whitening/compression
+# companion to the PQ/SQ8 codecs: 3 rounds of v <- normalize(X^T (X v))
+# run RELATIONALLY on the exploded (vec_id, i, x) table. Per round: one
+# broadcast join on dimension (64-row v), one groupBy(vec_id) for the
+# dots, one join back + groupBy(i) for the matvec — the same two-shuffle
+# shape per round at any corpus size; the 64-row eigenvector is the only
+# checkpointed round state. round-8 pins each round's vector so the
+# cross-engine double-sum fold order can't drift; oracle = the same
+# rounds unrolled (PageRank pattern). Eigenvalue = ||X^T X v|| of the
+# last round.
+# ---------------------------------------------------------------------------
+
+_PCA_ROUNDS = 3
+_PCA_D = 64
+
+
+def _pca_round_sql(k: int) -> str:
+    return f"""
+dot_{k} AS (
+  SELECT f.vec_id, SUM(f.x * v.val) AS dot
+  FROM flat f JOIN v_{k} v ON v.i = f.i GROUP BY f.vec_id),
+w_{k} AS (
+  SELECT f.i, SUM(f.x * d.dot) AS w
+  FROM flat f JOIN dot_{k} d ON d.vec_id = f.vec_id GROUP BY f.i),
+n_{k} AS (SELECT SQRT(SUM(w * w)) AS nrm FROM w_{k}),
+v_{k + 1} AS (
+  SELECT i, round(w / (SELECT nrm FROM n_{k}), 8) AS val FROM w_{k})"""
+
+
+@query(
+    "embedding_pca_power",
+    oracle=f"""
+    WITH flat AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+             unnest(embedding)::DOUBLE AS x
+      FROM embeddings),
+    v_0 AS (
+      SELECT i, 0.125 AS val FROM generate_series(1, {_PCA_D}) AS t(i)),
+    {",".join(_pca_round_sql(k) for k in range(_PCA_ROUNDS))}
+    SELECT CAST(v.i AS BIGINT) AS i,
+           v.val AS loading,
+           round((SELECT nrm FROM n_{_PCA_ROUNDS - 1}), 6) AS eigenvalue
+    FROM v_{_PCA_ROUNDS} v
+    """,
+)
+def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    flat = (
+        emb.select("vec_id", F.posexplode("embedding").alias("i0", "xf"))
+        .select(
+            "vec_id",
+            (F.col("i0") + 1).alias("i"),
+            F.col("xf").cast("double").alias("x"),
+        )
+        .localCheckpoint()  # read twice per round x 3 rounds
+    )
+    v = spark.range(1, _PCA_D + 1).select(
+        F.col("id").cast("int").alias("i"), F.lit(0.125).alias("val")
+    )
+    nrm_df = None
+    for k in range(_PCA_ROUNDS):
+        dot = (
+            flat.join(F.broadcast(v), "i")
+            .groupBy("vec_id")
+            .agg(F.sum(F.col("x") * F.col("val")).alias("dot"))
+        )
+        w = (
+            flat.join(dot, "vec_id")
+            .groupBy("i")
+            .agg(F.sum(F.col("x") * F.col("dot")).alias("w"))
+        )
+        nrm_df = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+        v = (
+            w.crossJoin(F.broadcast(nrm_df))
+            .select("i", F.round(F.col("w") / F.col("nrm"), 8).alias("val"))
+            .localCheckpoint()  # 64-row round state
+        )
+    return v.crossJoin(F.broadcast(nrm_df)).select(
+        F.col("i").cast("bigint").alias("i"),
+        F.col("val").alias("loading"),
+        F.round("nrm", 6).alias("eigenvalue"),
+    )

@@ -129,6 +129,12 @@ def merge_batch(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+    _publish(new_state, root, keep_versions)
+
+
+def _publish(new_state: DataFrame, root: str, keep_versions: int) -> int:
+    """Write a snapshot as the next version and atomically swap the
+    pointer; trim versions beyond the time-travel retention."""
     v = (current_version(root) or 0) + 1
     out = os.path.join(root, f"v{v}")
     new_state.write.mode("overwrite").parquet(out)
@@ -140,3 +146,44 @@ def merge_batch(
     # (read_state_at); older ones are garbage
     for old in range(1, v - keep_versions + 1):
         shutil.rmtree(os.path.join(root, f"v{old}"), ignore_errors=True)
+    return v
+
+
+def compact(
+    root: str,
+    spark,
+    tombstone_horizon_scn: int | None = None,
+    target_files: int | None = None,
+    keep_versions: int = 2,
+) -> int:
+    """OPTIMIZE for the parquet state store: rewrite the current snapshot
+    as a new pointer-swapped version, dropping DELETE tombstones at or
+    below the re-delivery horizon and/or coalescing small files.
+
+    - ``tombstone_horizon_scn``: a tombstone only exists to outrank a
+      lower-scn change arriving late; once the source's max re-delivery
+      lag has passed the tombstone's scn, no such change can still
+      arrive and the row is garbage. Tombstones ABOVE the horizon are
+      kept (and keep suppressing late changes).
+    - ``target_files``: per-micro-batch merges leave one small file set
+      per batch pattern; at 100 TB the equivalent is the table format's
+      OPTIMIZE/bin-packing. Here: one repartition to the target count.
+
+    Readers are never disturbed: the rewrite lands as a NEW version and
+    the pointer swap is atomic (same guarantee as merge_batch). Returns
+    the published version.
+    """
+    raw = read_raw_state(spark, root)
+    if raw is None:
+        raise ValueError(f"no state to compact in {root}")
+    out = raw
+    if tombstone_horizon_scn is not None:
+        out = out.filter(
+            ~(
+                (F.col("op_code") == "DELETE")
+                & (F.col("scn") <= tombstone_horizon_scn)
+            )
+        )
+    if target_files is not None:
+        out = out.repartition(target_files)
+    return _publish(out, root, keep_versions)

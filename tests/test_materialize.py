@@ -198,3 +198,53 @@ def test_time_travel_and_vacuum(spark, tmp_path):
     removed = vacuum(root, keep_last=1)
     assert removed == [2] and versions(root) == [3]
     assert {r.k for r in read_state_at(spark, root, 3).collect()} == {"a", "b"}
+
+
+def test_compact_drops_expired_tombstones_only(spark, tmp_path):
+    """Tombstones at/below the re-delivery horizon are garbage-collected;
+    those above it survive and STILL suppress a late lower-scn change."""
+    from brooklin_spark.sinks.materialize import compact, read_raw_state
+
+    root = str(tmp_path / "state")
+    os.makedirs(root)
+    merge_batch(
+        _envelope_rows(
+            spark,
+            [
+                ("a", "v1", "INSERT", 1),
+                ("b", "v1", "INSERT", 2),
+                ("a", None, "DELETE", 5),   # old tombstone (<= horizon)
+                ("b", None, "DELETE", 50),  # young tombstone (> horizon)
+            ],
+        ),
+        root, spark,
+    )
+    v = compact(root, spark, tombstone_horizon_scn=10)
+    assert current_version(root) == v
+    raw = {r.k: r.op_code for r in read_raw_state(spark, root).collect()}
+    assert "a" not in raw                 # expired tombstone gone
+    assert raw["b"] == "DELETE"           # young tombstone retained
+    # late re-delivery below the young tombstone's scn must still lose
+    merge_batch(_envelope_rows(spark, [("b", "stale", "UPDATE", 20)]), root, spark)
+    st = {r.k: r.value for r in read_state(spark, root).collect()}
+    assert "b" not in st
+
+
+def test_compact_bin_packs_files_and_preserves_reader_view(spark, tmp_path):
+    from brooklin_spark.sinks.materialize import compact
+
+    root = str(tmp_path / "state")
+    os.makedirs(root)
+    # several merges -> multi-file snapshot lineage
+    for i in range(6):
+        merge_batch(
+            _envelope_rows(spark, [(f"k{i}", f"v{i}", "INSERT", i + 1)]),
+            root, spark,
+        )
+    before = {r.k: r.value for r in read_state(spark, root).collect()}
+    v = compact(root, spark, target_files=1)
+    vdir = os.path.join(root, f"v{v}")
+    parts = [f for f in os.listdir(vdir) if f.startswith("part-")]
+    assert len(parts) == 1, parts
+    after = {r.k: r.value for r in read_state(spark, root).collect()}
+    assert after == before
