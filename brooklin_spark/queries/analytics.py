@@ -752,7 +752,7 @@ def orders_revenue_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
     c = table(spark, sf_dir, "customer")
     daily = (
-        o.join(F.broadcast(c), c.c_custkey == o.o_custkey)
+        o.join(c, c.c_custkey == o.o_custkey)  # AQE sizes the dim side
         .groupBy(
             F.col("c_mktsegment").alias("segment"),
             F.datediff(
