@@ -315,8 +315,10 @@ def gdpr_purge_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(seed), orders.o_custkey == seed.c_custkey, "left_semi"
     ).select("o_orderkey", "o_custkey")
     okeys = o.select("o_orderkey")
+    # the seed set broadcasts; okeys scales with the orders fact (~1/97 of
+    # it), so its semi-join is AQE-sized, not hint-forced
     l = li.join(
-        F.broadcast(okeys), li.l_orderkey == okeys.o_orderkey, "left_semi"
+        okeys, li.l_orderkey == okeys.o_orderkey, "left_semi"
     ).select("l_orderkey")
 
     def stats(df: DataFrame, name: str, key: str) -> DataFrame:
@@ -523,7 +525,7 @@ def security_tokenized_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").cast("decimal(12,2)").alias("price"),
     )
     return (
-        o.join(F.broadcast(c), o.o_token == c.c_token)
+        o.join(c, o.o_token == c.c_token)  # AQE sizes the dim side
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("n_orders"),

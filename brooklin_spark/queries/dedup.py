@@ -600,15 +600,16 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # nothing is collected driver-side.
 # ---------------------------------------------------------------------------
 
-def _graph_int_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bipartite customer-supplier edges with INTEGER node ids
+def _graph_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct bipartite customer-supplier pairs with INTEGER node ids
     (custkey*2 / suppkey*2+1): the graph kernels shuffle longs, not
     'c123' strings — half the shuffle bytes and integer hashing on the
     1M+-edge table at sf0.1+. The display string is formatted only on
-    the final per-node result rows."""
+    the final per-node result rows (_graph_node_str). The node-id
+    encoding lives HERE and in _graph_node_str only."""
     o = table(spark, sf_dir, "orders")
     li = table(spark, sf_dir, "lineitem")
-    pairs = (
+    return (
         o.join(li, li.l_orderkey == o.o_orderkey)
         .select(
             (F.col("o_custkey") * 2).alias("c_node"),
@@ -616,9 +617,17 @@ def _graph_int_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+def _graph_edges(pairs: DataFrame) -> DataFrame:
+    """Doubled (both-direction) edge table from the distinct pairs."""
     return pairs.select(
         F.col("c_node").alias("src"), F.col("s_node").alias("dst")
     ).unionAll(pairs.select(F.col("s_node").alias("src"), F.col("c_node").alias("dst")))
+
+
+def _graph_int_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _graph_edges(_graph_pairs(spark, sf_dir))
 
 
 def _graph_node_str(col: str):
@@ -680,22 +689,12 @@ def graph_pagerank_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialization barriers for lineage nothing re-derives. The
     # out-degree is joined onto the edge table ONCE (edeg) instead of a
     # second join inside every round — 5 fewer joins per run.
-    o = table(spark, sf_dir, "orders")
-    li = table(spark, sf_dir, "lineitem")
     # ONE checkpoint of the narrow distinct-pair table; everything else
     # (edges, degree, node set, n) derives from it without touching the
     # fact tables again. In the doubled graph deg(c)=pairs per customer
     # and deg(s)=pairs per supplier, so degree is two tiny groupBys over
     # pairs — no 2x-edge aggregation, no separate nodes scan.
-    pairs = (
-        o.join(li, li.l_orderkey == o.o_orderkey)
-        .select(
-            (F.col("o_custkey") * 2).alias("c_node"),
-            (F.col("l_suppkey") * 2 + 1).alias("s_node"),
-        )
-        .distinct()
-        .localCheckpoint()
-    )
+    pairs = _graph_pairs(spark, sf_dir).localCheckpoint()
     degree = (
         pairs.groupBy(F.col("c_node").alias("node")).agg(F.count("*").alias("deg"))
         .unionAll(
@@ -704,9 +703,7 @@ def graph_pagerank_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    edges = pairs.select(
-        F.col("c_node").alias("src"), F.col("s_node").alias("dst")
-    ).unionAll(pairs.select(F.col("s_node").alias("src"), F.col("c_node").alias("dst")))
+    edges = _graph_edges(pairs)
     # spread the checkpointed edge table across the executor cores: AQE
     # coalesces the (byte-small) exchange to 1 partition, which would run
     # every round's probe join as a single task — partition count should
@@ -772,28 +769,31 @@ def fuzzy_name_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = keyed.alias("a")
     b = keyed.alias("b")
-    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
-    return (
+    # materialize the O(len^2) levenshtein kernel ONCE per candidate pair:
+    # filter and projection are separate operators, so reusing the raw
+    # expression would re-evaluate it in each
+    cand = (
         a.join(
             b,
             (F.col("a.blk") == F.col("b.blk"))
             & (F.col("a.p_name") < F.col("b.p_name")),
         )
-        .filter(dist <= 4)
-        .select(
-            F.col("a.blk").alias("block"),
-            F.col("a.p_name").alias("name_a"),
-            F.col("b.p_name").alias("name_b"),
-            dist.cast("bigint").alias("dist"),
-            F.round(
-                1.0
-                - dist
-                / F.greatest(
-                    F.length(F.col("a.p_name")), F.length(F.col("b.p_name"))
-                ),
-                8,
-            ).alias("sim"),
-        )
+        .withColumn("dist", F.levenshtein(F.col("a.p_name"), F.col("b.p_name")))
+        .filter(F.col("dist") <= 4)
+    )
+    return cand.select(
+        F.col("a.blk").alias("block"),
+        F.col("a.p_name").alias("name_a"),
+        F.col("b.p_name").alias("name_b"),
+        F.col("dist").cast("bigint").alias("dist"),
+        F.round(
+            1.0
+            - F.col("dist")
+            / F.greatest(
+                F.length(F.col("a.p_name")), F.length(F.col("b.p_name"))
+            ),
+            8,
+        ).alias("sim"),
     )
 
 

@@ -953,7 +953,10 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("i")
             .agg(F.sum(F.col("x") * F.col("dot")).alias("w"))
         )
-        nrm_df = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+        nrm_df = w.agg(
+            F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
+        ).localCheckpoint()  # 1-row round state; the final eigenvalue read
+        # must not re-execute the round's two shuffles
         v = (
             w.crossJoin(F.broadcast(nrm_df))
             .select("i", F.round(F.col("w") / F.col("nrm"), 8).alias("val"))

@@ -1439,7 +1439,11 @@ _BM25_IN = ", ".join(f"'{t}'" for t in _BM25_TERMS)
 )
 def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.explode(X.tokens()).alias("term"))
+    # one tokenize+explode pass: the scalar pre-job, the dl table and the
+    # term-frequency table all read the SAME materialized token set
+    toks = docs.select(
+        "doc_id", F.explode(X.tokens()).alias("term")
+    ).localCheckpoint()
     lens = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
     n_docs, avgdl = lens.agg(F.count("*"), F.avg("dl")).first()  # two scalars
     tf = (
