@@ -1664,3 +1664,73 @@ def text_bpe_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("wid").cast("bigint").alias("n_words"),
         F.length(F.first("sym")).cast("bigint").alias("sym_len"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Interpolated bigram log-probability scoring: rank documents by the mean
+# log of lambda*p(w2|w1) + (1-lambda)*p(w2) over their adjacent token
+# pairs — the LM-quality upgrade over text_unigram_logprob (catches
+# shuffled/unnatural word ORDER that unigram stats cannot). Shapes: the
+# bigram stream comes from ONE posexplode + per-doc lead window (the BPE
+# pair shape over raw tokens); the bigram/unigram count tables are
+# corpus-vocab-sized and broadcast back onto the pair stream (term-keyed
+# shuffle joins at web scale). round-8 on the libm ln, doc filter keeps
+# the bench-cost bounded.
+# ---------------------------------------------------------------------------
+
+_BIGRAM_LAMBDA = 0.75
+
+
+@query(
+    "text_bigram_logprob",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, generate_subscripts({_TOK}, 1) AS i, unnest({_TOK}) AS w
+      FROM documents WHERE doc_id < 1000),
+    pairs AS (
+      SELECT doc_id, w AS w1,
+             LEAD(w) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+      FROM toks),
+    bg AS (SELECT w1, w2, COUNT(*) AS c2 FROM pairs WHERE w2 IS NOT NULL GROUP BY 1, 2),
+    uni AS (SELECT w, COUNT(*) AS c1 FROM toks GROUP BY w),
+    tot AS (SELECT SUM(c1) AS n FROM uni)
+    SELECT p.doc_id,
+           COUNT(*) AS n_bigrams,
+           round(AVG(ln({_BIGRAM_LAMBDA} * (bg.c2 * 1.0 / u1.c1)
+                        + {1 - _BIGRAM_LAMBDA} * (u2.c1 * 1.0 / tot.n))), 8)
+             AS avg_logprob
+    FROM pairs p
+    JOIN bg ON bg.w1 = p.w1 AND bg.w2 = p.w2
+    JOIN uni u1 ON u1.w = p.w1
+    JOIN uni u2 ON u2.w = p.w2
+    CROSS JOIN tot
+    WHERE p.w2 IS NOT NULL
+    GROUP BY p.doc_id
+    """,
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    toks = docs.select(
+        "doc_id", F.posexplode(X.tokens()).alias("i", "w")
+    ).localCheckpoint()  # pair stream + unigram counts read it twice
+    w = W.partitionBy("doc_id").orderBy("i")
+    pairs = toks.withColumn("w2", F.lead("w").over(w)).filter(
+        F.col("w2").isNotNull()
+    ).select("doc_id", F.col("w").alias("w1"), "w2")
+    bg = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    uni = toks.groupBy("w").agg(F.count("*").alias("c1"))
+    total = uni.agg(F.sum("c1")).first()[0]  # scalar
+    lam = _BIGRAM_LAMBDA
+    p = (
+        pairs.join(F.broadcast(bg), ["w1", "w2"])
+        .join(F.broadcast(uni.withColumnRenamed("w", "w1").withColumnRenamed("c1", "c_w1")), "w1")
+        .join(F.broadcast(uni.withColumnRenamed("w", "w2").withColumnRenamed("c1", "c_w2")), "w2")
+    )
+    score = F.log(
+        lam * (F.col("c2") / F.col("c_w1"))
+        + (1 - lam) * (F.col("c_w2") / F.lit(float(total)))
+    )
+    return p.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.avg(score), 8).alias("avg_logprob"),
+    )
