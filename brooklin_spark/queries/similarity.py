@@ -967,3 +967,55 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("val").alias("loading"),
         F.round("nrm", 6).alias("eigenvalue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup clusters: the embedding-space twin of the shingle-based
+# dedup_canonical_clusters — SRP-bucketed near-dup pairs (the 100 TB
+# candidate path, 8.4x faster than the oracle's quadratic join at sf1)
+# fed into min-label connected components, canonical member = min vec_id.
+# This is the end-to-end "semantic dedup" a training pipeline applies
+# when paraphrases defeat exact/shingle fingerprints. Oracle: recursive
+# CTE over the same SQL-derived pair set.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_semantic_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_srp_bits_sql(_PLANES)},
+    pairs AS (
+      SELECT x.vec_id AS vec_a, y.vec_id AS vec_b
+      FROM bucketed x
+      JOIN bucketed y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+      JOIN embeddings ex ON ex.vec_id = x.vec_id
+      JOIN embeddings ey ON ey.vec_id = y.vec_id
+      WHERE round(list_cosine_similarity(ex.embedding::DOUBLE[], ey.embedding::DOUBLE[]), 6) >= 0.4),
+    nodes AS (
+      SELECT DISTINCT id FROM (
+        SELECT vec_a AS id FROM pairs UNION SELECT vec_b FROM pairs)),
+    edges AS (
+      SELECT vec_a AS a, vec_b AS b FROM pairs
+      UNION SELECT vec_b, vec_a FROM pairs),
+    reach(id, r) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r)
+    SELECT id AS vec_id, MIN(r) AS cluster,
+           CAST(MIN(r) = id AS BOOLEAN) AS keep
+    FROM reach GROUP BY id
+    """,
+)
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from brooklin_spark.operators import dedup as DD
+
+    emb = table(spark, sf_dir, "embeddings")
+    pairs = S.srp_bucket_pairs(emb, planes=_PLANES, threshold=0.4).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    comps = DD.connected_components(pairs)
+    return comps.select(
+        F.col("id").alias("vec_id"),
+        F.col("comp").alias("cluster"),
+        (F.col("comp") == F.col("id")).alias("keep"),
+    )
