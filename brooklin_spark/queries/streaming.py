@@ -19,8 +19,10 @@ from __future__ import annotations
 import os
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
+
+from brooklin_spark.io import table
 
 from brooklin_spark.queries import _sqlgen as G
 from brooklin_spark.registry import query
@@ -721,3 +723,89 @@ def streaming_dedup_simhash_ingest(spark: SparkSession, sf_dir: str) -> DataFram
         q.stop()
         shutil.rmtree(work, ignore_errors=True)
     return spark.createDataFrame(survivors, "doc_id bigint, source string")
+
+
+# ---------------------------------------------------------------------------
+# Streaming drift monitor: the PSI report (drift_psi_report) computed the
+# way a LIVE pipeline computes it — the reference histogram is a STATIC
+# batch table; the current side's (type, bin) histogram accumulates over
+# the replayed event stream in complete mode; PSI is derived on the final
+# drain. Stateless per bin-count (the aggregate IS the state), exactly
+# the monitoring loop a 100 TB/day ingest runs per window. The drain
+# equals the batch PSI only under exactly-once replay.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "streaming_drift_psi",
+    oracle="""
+    WITH binned AS (
+      SELECT event_type,
+             LEAST(CAST(FLOOR(value / 50.0) AS BIGINT), 9) AS bin,
+             SUM(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16' THEN 1 ELSE 0 END) AS n_ref,
+             SUM(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16' THEN 0 ELSE 1 END) AS n_cur
+      FROM events GROUP BY 1, 2),
+    tot AS (
+      SELECT event_type, bin, n_ref, n_cur,
+             SUM(n_ref) OVER (PARTITION BY event_type) AS t_ref,
+             SUM(n_cur) OVER (PARTITION BY event_type) AS t_cur,
+             COUNT(*) OVER (PARTITION BY event_type) AS nb
+      FROM binned),
+    terms AS (
+      SELECT event_type,
+             (n_ref + 0.5) / (t_ref + 0.5 * nb) AS p,
+             (n_cur + 0.5) / (t_cur + 0.5 * nb) AS q
+      FROM tot)
+    SELECT event_type,
+           round(SUM((p - q) * ln(p / q)), 8) AS psi,
+           CAST(SUM((p - q) * ln(p / q)) > 0.1 AS BOOLEAN) AS drifted
+    FROM terms GROUP BY event_type
+    """,
+)
+def streaming_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Current-side histogram over the event stream; PSI on the drain.
+
+    The bins of BOTH sides come from the same batch-computed bin spine
+    (reference histogram + bin list), so a bin the stream never hits
+    still contributes its smoothed term, exactly like the batch oracle.
+    """
+    split = F.lit("2024-01-16").cast("date")
+    binexpr = F.least(
+        F.floor(F.col("value") / 50.0).cast("bigint"), F.lit(9).cast("bigint")
+    )
+    # static reference histogram (first half)
+    e = table(spark, sf_dir, "events")
+    ref = (
+        e.filter(F.col("ts").cast("date") < split)
+        .groupBy("event_type", binexpr.alias("bin"))
+        .agg(F.count("*").alias("n_ref"))
+    )
+    # streamed current histogram (second half), complete-mode aggregate
+    s = events_stream(spark, sf_dir).filter(F.col("ts").cast("date") >= split)
+    cur_stream = s.groupBy("event_type", binexpr.alias("bin")).agg(
+        F.count("*").alias("n_cur")
+    )
+    cur = run_to_completion(cur_stream, mode="complete")
+    # merge histograms on the union bin spine; PSI per type
+    binned = ref.join(cur, ["event_type", "bin"], "full_outer").select(
+        "event_type",
+        "bin",
+        F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+        F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+    )
+    tw = W.partitionBy("event_type")
+    tot = binned.select(
+        "event_type",
+        "n_ref",
+        "n_cur",
+        F.sum("n_ref").over(tw).alias("t_ref"),
+        F.sum("n_cur").over(tw).alias("t_cur"),
+        F.count("*").over(tw).alias("nb"),
+    )
+    p = (F.col("n_ref") + 0.5) / (F.col("t_ref") + 0.5 * F.col("nb"))
+    q = (F.col("n_cur") + 0.5) / (F.col("t_cur") + 0.5 * F.col("nb"))
+    term = (p - q) * F.log(p / q)
+    return tot.groupBy("event_type").agg(
+        F.round(F.sum(term), 8).alias("psi"),
+        (F.sum(term) > 0.1).alias("drifted"),
+    )
