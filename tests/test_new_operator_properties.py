@@ -118,3 +118,119 @@ def test_bpe_merge_application_matches_reference(spark):
             assert got[w] == _py_bpe_merge(list(w), left, right), (
                 w, left, right, got[w]
             )
+
+
+def test_concurrency_decomposition_matches_naive_sweep(spark):
+    """The per-day prefix-sum decomposition must equal a single global
+    running sum on adversarial interval sets: midnight-straddling
+    sessions, same-instant starts/ends, multi-day gaps, zero-length
+    sessions."""
+    import datetime as dt
+
+    from brooklin_spark.queries.analytics import events_concurrency_profile
+    registry.load_all()
+
+    base = dt.datetime(2024, 3, 1, 0, 0, 0)
+    # (user, [event offsets in seconds]) — 30-min gap rule splits sessions
+    users = {
+        1: [0, 60, 100_000, 100_060],           # two sessions, day 1 and 2
+        2: [86_340, 86_460],                    # one session straddling midnight
+        3: [0, 0, 0],                           # zero-length same-instant session
+        4: [86_399, 86_399],                    # ends exactly at midnight
+        5: [300_000],                           # lone event days later
+        6: [60, 2000, 4000, 50_000],            # gap splits mid-day
+    }
+    rows = []
+    eid = 0
+    for uid, offs in users.items():
+        for o in offs:
+            rows.append((eid, base + dt.timedelta(seconds=o), uid, "view", 1.0, "{}"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        df.coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+        got = {
+            r["day"]: (r["peak_concurrency"], r["sessions_started"])
+            for r in events_concurrency_profile(spark, d).collect()
+        }
+
+    # naive reference: sessionize in python, global sweep
+    sessions = []
+    for uid, offs in users.items():
+        offs = sorted(offs)
+        start = prev = offs[0]
+        for o in offs[1:]:
+            if o - prev > 1800:
+                sessions.append((start, prev))
+                start = o
+            prev = o
+        sessions.append((start, prev))
+    deltas = {}
+    for st, en in sessions:
+        deltas[st] = deltas.get(st, 0) + 1
+        deltas[en + 1] = deltas.get(en + 1, 0) - 1
+    run, peaks, starts = 0, {}, {}
+    for t in sorted(deltas):
+        run += deltas[t]
+        day = (base + dt.timedelta(seconds=t)).strftime("%Y-%m-%d")
+        peaks[day] = max(peaks.get(day, -10**9), run)
+    for st, _ in sessions:
+        day = (base + dt.timedelta(seconds=st)).strftime("%Y-%m-%d")
+        starts[day] = starts.get(day, 0) + 1
+    want = {d: (peaks[d], starts.get(d, 0)) for d in peaks}
+    assert got == want, (got, want)
+
+
+def test_scd2_pit_lookup_matches_interval_join_reference(spark):
+    """The joinless as-of window form must equal a literal interval join
+    on adversarial histories: facts before any version, between versions,
+    after the last version, users with no dimension rows at all."""
+    from brooklin_spark.queries.cdc import cdc_scd2_pit_lookup
+    registry.load_all()
+
+    import datetime as dt, itertools, os, tempfile
+    base = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+
+    def add(uid, etype, props):
+        nonlocal eid
+        rows.append((eid, base + dt.timedelta(seconds=eid), uid, etype, 1.0, props))
+        eid += 1
+
+    add(10, "purchase", "{}")      # fact BEFORE any version for user 10
+    add(10, "signup", "v1")
+    add(10, "purchase", "{}")      # matches v1
+    add(10, "click", "v2")
+    add(10, "click", "v3")
+    add(10, "purchase", "{}")      # matches v3 (latest)
+    add(20, "purchase", "{}")      # user with NO dimension rows
+    add(30, "signup", "a")
+    add(30, "purchase", "{}")      # matches a
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+        got = {
+            r["event_id"]: (r["dim_version"], r["dim_value"], r["matched"])
+            for r in cdc_scd2_pit_lookup(spark, d).collect()
+        }
+    # reference: literal interval lookup
+    dims = {}
+    for r in rows:
+        if r[3] in ("signup", "click"):
+            dims.setdefault(r[2], []).append((r[0], r[5]))
+    want = {}
+    for r in rows:
+        if r[3] != "purchase":
+            continue
+        hist = sorted(dims.get(r[2], []))
+        match = None
+        for ver, (scn, props) in enumerate(hist, start=1):
+            if scn <= r[0]:
+                match = (ver, props)
+        want[r[0]] = (match[0], match[1], True) if match else (None, None, False)
+    assert got == want, (got, want)
