@@ -287,3 +287,86 @@ def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         op,
         schema="doc_id bigint, width int, height int, resized_mean double, checksum bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# Keyframe selection: the consumer of shot-boundary detection — per video,
+# the first frame of every shot (frame 0 plus each cut frame) with an
+# order-sensitive signature checksum, i.e. the sampling manifest a
+# training pipeline stores instead of the full frame stream (8 frames ->
+# ~3 keyframes here; 1e5 -> ~1e3 at real fps). Same per-video window
+# shapes as multimodal_scene_cuts; the checksum pins WHICH frames were
+# chosen and in what order, not just how many.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_keyframes",
+    oracle="""
+    WITH vids AS (
+      SELECT doc_id, 2 + doc_id % 3 AS shot_len, text
+      FROM documents WHERE doc_id < 200),
+    frames AS (
+      SELECT doc_id, k,
+             md5(text || ':' || CAST(k // shot_len AS VARCHAR)) AS sig
+      FROM vids CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS k) g),
+    lagged AS (
+      SELECT doc_id, k, sig,
+             LAG(sig) OVER (PARTITION BY doc_id ORDER BY k) AS prev
+      FROM frames),
+    dists AS (
+      SELECT doc_id, k, sig,
+             CASE WHEN prev IS NULL THEN 0
+                  ELSE len(list_filter(generate_series(1, 32),
+                           i -> substr(sig, i, 1) <> substr(prev, i, 1)))
+             END AS dist
+      FROM lagged),
+    keys AS (
+      SELECT doc_id, k, sig FROM dists WHERE k = 0 OR dist >= 8)
+    SELECT doc_id,
+           COUNT(*) AS n_keyframes,
+           string_agg(CAST(k AS VARCHAR), ',' ORDER BY k) AS keyframe_frames,
+           md5(string_agg(sig, ',' ORDER BY k)) AS sig_checksum
+    FROM keys GROUP BY doc_id
+    """,
+)
+def multimodal_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    vids = docs.select(
+        "doc_id", (F.lit(2) + F.col("doc_id") % 3).alias("shot_len"), "text"
+    )
+    frames = vids.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(7))).alias("k"),
+        "shot_len",
+        "text",
+    ).select(
+        "doc_id",
+        "k",
+        F.md5(
+            F.concat(
+                F.col("text"), F.lit(":"), F.expr("k div shot_len").cast("string")
+            )
+        ).alias("sig"),
+    )
+    w = W.partitionBy("doc_id").orderBy("k")
+    lagged = frames.withColumn("prev", F.lag("sig").over(w))
+    dist = F.when(F.col("prev").isNull(), F.lit(0)).otherwise(
+        F.expr(
+            "aggregate(sequence(1, 32), 0, "
+            "(acc, i) -> acc + IF(substr(sig, i, 1) <> substr(prev, i, 1), 1, 0))"
+        )
+    )
+    keys = lagged.select("doc_id", "k", "sig", dist.alias("dist")).filter(
+        (F.col("k") == 0) | (F.col("dist") >= 8)
+    )
+    ordered = F.sort_array(F.collect_list(F.struct("k", "sig")))
+    return keys.groupBy("doc_id").agg(
+        F.count("*").alias("n_keyframes"),
+        F.concat_ws(",", ordered.getField("k").cast("array<string>")).alias(
+            "keyframe_frames"
+        ),
+        F.md5(F.concat_ws(",", ordered.getField("sig"))).alias("sig_checksum"),
+    )

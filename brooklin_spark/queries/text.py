@@ -1734,3 +1734,84 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_bigrams"),
         F.round(F.avg(score), 8).alias("avg_logprob"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PMI collocation mining: corpus-level top word pairs by pointwise mutual
+# information with a minimum-count floor — the word2vec-phrases step that
+# decides which bigrams become single tokens before training. Same pair
+# stream as the bigram LM; counts broadcast back; global top-20 rides
+# TakeOrderedAndProject. PMI = ln(N * c(w1,w2) / (c(w1) * c(w2))) over
+# pair-position totals.
+# ---------------------------------------------------------------------------
+
+_PMI_MIN_COUNT = 30
+
+
+@query(
+    "text_pmi_collocations",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, generate_subscripts({_TOK}, 1) AS i, unnest({_TOK}) AS w
+      FROM documents),
+    pairs AS (
+      SELECT doc_id, w AS w1,
+             LEAD(w) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+      FROM toks),
+    bg AS (
+      SELECT w1, w2, COUNT(*) AS n FROM pairs WHERE w2 IS NOT NULL GROUP BY 1, 2),
+    tot AS (SELECT SUM(n) AS np FROM bg),
+    m1 AS (SELECT w1 AS w, SUM(n) AS c FROM bg GROUP BY w1),
+    m2 AS (SELECT w2 AS w, SUM(n) AS c FROM bg GROUP BY w2),
+    scored AS (
+      SELECT bg.w1, bg.w2, bg.n,
+             ln(tot.np * bg.n * 1.0 / (m1.c * m2.c)) AS pmi
+      FROM bg
+      JOIN m1 ON m1.w = bg.w1
+      JOIN m2 ON m2.w = bg.w2
+      CROSS JOIN tot
+      WHERE bg.n >= {_PMI_MIN_COUNT}),
+    ranked AS (
+      SELECT w1, w2, n, pmi,
+             ROW_NUMBER() OVER (ORDER BY pmi DESC, w1 ASC, w2 ASC) AS rank
+      FROM scored)
+    SELECT w1, w2, CAST(n AS BIGINT) AS n, round(pmi, 8) AS pmi,
+           CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 20
+    """,
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.posexplode(X.tokens()).alias("i", "w"))
+    w = W.partitionBy("doc_id").orderBy("i")
+    pairs = (
+        toks.withColumn("w2", F.lead("w").over(w))
+        .filter(F.col("w2").isNotNull())
+        .select(F.col("w").alias("w1"), "w2")
+    )
+    bg = pairs.groupBy("w1", "w2").agg(F.count("*").alias("n")).localCheckpoint()
+    np_total = bg.agg(F.sum("n")).first()[0]  # scalar pair-position count
+    m1 = bg.groupBy("w1").agg(F.sum("n").alias("c1"))
+    m2 = bg.groupBy("w2").agg(F.sum("n").alias("c2"))
+    scored = (
+        bg.filter(F.col("n") >= _PMI_MIN_COUNT)
+        .join(F.broadcast(m1), "w1")
+        .join(F.broadcast(m2), "w2")
+        .select(
+            "w1",
+            "w2",
+            "n",
+            F.log(
+                F.lit(float(np_total)) * F.col("n") / (F.col("c1") * F.col("c2"))
+            ).alias("pmi"),
+        )
+    )
+    top = scored.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2")).limit(20)
+    rw = W.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+    return top.select(
+        "w1",
+        "w2",
+        F.col("n").cast("bigint").alias("n"),
+        F.round("pmi", 8).alias("pmi"),
+        F.row_number().over(rw).cast("bigint").alias("rank"),
+    )
