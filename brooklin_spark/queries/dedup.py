@@ -769,9 +769,12 @@ def fuzzy_name_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = keyed.alias("a")
     b = keyed.alias("b")
-    # materialize the O(len^2) levenshtein kernel ONCE per candidate pair:
-    # filter and projection are separate operators, so reusing the raw
-    # expression would re-evaluate it in each
+    # NOTE: the `dist` alias does NOT guarantee single evaluation —
+    # Catalyst's CollapseProject/pushdown inlines it into both the Filter
+    # and the Project, so levenshtein runs up to 3x per candidate pair.
+    # Acceptable here: names are <=50 chars and blocking already bounds
+    # the candidate set; a checkpointed intermediate would cost more than
+    # the re-evaluation saves.
     cand = (
         a.join(
             b,
