@@ -6,5 +6,6 @@ from brooklin_spark.plans.audit import (  # noqa: F401
     pushed_filters,
     read_schema_columns,
     shuffle_count,
+    single_partition_window_lines,
     wholestage_codegen_ids,
 )

@@ -61,6 +61,41 @@ def shuffle_count(df: DataFrame) -> int:
     return len(_op_ids(executed_plan(df), r"Exchange"))
 
 
+#: markers that make an unpartitioned window acceptable BY CONSTRUCTION:
+#: operators/distrank.py's carry-in-offset window runs over the
+#: <= buckets per-partition COUNT rows (metadata scale), recognizable by
+#: its bookkeeping column in the window spec.
+SP_WINDOW_WHITELIST_MARKERS = ("__dr_pid",)
+
+
+def single_partition_window_lines(df: DataFrame) -> list[str]:
+    """Window operators whose child distribution is SinglePartition —
+    the classic scale-killer (the whole input funnels through ONE task).
+
+    Detection is structural on the simple physical-plan string: a
+    `windowspecdefinition` operator line whose required exchange
+    (`Exchange SinglePartition`, within the next few child lines) is
+    single-partition. Lines carrying a whitelist marker (see
+    SP_WINDOW_WHITELIST_MARKERS) are excluded; anything returned here is
+    either a defect or needs an explicit per-query justification in the
+    plan audit notes.
+    """
+    plan = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    lines = plan.splitlines()
+    hits: list[str] = []
+    for i, ln in enumerate(lines):
+        if "windowspecdefinition" not in ln or "Window" not in ln:
+            continue
+        if any(m in ln for m in SP_WINDOW_WHITELIST_MARKERS):
+            continue
+        # the ENSURE_REQUIREMENTS exchange sits at most a Sort below
+        for nxt in lines[i + 1 : i + 4]:
+            if "Exchange SinglePartition" in nxt:
+                hits.append(ln.strip()[:200])
+                break
+    return hits
+
+
 def wholestage_codegen_ids(df: DataFrame) -> set[int]:
     return {
         int(m.group(1))

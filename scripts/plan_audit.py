@@ -18,7 +18,11 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from brooklin_spark import registry  # noqa: E402
-from brooklin_spark.plans.audit import executed_plan, shuffle_count  # noqa: E402
+from brooklin_spark.plans.audit import (  # noqa: E402
+    executed_plan,
+    shuffle_count,
+    single_partition_window_lines,
+)
 from brooklin_spark.session import get_spark  # noqa: E402
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
@@ -52,6 +56,7 @@ def main() -> None:
             ),
             "row_at_a_time_python": plan.count("BatchEvalPython"),
             "windows": plan.count("Window"),
+            "single_partition_windows": len(single_partition_window_lines(df)),
             "scans": plan.count("InMemoryFileIndex"),
         }
     agg = {
@@ -61,12 +66,20 @@ def main() -> None:
             1 for v in out.values() if v.get("row_at_a_time_python")
         ),
         "max_shuffles": max(v.get("shuffles", 0) for v in out.values()),
+        "with_single_partition_window": sorted(
+            k for k, v in out.items() if v.get("single_partition_windows")
+        ),
         "errors": sum(1 for v in out.values() if "error" in v),
     }
     agg["notes"] = {
         "graph_pagerank_influence": "SortMergeJoin expected: rank x edge joins are large-pair at scale (AQE broadcasts the 16k-row ranks at toy SF); 12 exchanges = 5 rounds x (probe join + inflow agg) + one-checkpoint graph build",
         "join_full_outer_nation_wealth": "SortMergeJoin expected: FULL OUTER cannot broadcast",
         "udtf_token_positions": "BatchEvalPython expected: Python UDTFs are row-at-a-time by API design; the query exists to pin that extension surface",
+        "single_partition_window_whitelist": {
+            "detector": "Window operators whose child exchange is SinglePartition, EXCLUDING operators/distrank.py's carry-in-offset windows (marker __dr_pid, <= buckets per-partition-count rows by construction); every query listed in with_single_partition_window must be justified here",
+            "events_concurrency_profile": "day-offset cumulation runs over the per-DAY aggregate (|days| rows — calendar scale, not event scale); documented + plan-asserted in tests",
+            "text_token_ids": "vocab id assignment runs AFTER TakeOrderedAndProject limit(VOCAB_N=256) — bounded-constant input; the vocab COUNT aggregate itself is never globally sorted",
+        },
     }
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLAN_AUDIT.json"), "w") as f:
         json.dump({"summary": agg, "queries": out}, f, indent=1, sort_keys=True)

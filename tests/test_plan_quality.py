@@ -531,3 +531,41 @@ def test_ivm_refresh_aggregates_before_merge(spark, sf_correct):
     plan = executed_plan(df)
     assert plan.count("HashAggregate") >= 4, plan
     assert "FullOuter" in plan, plan
+
+
+def _fact_scale_windows(plan: str) -> list[str]:
+    """Window operator lines whose spec is NOT the whitelisted
+    metadata-scale carry-in-offset window of operators/distrank.py
+    (ordered by the per-partition-count pid column, <= buckets rows)."""
+    return [
+        ln.strip()
+        for ln in plan.splitlines()
+        if "windowspecdefinition" in ln and "__dr_pid" not in ln
+    ]
+
+
+def test_rfm_no_fact_scale_global_window(spark, sf_correct):
+    """r3 verdict scale-killer #1: the three ntile scores must come from
+    the distributed rank decomposition — no WindowExec over the customer
+    aggregate, only the <=buckets-row distrank offset windows remain."""
+    df = _q(spark, sf_correct, "customers_rfm_segments")
+    plan = executed_plan(df)
+    assert not _fact_scale_windows(plan), _fact_scale_windows(plan)
+    assert "ntile" not in plan, plan
+
+
+def test_shard_manifest_no_fact_scale_global_window(spark, sf_correct):
+    """r3 verdict scale-killer #2: the LPT shard rank must never sort all
+    documents in one task — only distrank's offset window remains."""
+    df = _q(spark, sf_correct, "corpus_shard_manifest")
+    plan = executed_plan(df)
+    assert not _fact_scale_windows(plan), _fact_scale_windows(plan)
+    assert "row_number" not in plan, plan
+
+
+def test_q15_q11_scalar_agg_not_global_window(spark, sf_correct):
+    """The q15 max / q11 total scalars are broadcast 1-row aggregates —
+    no unpartitioned WindowExec anywhere in either plan."""
+    for name in ("q15_top_supplier", "q11_important_part_value"):
+        plan = executed_plan(_q(spark, sf_correct, name))
+        assert "windowspecdefinition" not in plan, (name, plan)
