@@ -273,3 +273,26 @@ def test_stateful_aggregation_survives_query_restart(spark, tmp_path):
     q2.stop()
     # restored state: 2 (pre-crash) + 2 (post-restart) in the same window
     assert out["last"] == {"10:00": 4}
+
+
+def test_ingest_store_appends_are_batch_bounded(spark, sf_smoke):
+    """r3 verdict #3: the near-dup ingest band stores must be APPEND-ONLY
+    — bytes written to the store per micro-batch are bounded by that
+    batch, not by accumulated history. The old union+distinct+rewrite
+    made epoch k write ~k×batch bytes; with 5 equal id-ordered batches
+    the last append must stay comparable to the first, not ~5×."""
+    from brooklin_spark.queries.streaming import (
+        _minhash_ingest_run,
+        _simhash_ingest_run,
+        _split_documents_for_stream,
+    )
+
+    split_dir = _split_documents_for_stream(sf_smoke)
+    for run in (_minhash_ingest_run, _simhash_ingest_run):
+        deltas: list[int] = []
+        out = run(spark, split_dir, on_epoch_bytes=deltas.append)
+        assert out.count() > 0
+        assert len(deltas) == 5, deltas
+        # each append is one batch's bands: bounded by batch size (allow
+        # 2x slack for parquet footer/row-group noise), never cumulative
+        assert max(deltas) <= 2 * max(deltas[0], 1), deltas
