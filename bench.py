@@ -66,6 +66,9 @@ BENCH_QUERIES = [
     "events_gap_fill",          # dense-spine time-series gap fill
     "events_concurrency_profile",  # distributed-prefix-sum sweep line
     "text_bpe_train",           # 6-round BPE merge training (iterative)
+    # round-4 additions: the de-global-windowed rank/ntile shapes
+    "customers_rfm_segments",   # 3x distributed exact ntile (distrank)
+    "corpus_shard_manifest",    # distributed LPT rank shard deal
 ]
 
 
