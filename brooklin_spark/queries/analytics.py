@@ -480,6 +480,50 @@ def customers_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Equal-frequency binning: order values dealt into exact deciles — the
+# feature-engineering step that turns a heavy-tailed numeric column into
+# a uniform categorical (feature bucketization before model training).
+# Unlike fixed-width histograms (profile_price_histogram), the bin
+# EDGES adapt to the distribution; unlike approx_percentile buckets, the
+# assignment is EXACT with a deterministic tie rule. Scale shape: the
+# decile comes from the distributed rank decomposition
+# (operators/distrank.py) over the thin (orderkey, price) projection —
+# no single-partition sort of the fact table; per-bin stats are one
+# 10-group aggregate. Decimal sums keep both engines bit-identical.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_price_decile_profile",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_totalprice,
+             NTILE(10) OVER (ORDER BY o_totalprice ASC, o_orderkey ASC) AS decile
+      FROM orders)
+    SELECT CAST(decile AS BIGINT) AS decile,
+           COUNT(*) AS n_orders,
+           round(MIN(o_totalprice), 2) AS lo_edge,
+           round(MAX(o_totalprice), 2) AS hi_edge,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM ranked GROUP BY decile
+    """,
+)
+def orders_price_decile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    binned = global_ntile(
+        o, 10, [F.asc("o_totalprice"), F.asc("o_orderkey")], out="decile"
+    )
+    return binned.groupBy(F.col("decile").cast("bigint").alias("decile")).agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.min("o_totalprice"), 2).alias("lo_edge"),
+        F.round(F.max("o_totalprice"), 2).alias("hi_edge"),
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+        .cast("double")
+        .alias("total_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Time-series gap fill: dense per-type hourly spine (sequence + explode)
 # left-joined onto the observed counts — missing hours appear as zero rows
 # with is_gap=true, plus a per-type cumulative count. Scale: the spine is

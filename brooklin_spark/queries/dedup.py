@@ -704,16 +704,29 @@ def graph_pagerank_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     edges = _graph_edges(pairs)
-    # spread the checkpointed edge table across the executor cores: AQE
-    # coalesces the (byte-small) exchange to 1 partition, which would run
-    # every round's probe join as a single task — partition count should
-    # track cores, not bytes, for the table every iteration scans.
-    edeg = (
-        edges.join(degree, degree.node == edges.src)  # AQE picks broadcast locally
-        .select("src", "dst", "deg")
-        .repartition(spark.sparkContext.defaultParallelism)
-        .localCheckpoint()
-    )
+    # checkpoint the edge table HASH-PARTITIONED ON src (the per-round
+    # join key): LogicalRDD preserves the output partitioning, so every
+    # round's rank x edge join reuses it and only the (node-sized) rank
+    # side moves — round-robin here made each round re-exchange the FULL
+    # edge table (5 big shuffles, visible with broadcast disabled, and
+    # ReuseExchange does not fire across the per-round attribute
+    # re-instances). CAVEAT: under AQE the checkpoint records
+    # UnknownPartitioning (the adaptive wrapper hides the final
+    # partitioning), so the eager checkpoint is built with AQE off for
+    # exactly this one job. Skew note: the per-round join would
+    # hash-partition by src anyway, so a heavy node costs the same
+    # either way — this just stops paying it five times.
+    aqe_prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        edeg = (
+            edges.join(degree, degree.node == edges.src)
+            .select("src", "dst", "deg")
+            .repartition(spark.sparkContext.defaultParallelism, F.col("src"))
+            .localCheckpoint()  # eager: executes under AQE-off
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_prev)
     nodes = degree.select("node")  # one row per node by construction
     n = degree.count()  # scalar graph size (legitimate: one long)
     ranks = nodes.select("node", F.round(F.lit(1.0) / n, 8).alias("rank"))

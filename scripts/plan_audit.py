@@ -72,7 +72,7 @@ def main() -> None:
         "errors": sum(1 for v in out.values() if "error" in v),
     }
     agg["notes"] = {
-        "graph_pagerank_influence": "SortMergeJoin expected: rank x edge joins are large-pair at scale (AQE broadcasts the 16k-row ranks at toy SF); 12 exchanges = 5 rounds x (probe join + inflow agg) + one-checkpoint graph build",
+        "graph_pagerank_influence": "SortMergeJoin expected: rank x edge joins are large-pair at scale (AQE broadcasts the 16k-row ranks at toy SF); 7 exchanges = 5 inflow aggs + build — the edge table is checkpointed hash-partitioned on src (AQE-off for that one job), so no round re-shuffles it",
         "join_full_outer_nation_wealth": "SortMergeJoin expected: FULL OUTER cannot broadcast",
         "udtf_token_positions": "BatchEvalPython expected: Python UDTFs are row-at-a-time by API design; the query exists to pin that extension surface",
         "single_partition_window_whitelist": {

@@ -89,3 +89,41 @@ def test_no_fact_scale_single_partition_window(spark, skewed):
         if "windowspecdefinition" in ln and "__dr_pid" not in ln
     ]
     assert not bad, bad
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    vals=st.lists(st.integers(min_value=0, max_value=6), min_size=1, max_size=120),
+    k=st.integers(min_value=1, max_value=9),
+    buckets=st.integers(min_value=1, max_value=11),
+)
+def test_property_ntile_any_shape(spark, vals, k, buckets):
+    """For ANY multiset of heavily-tied values, any k and any bucket
+    count (including buckets=1 and N<k), the decomposition equals the
+    single-partition window bit-for-bit."""
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id bigint, v bigint").repartition(5)
+    order = [F.asc("v"), F.asc("id")]
+    got = {
+        (r.id): (r.rk, r.t)
+        for r in global_ntile(
+            global_row_number(df, order, out="rk", buckets=buckets),
+            k,
+            order,
+            out="t",
+            buckets=buckets,
+        ).collect()
+    }
+    exp = {
+        (r.id): (r.rk, r.t)
+        for r in df.select(
+            "id",
+            F.row_number().over(W.orderBy(F.asc("v"), F.asc("id"))).alias("rk"),
+            F.ntile(k).over(W.orderBy(F.asc("v"), F.asc("id"))).alias("t"),
+        ).collect()
+    }
+    assert got == exp
