@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from brooklin_spark.checkpoint import checkpoint_partitioned
 from brooklin_spark.io import table
 from brooklin_spark.operators import dedup as D
 from brooklin_spark.queries import _sqlgen as G
@@ -710,23 +711,15 @@ def graph_pagerank_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
     # side moves — round-robin here made each round re-exchange the FULL
     # edge table (5 big shuffles, visible with broadcast disabled, and
     # ReuseExchange does not fire across the per-round attribute
-    # re-instances). CAVEAT: under AQE the checkpoint records
-    # UnknownPartitioning (the adaptive wrapper hides the final
-    # partitioning), so the eager checkpoint is built with AQE off for
-    # exactly this one job. Skew note: the per-round join would
-    # hash-partition by src anyway, so a heavy node costs the same
-    # either way — this just stops paying it five times.
-    aqe_prev = spark.conf.get("spark.sql.adaptive.enabled")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try:
-        edeg = (
-            edges.join(degree, degree.node == edges.src)
-            .select("src", "dst", "deg")
-            .repartition(spark.sparkContext.defaultParallelism, F.col("src"))
-            .localCheckpoint()  # eager: executes under AQE-off
-        )
-    finally:
-        spark.conf.set("spark.sql.adaptive.enabled", aqe_prev)
+    # re-instances; see brooklin_spark/checkpoint.py for why the plain
+    # checkpoint loses the partitioning under AQE). Skew note: the
+    # per-round join would hash-partition by src anyway, so a heavy node
+    # costs the same either way — this just stops paying it five times.
+    edeg = checkpoint_partitioned(
+        edges.join(degree, degree.node == edges.src)
+        .select("src", "dst", "deg")
+        .repartition(spark.sparkContext.defaultParallelism, F.col("src"))
+    )
     nodes = degree.select("node")  # one row per node by construction
     n = degree.count()  # scalar graph size (legitimate: one long)
     ranks = nodes.select("node", F.round(F.lit(1.0) / n, 8).alias("rank"))

@@ -1569,13 +1569,20 @@ def _bpe_fit(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, list[tuple]]:
     """Run the BPE rounds; return (final word-symbol table, merge list)."""
     docs = table(spark, sf_dir, "documents")
     toks = docs.select(F.explode(X.tokens()).alias("w"))
+    # the vocab-sized model table. NOTE: a partitioning-preserving
+    # checkpoint (brooklin_spark/checkpoint.py) CAN make every round
+    # exchange-free on this table, but measured SLOWER at sf0.1 AND sf1
+    # (3.5/5.2 s vs 2.7/4.9 s): the table is vocab-bounded at any corpus
+    # size, so the per-round exchange is negligible while AQE's
+    # coalescing of those tiny shuffles is not — the opposite trade from
+    # the fact-scaled PageRank edge table, where the trick wins 2x.
     words = (
         toks.groupBy("w")
         .agg(F.count("*").alias("cnt"))
         .select(
             F.col("w").alias("wid"), "cnt", F.split("w", "(?!$)").alias("syms")
         )
-        .localCheckpoint()  # the vocab-sized model table
+        .localCheckpoint()
     )
     merges: list[tuple] = []
     for k in range(_BPE_ROUNDS):
