@@ -178,7 +178,15 @@ def events_hourly_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
-    d = e.select(F.col("ts").cast("date").alias("day"), "user_id").distinct()
+    # four readers (day spine, DAU agg, WAU band join, final spine join):
+    # checkpoint the distinct (day, user) table once — it is the
+    # fact-scale intermediate here, and without the cut the events
+    # scan+distinct re-executes per reader
+    d = (
+        e.select(F.col("ts").cast("date").alias("day"), "user_id")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     days = d.select("day").distinct()
     dau = d.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
     win = days.alias("w").join(
@@ -351,11 +359,17 @@ def basket_part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     the row pipeline after ONE orderkey-grouped exchange halved that.
     Basket size bounds the blow-up (avg ~4 lines -> ~6 pairs)."""
     li = table(spark, sf_dir, "lineitem")
-    baskets = li.groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    # three readers (frequency explode, pair generation, order count):
+    # checkpoint the basket table once — one orderkey exchange total,
+    # and n_orders falls out as a count of basket rows instead of a
+    # second lineitem scan
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
+        .localCheckpoint(eager=False)
     )
-    n_orders = li.agg(
-        F.count_distinct(F.col("l_orderkey")).alias("n_orders")
+    n_orders = baskets.agg(
+        F.count(F.lit(1)).alias("n_orders")
     )  # 1-row side, broadcast below (no separate driver action)
     freq = (
         baskets.select(F.explode("parts").alias("fp"))

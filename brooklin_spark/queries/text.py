@@ -806,10 +806,17 @@ def text_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("tf"))
     )
     wdf = tf.withColumn("df", F.count("*").over(W.partitionBy("term")))
-    capped = wdf.filter(F.col("df") <= _TFIDF_MAX_DF).select(
-        "doc_id",
-        "term",
-        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("w"),
+    # three readers (norms + both self-join sides): checkpoint the
+    # df-capped weighted postings once — without it the whole
+    # scan+explode+tf+df subtree executes three times (~14 exchanges)
+    capped = (
+        wdf.filter(F.col("df") <= _TFIDF_MAX_DF)
+        .select(
+            "doc_id",
+            "term",
+            (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("w"),
+        )
+        .localCheckpoint(eager=False)
     )
     nrm = capped.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nn"))
     a, b = capped.alias("a"), capped.alias("b")

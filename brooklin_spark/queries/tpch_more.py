@@ -1128,11 +1128,36 @@ def dq_validation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("bigint").alias("n_violations"),
         )
 
-    checks = [
-        row(
-            "orders_pk_unique",
-            o.agg((F.count("*") - F.count_distinct(F.col("o_orderkey"))).alias("n")),
+    # all scan-local checks per table ride ONE conditional aggregate over
+    # ONE scan (the drift-PSI discipline), then unpivot to report rows —
+    # per-check .agg() calls would scan orders 4x and lineitem 3x
+    ord_checks = o.agg(
+        (F.count("*") - F.count_distinct(F.col("o_orderkey"))).alias("pk"),
+        F.sum((~F.col("o_orderstatus").isin("O", "F", "P")).cast("long")).alias(
+            "status"
         ),
+        F.sum((F.col("o_totalprice") <= 0).cast("long")).alias("price"),
+    ).select(
+        F.expr(
+            "stack(3, 'orders_pk_unique', pk, 'orders_status_accepted', status,"
+            " 'orders_price_positive', price) AS (check_name, n_violations)"
+        )
+    ).select("check_name", F.col("n_violations").cast("bigint").alias("n_violations"))
+    li_checks = li.agg(
+        F.sum(
+            ((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)).cast("long")
+        ).alias("qty"),
+        F.sum(
+            ((F.col("l_discount") < 0.0) | (F.col("l_discount") > 0.1)).cast("long")
+        ).alias("disc"),
+    ).select(
+        F.expr(
+            "stack(2, 'lineitem_qty_range', qty, 'lineitem_discount_range', disc)"
+            " AS (check_name, n_violations)"
+        )
+    ).select("check_name", F.col("n_violations").cast("bigint").alias("n_violations"))
+    checks = [
+        ord_checks,
         row(
             "orders_custkey_fk",
             o.join(c, c.c_custkey == o.o_custkey, "left_anti").agg(
@@ -1145,28 +1170,7 @@ def dq_validation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.count("*").alias("n")
             ),
         ),
-        row(
-            "lineitem_qty_range",
-            li.filter((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)).agg(
-                F.count("*").alias("n")
-            ),
-        ),
-        row(
-            "lineitem_discount_range",
-            li.filter((F.col("l_discount") < 0.0) | (F.col("l_discount") > 0.1)).agg(
-                F.count("*").alias("n")
-            ),
-        ),
-        row(
-            "orders_status_accepted",
-            o.filter(~F.col("o_orderstatus").isin("O", "F", "P")).agg(
-                F.count("*").alias("n")
-            ),
-        ),
-        row(
-            "orders_price_positive",
-            o.filter(F.col("o_totalprice") <= 0).agg(F.count("*").alias("n")),
-        ),
+        li_checks,
     ]
     out = checks[0]
     for ch in checks[1:]:
