@@ -295,9 +295,16 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_path_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    seq = e.select(
-        "user_id", "event_type", F.lag("event_type").over(w).alias("prev_type")
-    ).filter(F.col("prev_type").isNotNull())
+    # two readers (transition counts + per-user scoring join): checkpoint
+    # the lagged sequence once — the events scan + user window is the
+    # fact-scale cost here
+    seq = (
+        e.select(
+            "user_id", "event_type", F.lag("event_type").over(w).alias("prev_type")
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .localCheckpoint(eager=False)
+    )
     trans = seq.groupBy(
         F.col("prev_type").alias("from_type"), F.col("event_type").alias("to_type")
     ).agg(F.count("*").alias("n"))

@@ -491,9 +491,14 @@ def cube_order_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 def setops_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders")
-    big = o.filter(F.col("o_totalprice") > 200000).select(
-        F.col("o_custkey").alias("c_custkey")
-    ).distinct()
+    # two readers (intersect + except): checkpoint the fact-derived key
+    # set so the orders scan+distinct runs once
+    big = (
+        o.filter(F.col("o_totalprice") > 200000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
     rich = c.filter(F.col("c_acctbal") > 5000).select("c_custkey")
     u = building.union(rich).distinct().agg(F.count("*").alias("n")).select(

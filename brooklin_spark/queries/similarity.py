@@ -413,12 +413,19 @@ def embedding_outlier_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label", "vec_id", F.posexplode("embedding").alias("i", "xf")
     ).select("label", "vec_id", "i", F.col("xf").cast("double").alias("x"))
     cent = flat.groupBy("label", "i").agg(F.avg("x").alias("c"))
+    # two readers (label stats + final projection): checkpoint the
+    # per-vector distances — recomputing them repeats the centroid join
+    # and the (label, vec_id) aggregation over the exploded corpus.
+    # `flat` itself stays UNcheckpointed on purpose: it is a map-only
+    # posexplode over the scan (recompute is cheaper than materializing
+    # corpus x dim rows).
     dist = (
         flat.join(F.broadcast(cent), ["label", "i"])
         .groupBy("label", "vec_id")
         .agg(
             F.round(F.sqrt(F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c")))), 6).alias("dist")
         )
+        .localCheckpoint(eager=False)
     )
     stats = dist.groupBy("label").agg(
         F.avg("dist").alias("mu"), F.stddev_pop("dist").alias("sigma")
