@@ -32,8 +32,8 @@ keeps every stage hash/range-distributed:
 
 Cost model at 100 TB: the checkpointed projection is (sort keys + any
 carried cols + 16B rank bookkeeping) per row — callers should project to
-the thin rank inputs first (the two in-repo callers carry <= 24B/row),
-so the materialization is metadata-scale relative to the table, stored
+the thin rank inputs first (the in-repo callers carry <= 24B/row), so
+the materialization is metadata-scale relative to the table, stored
 disk-backed across executors.
 
 Requirement: `order_by` must be a TOTAL order (add a unique tie-break
