@@ -221,3 +221,71 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("revenue"),
     )
     return run_to_completion(agg, mode="complete")
+
+
+# ---------------------------------------------------------------------------
+# Transactional directory SINK through the Python DataSource WRITER SPI
+# (sources/pyds.py:TransactionalDirStreamWriter) — the Spark-4 twin of
+# the reference's file/directory TransportProvider with the two-phase
+# pending->promote commit. Orders replay through the offset-replay
+# source, project the thin delivery columns, and stream into the txn_dir
+# sink; the verification pass reads back ONLY manifest-committed files
+# and rolls up by priority against the batch oracle. Exactly-once at the
+# sink: a torn epoch's staged files never enter the manifest, so the
+# rollup equals the batch answer only if every committed epoch arrived
+# exactly once — which is the property under test.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "streaming_pyds_txn_sink_rollup",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+    FROM orders GROUP BY 1
+    """,
+)
+def streaming_pyds_txn_sink_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    pyds.register(spark)
+    work = tempfile.mkdtemp(prefix="bspark_txn_dir_")
+    out = os.path.join(work, "out")
+    ckpt = os.path.join(work, "ckpt")
+    s = (
+        spark.readStream.format("parquet_replay")
+        .options(
+            path=f"{sf_dir}/orders.parquet",
+            order_col="o_orderkey",
+            batch_rows="4096",
+        )
+        .load()
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    )
+    q = (
+        s.writeStream.format("txn_dir")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    files = pyds.committed_files(out)
+    delivered = spark.read.schema(
+        "o_orderkey bigint, o_orderpriority string, o_totalprice double"
+    ).json(files)
+    agg = delivered.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+        .cast("double")
+        .alias("revenue"),
+    )
+    # bounded-drain contract: materialize before the temp dirs go away
+    result = agg.localCheckpoint(eager=True)
+    shutil.rmtree(work, ignore_errors=True)
+    return result

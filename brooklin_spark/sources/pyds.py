@@ -32,10 +32,12 @@ through Python object conversion.
 from __future__ import annotations
 
 import json
+import os
 
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     EqualTo,
     GreaterThan,
     GreaterThanOrEqual,
@@ -44,6 +46,7 @@ from pyspark.sql.datasource import (
     LessThan,
     LessThanOrEqual,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 _DUCK_TO_SPARK = {
@@ -271,10 +274,112 @@ class ParquetReplayDataSource(DataSource):
         return ParquetReplayStreamReader(self.options)
 
 
+class _FileCommit(WriterCommitMessage):
+    """Per-task commit message: staged file path + row count."""
+
+    def __init__(self, path: str, rows: int):
+        self.path = path
+        self.rows = rows
+
+
+class TransactionalDirStreamWriter(DataSourceStreamWriter):
+    """Two-phase-commit directory sink over the Python DataSource WRITER
+    SPI — the Spark-4 twin of the reference's file/directory
+    TransportProvider contract (TransportProvider.java:15 send/flush;
+    the two-phase pending->promote discipline mirrored from this repo's
+    dirwatch source and materialize sink): executor tasks stage their
+    partition as a JSONL file under ``_tmp/``; the driver-side
+    ``commit(messages, batchId)`` atomically promotes the staged files
+    into ``data/`` and appends ONE manifest line for the epoch;
+    ``abort`` discards stages. Readers consume ONLY manifest-listed
+    files (``committed_files``), so a torn epoch is invisible — the same
+    reader contract as the materialize store. Local/shared-FS
+    assumption: rename-based promotion needs driver+executors on one
+    filesystem (true for the directory transport's use-case; the Kafka
+    transport is the network path).
+    """
+
+    def __init__(self, options):
+        self.path = options["path"]
+
+    # runs on EXECUTORS — one staged file per task
+    def write(self, iterator):
+        import json as _json
+        import os as _os
+        import uuid as _uuid
+
+        tmp_dir = _os.path.join(self.path, "_tmp")
+        _os.makedirs(tmp_dir, exist_ok=True)
+        fp = _os.path.join(tmp_dir, f"part-{_uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(fp, "w") as f:
+            for row in iterator:
+                f.write(_json.dumps(row.asDict(), default=str) + "\n")
+                n += 1
+        return _FileCommit(fp, n)
+
+    # driver-side: atomic promote + manifest append (the commit point)
+    def commit(self, messages, batchId) -> None:
+        data_dir = os.path.join(self.path, "data")
+        os.makedirs(data_dir, exist_ok=True)
+        promoted, rows = [], 0
+        for m in messages:
+            if m is None:
+                continue
+            if m.rows == 0:
+                if os.path.exists(m.path):
+                    os.remove(m.path)
+                continue
+            dst = os.path.join(
+                data_dir, f"epoch-{batchId:06d}-{os.path.basename(m.path)}"
+            )
+            os.rename(m.path, dst)
+            promoted.append(dst)
+            rows += m.rows
+        with open(os.path.join(self.path, "_manifest.jsonl"), "a") as f:
+            f.write(
+                json.dumps({"epoch": batchId, "files": promoted, "rows": rows})
+                + "\n"
+            )
+
+    def abort(self, messages, batchId) -> None:
+        for m in messages or []:
+            try:
+                if m is not None and os.path.exists(m.path):
+                    os.remove(m.path)
+            except OSError:
+                pass  # best-effort cleanup; stragglers stay in _tmp/
+
+
+class TransactionalDirDataSource(DataSource):
+    """df.writeStream.format("txn_dir").option("path", ...)"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "txn_dir"
+
+    def streamWriter(self, schema, overwrite):
+        return TransactionalDirStreamWriter(self.options)
+
+
+def committed_files(path: str) -> list:
+    """Files promoted by a completed commit — the ONLY thing a reader
+    may consume (torn/aborted epochs never reach the manifest)."""
+    manifest = os.path.join(path, "_manifest.jsonl")
+    out: list = []
+    if not os.path.exists(manifest):
+        return out
+    with open(manifest) as f:
+        for line in f:
+            out.extend(json.loads(line)["files"])
+    return out
+
+
 def register(spark) -> None:
-    """Idempotently register both formats on a session."""
+    """Idempotently register all formats on a session."""
     spark.dataSource.register(ChunkedDuckDBDataSource)
     spark.dataSource.register(ParquetReplayDataSource)
+    spark.dataSource.register(TransactionalDirDataSource)
 
 
 def offsets_json(start_row: int) -> str:

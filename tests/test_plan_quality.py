@@ -569,3 +569,21 @@ def test_q15_q11_scalar_agg_not_global_window(spark, sf_correct):
     for name in ("q15_top_supplier", "q11_important_part_value"):
         plan = executed_plan(_q(spark, sf_correct, name))
         assert "windowspecdefinition" not in plan, (name, plan)
+
+
+def test_pagerank_rounds_do_not_reshuffle_edges(spark, sf_correct):
+    """The checkpointed edge table is hash-partitioned on src
+    (checkpoint_partitioned), so with broadcast disabled — the at-scale
+    shape — NO round may re-exchange it; only the inflow aggregates and
+    the one-time build remain. Pins the AQE/UnknownPartitioning fix."""
+    import re
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = _q(spark, sf_correct, "graph_pagerank_influence")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    edge_exchanges = re.findall(r"Exchange hashpartitioning\(src#\d+", plan)
+    assert not edge_exchanges, edge_exchanges

@@ -150,3 +150,53 @@ def test_replay_stream_checkpoint_recovery(spark, sf_smoke):
     # the recovered run delivers exactly the remainder, each key once
     assert len(first) + len(second) == total
     assert not (keys1 & keys2) and len(keys2) == len(second)
+
+
+def test_txn_dir_writer_commit_abort_discipline(spark, tmp_path):
+    """Two-phase commit contract of the txn_dir sink: staged files only
+    become visible through the manifest; an aborted epoch's stages are
+    discarded; a successful bounded drain leaves no stragglers in _tmp
+    and the manifest row count equals the delivered rows."""
+    import json
+    import os
+
+    from brooklin_spark.sources import pyds
+    from brooklin_spark.sources.pyds import (
+        TransactionalDirStreamWriter,
+        _FileCommit,
+        committed_files,
+    )
+
+    out = str(tmp_path / "out")
+    os.makedirs(out)
+    w = TransactionalDirStreamWriter({"path": out})
+
+    class R:
+        def __init__(self, d):
+            self._d = d
+
+        def asDict(self):
+            return self._d
+
+    # stage two task files, commit epoch 0
+    m1 = w.write(iter([R({"k": 1}), R({"k": 2})]))
+    m2 = w.write(iter([R({"k": 3})]))
+    w.commit([m1, m2], 0)
+    assert len(committed_files(out)) == 2
+    # a torn epoch: staged but ABORTED — must stay invisible
+    m3 = w.write(iter([R({"k": 99})]))
+    w.abort([m3], 1)
+    assert len(committed_files(out)) == 2
+    assert not os.path.exists(m3.path)
+    # empty-partition message: no file promoted, epoch still recorded
+    m4 = w.write(iter([]))
+    w.commit([m4], 2)
+    manifest = [
+        json.loads(ln) for ln in open(os.path.join(out, "_manifest.jsonl"))
+    ]
+    assert [m["epoch"] for m in manifest] == [0, 2]
+    assert sum(m["rows"] for m in manifest) == 3
+    # nothing left staged
+    assert os.listdir(os.path.join(out, "_tmp")) == []
+    assert isinstance(m1, _FileCommit)
+    assert pyds.committed_files(str(tmp_path / "missing")) == []
