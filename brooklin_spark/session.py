@@ -69,9 +69,14 @@ def get_spark(
             "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
             "true",
         )
-        # small dims (region/nation/supplier/part at low SF) broadcast freely;
-        # 64MB threshold still sane on a big cluster with AQE re-checking sizes
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # small dims (region/nation/supplier/part at low SF) broadcast
+        # freely, but FACT tables must never become build sides: at the
+        # derived sf1 a 64MB threshold let the column-pruned 6M-row
+        # lineitem broadcast in q3/q5/q10 (driver-built 6M-entry hash
+        # relation, q5 7.9s); at 24MB those joins fall back to SMJ on the
+        # join key (q5 3.4s) while every dimension still broadcasts at
+        # any SF. AQE re-checks runtime sizes either way.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(24 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
     )
