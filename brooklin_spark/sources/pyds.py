@@ -318,8 +318,19 @@ class TransactionalDirStreamWriter(DataSourceStreamWriter):
                 n += 1
         return _FileCommit(fp, n)
 
-    # driver-side: atomic promote + manifest append (the commit point)
+    # driver-side: atomic promote + manifest append (the commit point).
+    # IDEMPOTENT by epoch: after a crash-restart Structured Streaming
+    # re-runs the last possibly-uncommitted batch with the SAME batchId —
+    # if its manifest line already exists, the re-delivery's stages are
+    # discarded instead of double-appending (the sink-side half of
+    # exactly-once; the reference's flushless-checkpoint analog).
     def commit(self, messages, batchId) -> None:
+        manifest = os.path.join(self.path, "_manifest.jsonl")
+        if os.path.exists(manifest):
+            with open(manifest) as f:
+                if any(json.loads(ln)["epoch"] == batchId for ln in f):
+                    self.abort(messages, batchId)
+                    return
         data_dir = os.path.join(self.path, "data")
         os.makedirs(data_dir, exist_ok=True)
         promoted, rows = [], 0

@@ -200,3 +200,84 @@ def test_txn_dir_writer_commit_abort_discipline(spark, tmp_path):
     assert os.listdir(os.path.join(out, "_tmp")) == []
     assert isinstance(m1, _FileCommit)
     assert pyds.committed_files(str(tmp_path / "missing")) == []
+
+
+def test_txn_dir_commit_is_idempotent_per_epoch(tmp_path):
+    """Crash-restart re-delivery of the SAME batchId must not
+    double-append: the second commit for an epoch discards its stages."""
+    import os
+
+    from brooklin_spark.sources.pyds import (
+        TransactionalDirStreamWriter,
+        committed_files,
+    )
+
+    out = str(tmp_path / "out")
+    os.makedirs(out)
+    w = TransactionalDirStreamWriter({"path": out})
+
+    class R:
+        def __init__(self, d):
+            self._d = d
+
+        def asDict(self):
+            return self._d
+
+    m = w.write(iter([R({"k": 1})]))
+    w.commit([m], 7)
+    # re-delivery of epoch 7 after a simulated restart
+    m2 = w.write(iter([R({"k": 1})]))
+    w.commit([m2], 7)
+    assert len(committed_files(out)) == 1
+    assert not os.path.exists(m2.path)
+
+
+def test_txn_dir_sink_exactly_once_across_restart(spark, sf_smoke, tmp_path):
+    """Stop the stream mid-replay, restart from the checkpoint, drain:
+    the manifest-committed rows equal the source exactly once (unique
+    keys, exact count) and epochs never repeat."""
+    import json
+    import os
+    import time
+
+    from brooklin_spark.sources import pyds
+
+    pyds.register(spark)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(out)
+    src_path = f"{sf_smoke}/customer.parquet"
+    n_total = spark.read.parquet(src_path).count()
+
+    def start():
+        return (
+            spark.readStream.format("parquet_replay")
+            .options(path=src_path, order_col="c_custkey", batch_rows="37")
+            .load()
+            .select("c_custkey", "c_name")
+            .writeStream.format("txn_dir")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q = start()
+    manifest = os.path.join(out, "_manifest.jsonl")
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        if os.path.exists(manifest) and sum(1 for _ in open(manifest)) >= 2:
+            break
+        time.sleep(0.2)
+    q.stop()  # crash mid-replay
+
+    q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+
+    files = pyds.committed_files(out)
+    rows = [json.loads(ln) for fp in files for ln in open(fp)]
+    keys = [r["c_custkey"] for r in rows]
+    assert len(keys) == n_total, (len(keys), n_total)
+    assert len(set(keys)) == n_total
+    epochs = [json.loads(ln)["epoch"] for ln in open(manifest)]
+    assert len(epochs) == len(set(epochs)), epochs
