@@ -85,7 +85,9 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.col("ts").cast("date")).alias("cohort_day")
     )
     activity = (
-        e.join(F.broadcast(firstday), "user_id")
+        # per-USER table: corpus-scaled — no broadcast hint (AQE
+        # broadcasts at small runtime sizes, key-shuffles at scale)
+        e.join(firstday, "user_id")
         .select(
             "user_id",
             "cohort_day",
@@ -396,8 +398,10 @@ def basket_part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     fa = freq.withColumnRenamed("fp", "pa").withColumnRenamed("f", "f_a")
     fb = freq.withColumnRenamed("fp", "pb").withColumnRenamed("f", "f_b")
     return (
-        pairs.join(F.broadcast(fa), F.col("pa") == pairs.part_a)
-        .join(F.broadcast(fb), F.col("pb") == pairs.part_b)
+        # per-part frequency tables scale with |parts| — no hints:
+        # AQE broadcasts locally, key-shuffles at catalog scale
+        pairs.join(fa, F.col("pa") == pairs.part_a)
+        .join(fb, F.col("pb") == pairs.part_b)
         .crossJoin(F.broadcast(n_orders))
         .select(
             "part_a",

@@ -512,7 +512,9 @@ def dedup_apply_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     drop_ids = comps.filter(F.col("comp") != F.col("id")).select(
         F.col("id").alias("doc_id")
     )
-    kept = docs.join(F.broadcast(drop_ids), "doc_id", "left_anti")
+    # drop set scales with the duplicate fraction of the corpus — no
+    # broadcast hint on the anti-join side
+    kept = docs.join(drop_ids, "doc_id", "left_anti")
     return kept.groupBy("source").agg(
         F.count("*").alias("n_kept"),
         F.sum("doc_id").cast("bigint").alias("id_checksum"),

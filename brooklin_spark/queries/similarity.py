@@ -304,7 +304,9 @@ def docs_embedding_label_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("doc_id"), "label"
     )
-    joined = docs.join(F.broadcast(emb), "doc_id")
+    # corpus x corpus co-keyed join: never force a broadcast of the
+    # embedding table — AQE broadcasts at toy sizes, shuffles at scale
+    joined = docs.join(emb, "doc_id")
     lw = W.partitionBy("label").orderBy(F.desc("nl"), F.asc("lang"))
     langs = (
         joined.groupBy("label", "lang")
@@ -534,7 +536,8 @@ def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = emb.select("vec_id", "label")
     votes = (
         topk.join(
-            F.broadcast(labels.withColumnRenamed("vec_id", "neighbor_id")),
+            # per-VECTOR labels: corpus-scaled — no broadcast hint
+            labels.withColumnRenamed("vec_id", "neighbor_id"),
             "neighbor_id",
         )
         .groupBy("query_id", F.col("label").alias("neighbor_label"))

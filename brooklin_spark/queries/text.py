@@ -366,7 +366,8 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_docs = lens.count()  # broadcast scalar (corpus subset is fixed)
     df_w = W.partitionBy("term")
     scored = (
-        tf.join(F.broadcast(lens), "doc_id")
+        # per-DOC lengths: corpus-scaled — no broadcast hint
+        tf.join(lens, "doc_id")
         .withColumn("df", F.count("*").over(df_w))
         .select(
             "doc_id",
@@ -417,7 +418,9 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     uni = toks.groupBy("term").agg(F.count("*").alias("cnt"))
     total = uni.agg(F.sum("cnt")).first()[0]  # broadcast scalar
     return (
-        toks.join(F.broadcast(uni), "term")
+        # unigram table is vocab-scaled (sublinear but unbounded) — no
+        # hint: AQE broadcasts locally, term-keyed shuffle at web scale
+        toks.join(uni, "term")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_tokens"),
@@ -835,8 +838,9 @@ def text_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     y = nrm.select(F.col("doc_id").alias("doc_b"), F.col("nn").alias("nb"))
     cos = F.col("dot") / (F.col("na") * F.col("nb"))
     return (
-        dots.join(F.broadcast(x), "doc_a")
-        .join(F.broadcast(y), "doc_b")
+        # per-doc norm tables: corpus-scaled — no broadcast hints
+        dots.join(x, "doc_a")
+        .join(y, "doc_b")
         .select("doc_a", "doc_b", F.round(cos, 6).alias("cosine"))
         .filter(F.round(cos, 6) >= _TFIDF_THRESHOLD)
     )
@@ -1478,7 +1482,8 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         1 - _BM25_B + _BM25_B * F.col("dl") / F.lit(float(avgdl))
     )
     scored = (
-        tf.join(F.broadcast(df), "term")
+        # per-term df table: vocab-scaled — no broadcast hint
+        tf.join(df, "term")
         .join(lens, "doc_id")
         .groupBy("doc_id")
         .agg(
@@ -1753,9 +1758,11 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = uni.agg(F.sum("c1")).first()[0]  # scalar
     lam = _BIGRAM_LAMBDA
     p = (
-        pairs.join(F.broadcast(bg), ["w1", "w2"])
-        .join(F.broadcast(uni.withColumnRenamed("w", "w1").withColumnRenamed("c1", "c_w1")), "w1")
-        .join(F.broadcast(uni.withColumnRenamed("w", "w2").withColumnRenamed("c1", "c_w2")), "w2")
+        # bigram/unigram count tables are (bi)gram-vocab-scaled — no
+        # hints: AQE broadcasts locally, term-keyed shuffles at scale
+        pairs.join(bg, ["w1", "w2"])
+        .join(uni.withColumnRenamed("w", "w1").withColumnRenamed("c1", "c_w1"), "w1")
+        .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("c1", "c_w2"), "w2")
     )
     score = F.log(
         lam * (F.col("c2") / F.col("c_w1"))
@@ -1826,8 +1833,9 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     m2 = bg.groupBy("w2").agg(F.sum("n").alias("c2"))
     scored = (
         bg.filter(F.col("n") >= _PMI_MIN_COUNT)
-        .join(F.broadcast(m1), "w1")
-        .join(F.broadcast(m2), "w2")
+        # marginal tables are vocab-scaled — no broadcast hints
+        .join(m1, "w1")
+        .join(m2, "w2")
         .select(
             "w1",
             "w2",
