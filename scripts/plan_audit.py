@@ -74,6 +74,7 @@ def main() -> None:
     agg["notes"] = {
         "graph_pagerank_influence": "SortMergeJoin expected: rank x edge joins are large-pair at scale (AQE broadcasts the 16k-row ranks at toy SF); 7 exchanges = 5 inflow aggs + build — the edge table is checkpointed hash-partitioned on src (AQE-off for that one job), so no round re-shuffles it",
         "join_full_outer_nation_wealth": "SortMergeJoin expected: FULL OUTER cannot broadcast",
+        "dedup_apply_keep_canonical": "SortMergeJoin expected: the anti-join drop set scales with the duplicate fraction of the corpus, so it carries no broadcast hint (round-4 policy) and the checkpointed CC side sits outside AQE's re-plan boundary at toy SF — SMJ on doc_id is the correct strategy at scale",
         "udtf_token_positions": "BatchEvalPython expected: Python UDTFs are row-at-a-time by API design; the query exists to pin that extension surface",
         "single_partition_window_whitelist": {
             "detector": "Window operators whose child exchange is SinglePartition, EXCLUDING operators/distrank.py's carry-in-offset windows (marker __dr_pid, <= buckets per-partition-count rows by construction); every query listed in with_single_partition_window must be justified here",
