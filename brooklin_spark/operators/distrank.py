@@ -103,9 +103,27 @@ def global_row_number(
     # (bounded metadata input, whitelisted in the plan audit).
     ow = W.orderBy(_PID).rowsBetween(W.unboundedPreceding, W.currentRow)
     tw = W.orderBy(_PID).rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    # HARD GUARD: the packed monotonic id holds the local row index in 33
+    # bits, so a range partition with > 2^33 rows would silently corrupt
+    # both pid and local rank (the index carries into the pid bits).
+    # raise_error fires during the (tiny) offsets evaluation instead —
+    # callers must raise `buckets` for tables that big.
+    overflow = F.when(
+        F.col(_CNT) > F.lit(_LOW33),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "distrank: range partition exceeds 2^33 rows — "
+                    "increase `buckets` (rows in partition: "
+                ),
+                F.col(_CNT).cast("string"),
+                F.lit(")"),
+            )
+        ).cast("long"),
+    ).otherwise(F.lit(0))
     offs = counts.select(
         _PID,
-        (F.sum(_CNT).over(ow) - F.col(_CNT)).alias(_OFF),
+        (F.sum(_CNT).over(ow) - F.col(_CNT) + overflow).alias(_OFF),
         F.sum(_CNT).over(tw).alias(_TOT),
     )
     joined = local.join(F.broadcast(offs), _PID)

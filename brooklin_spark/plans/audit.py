@@ -83,16 +83,35 @@ def single_partition_window_lines(df: DataFrame) -> list[str]:
     plan = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
     lines = plan.splitlines()
     hits: list[str] = []
+    # operators that sit between a Window and its distribution-enforcing
+    # exchange in both the initial AND the finalized-AQE plan text
+    passthrough = (
+        "Sort ",
+        "*(",  # WholeStageCodegen prefix
+        "WholeStageCodegen",
+        "InputAdapter",
+        "AQEShuffleRead",
+        "ShuffleQueryStage",
+        "ColumnarToRow",
+        "Project ",
+    )
     for i, ln in enumerate(lines):
         if "windowspecdefinition" not in ln or "Window" not in ln:
             continue
         if any(m in ln for m in SP_WINDOW_WHITELIST_MARKERS):
             continue
-        # the ENSURE_REQUIREMENTS exchange sits at most a Sort below
-        for nxt in lines[i + 1 : i + 4]:
-            if "Exchange SinglePartition" in nxt:
+        # walk the child chain through pass-through operators until the
+        # enforcing exchange (or a non-pass-through operator) appears —
+        # a fixed 3-line window misses finalized AQE plans, which insert
+        # ShuffleQueryStage/AQEShuffleRead between Sort and Exchange
+        for nxt in lines[i + 1 : i + 12]:
+            if "Exchange SinglePartition" in nxt or "SinglePartition" in nxt:
                 hits.append(ln.strip()[:200])
                 break
+            body = nxt.strip().lstrip("+-:* ")
+            if not body or any(p in nxt for p in passthrough):
+                continue
+            break  # a real operator that is not part of the exchange chain
     return hits
 
 

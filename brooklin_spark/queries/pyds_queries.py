@@ -275,17 +275,19 @@ def streaming_pyds_txn_sink_rollup(spark: SparkSession, sf_dir: str) -> DataFram
         q.processAllAvailable()
     finally:
         q.stop()
-    files = pyds.committed_files(out)
-    delivered = spark.read.schema(
-        "o_orderkey bigint, o_orderpriority string, o_totalprice double"
-    ).json(files)
-    agg = delivered.groupBy("o_orderpriority").agg(
-        F.count("*").alias("n_orders"),
-        F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
-        .cast("double")
-        .alias("revenue"),
-    )
-    # bounded-drain contract: materialize before the temp dirs go away
-    result = agg.localCheckpoint(eager=True)
-    shutil.rmtree(work, ignore_errors=True)
+    try:
+        files = pyds.committed_files(out)
+        delivered = spark.read.schema(
+            "o_orderkey bigint, o_orderpriority string, o_totalprice double"
+        ).json(files)
+        agg = delivered.groupBy("o_orderpriority").agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        # bounded-drain contract: materialize before the temp dirs go away
+        result = agg.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
     return result

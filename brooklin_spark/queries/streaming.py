@@ -601,8 +601,15 @@ def _minhash_ingest_run(spark, split_dir, on_epoch_bytes=None) -> DataFrame:
         keep = batch_df.select("doc_id", "source").join(
             dropped.distinct(), "doc_id", "left_anti"
         )
-        keep.write.mode("append").parquet(surv)
-        pre = _dir_parquet_bytes(store)
+        # IDEMPOTENT per epoch: foreachBatch is at-least-once, so a
+        # re-executed batch overwrites ITS OWN epoch dir instead of
+        # double-appending survivors (store-band duplicates stay harmless
+        # by the semi-join argument, but survivor rows must not repeat)
+        keep.write.mode("overwrite").parquet(
+            os.path.join(surv, f"epoch={_epoch}")
+        )
+        if on_epoch_bytes is not None:
+            pre = _dir_parquet_bytes(store)
         # append ONLY this batch's bands — never rewrite the store
         banded.select(*keys).distinct().write.mode("append").partitionBy(
             "band_id"
@@ -734,8 +741,12 @@ def _simhash_ingest_run(spark, split_dir, on_epoch_bytes=None) -> DataFrame:
         keep = batch_df.select("doc_id", "source").join(
             dropped.distinct(), "doc_id", "left_anti"
         )
-        keep.write.mode("append").parquet(surv)
-        pre = _dir_parquet_bytes(store)
+        # idempotent per epoch — see _minhash_ingest_run
+        keep.write.mode("overwrite").parquet(
+            os.path.join(surv, f"epoch={_epoch}")
+        )
+        if on_epoch_bytes is not None:
+            pre = _dir_parquet_bytes(store)
         # append ONLY this batch's bands — never rewrite the store
         banded.select("band_id", "band_key", "sig").distinct().write.mode(
             "append"

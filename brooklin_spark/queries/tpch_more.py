@@ -1133,10 +1133,13 @@ def dq_validation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-check .agg() calls would scan orders 4x and lineitem 3x
     ord_checks = o.agg(
         (F.count("*") - F.count_distinct(F.col("o_orderkey"))).alias("pk"),
-        F.sum((~F.col("o_orderstatus").isin("O", "F", "P")).cast("long")).alias(
-            "status"
-        ),
-        F.sum((F.col("o_totalprice") <= 0).cast("long")).alias("price"),
+        F.coalesce(
+            F.sum((~F.col("o_orderstatus").isin("O", "F", "P")).cast("long")),
+            F.lit(0),
+        ).alias("status"),
+        F.coalesce(
+            F.sum((F.col("o_totalprice") <= 0).cast("long")), F.lit(0)
+        ).alias("price"),
     ).select(
         F.expr(
             "stack(3, 'orders_pk_unique', pk, 'orders_status_accepted', status,"
@@ -1144,11 +1147,19 @@ def dq_validation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).select("check_name", F.col("n_violations").cast("bigint").alias("n_violations"))
     li_checks = li.agg(
-        F.sum(
-            ((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)).cast("long")
+        # coalesce: sum over an EMPTY table is NULL, but a DQ report
+        # must say 0 violations, not "not evaluated"
+        F.coalesce(
+            F.sum(
+                ((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)).cast("long")
+            ),
+            F.lit(0),
         ).alias("qty"),
-        F.sum(
-            ((F.col("l_discount") < 0.0) | (F.col("l_discount") > 0.1)).cast("long")
+        F.coalesce(
+            F.sum(
+                ((F.col("l_discount") < 0.0) | (F.col("l_discount") > 0.1)).cast("long")
+            ),
+            F.lit(0),
         ).alias("disc"),
     ).select(
         F.expr(

@@ -302,11 +302,28 @@ class TransactionalDirStreamWriter(DataSourceStreamWriter):
     def __init__(self, options):
         self.path = options["path"]
 
-    # runs on EXECUTORS — one staged file per task
+    # runs on EXECUTORS — one staged file per task.
+    # Type mapping (so a numeric read-back schema stays numeric):
+    # Decimal -> JSON number (float), date/timestamp -> ISO string (read
+    # back as string or via to_timestamp), binary -> hex string; plain
+    # str() only as the last-resort fallback.
     def write(self, iterator):
+        import datetime as _dt
         import json as _json
         import os as _os
         import uuid as _uuid
+        from decimal import Decimal as _Dec
+
+        def safe(v):
+            if isinstance(v, _Dec):
+                return float(v)
+            if isinstance(v, _dt.datetime):
+                return v.isoformat(sep=" ")
+            if isinstance(v, _dt.date):
+                return v.isoformat()
+            if isinstance(v, (bytes, bytearray)):
+                return bytes(v).hex()
+            return v
 
         tmp_dir = _os.path.join(self.path, "_tmp")
         _os.makedirs(tmp_dir, exist_ok=True)
@@ -314,7 +331,8 @@ class TransactionalDirStreamWriter(DataSourceStreamWriter):
         n = 0
         with open(fp, "w") as f:
             for row in iterator:
-                f.write(_json.dumps(row.asDict(), default=str) + "\n")
+                d = {k: safe(v) for k, v in row.asDict().items()}
+                f.write(_json.dumps(d, default=str) + "\n")
                 n += 1
         return _FileCommit(fp, n)
 
@@ -326,11 +344,9 @@ class TransactionalDirStreamWriter(DataSourceStreamWriter):
     # exactly-once; the reference's flushless-checkpoint analog).
     def commit(self, messages, batchId) -> None:
         manifest = os.path.join(self.path, "_manifest.jsonl")
-        if os.path.exists(manifest):
-            with open(manifest) as f:
-                if any(json.loads(ln)["epoch"] == batchId for ln in f):
-                    self.abort(messages, batchId)
-                    return
+        if any(e["epoch"] == batchId for e in _manifest_entries(manifest)):
+            self.abort(messages, batchId)
+            return
         data_dir = os.path.join(self.path, "data")
         os.makedirs(data_dir, exist_ok=True)
         promoted, rows = [], 0
@@ -347,11 +363,17 @@ class TransactionalDirStreamWriter(DataSourceStreamWriter):
             os.rename(m.path, dst)
             promoted.append(dst)
             rows += m.rows
-        with open(os.path.join(self.path, "_manifest.jsonl"), "a") as f:
+        # fsync'd append: a crash BEFORE the line lands leaves only
+        # manifest-invisible orphans in data/ (a retried commit writes a
+        # fresh line for its own stages); a torn trailing line is skipped
+        # by the tolerant parse in _manifest_entries
+        with open(manifest, "a") as f:
             f.write(
                 json.dumps({"epoch": batchId, "files": promoted, "rows": rows})
                 + "\n"
             )
+            f.flush()
+            os.fsync(f.fileno())
 
     def abort(self, messages, batchId) -> None:
         for m in messages or []:
@@ -373,16 +395,31 @@ class TransactionalDirDataSource(DataSource):
         return TransactionalDirStreamWriter(self.options)
 
 
-def committed_files(path: str) -> list:
-    """Files promoted by a completed commit — the ONLY thing a reader
-    may consume (torn/aborted epochs never reach the manifest)."""
-    manifest = os.path.join(path, "_manifest.jsonl")
+def _manifest_entries(manifest: str) -> list:
+    """Parsed manifest lines, TOLERANT of a torn trailing line (a crash
+    mid-append must not poison the sink — the partial line's epoch was
+    never durably committed, so skipping it is the correct recovery)."""
     out: list = []
     if not os.path.exists(manifest):
         return out
     with open(manifest) as f:
         for line in f:
-            out.extend(json.loads(line)["files"])
+            if not line.endswith("\n"):
+                break  # torn tail: epoch not durably committed
+            try:
+                out.append(json.loads(line))
+            except ValueError:
+                break  # garbage tail from a partial write
+    return out
+
+
+def committed_files(path: str) -> list:
+    """Files promoted by a completed commit — the ONLY thing a reader
+    may consume (torn/aborted epochs never reach the manifest)."""
+    manifest = os.path.join(path, "_manifest.jsonl")
+    out: list = []
+    for entry in _manifest_entries(manifest):
+        out.extend(entry["files"])
     return out
 
 
