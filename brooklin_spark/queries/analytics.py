@@ -869,3 +869,64 @@ def orders_revenue_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# EWMA-smoothed daily event volume per type: e_1 = x_1, e_t = a*x_t +
+# (1-a)*e_{t-1} (pandas adjust=False semantics) — the standard trend
+# smoother an ops dashboard lays over raw daily counts. The recursion is
+# rewritten as a closed-form ordered cumulative sum so the whole query
+# stays JVM-side window arithmetic (no per-key UDF loop):
+#   e_t = (1-a)^t * SUM_{i<=t} x_i * w_i / (1-a)^i,  w_1 = 1, w_i = a.
+# Scale shape: one (type, day) aggregate (single shuffle), then windows
+# partitioned per series — parallelism = #series, state = horizon. The
+# (1-a)^-i rescale bounds the horizon numerically (~2k days at a=0.3
+# before double overflow); a longer horizon wants the log-domain segment
+# form — documented, not needed at a 30-day window.
+# ---------------------------------------------------------------------------
+
+_EWMA_ALPHA = 0.3
+
+
+@query(
+    "events_ewma_daily",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+      FROM events GROUP BY 1, 2),
+    seq AS (
+      SELECT event_type, day, n,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS t
+      FROM daily),
+    w AS (
+      SELECT *, n * (CASE WHEN t = 1 THEN 1.0 ELSE {_EWMA_ALPHA} END)
+                / POWER({1 - _EWMA_ALPHA}, t) AS wgt
+      FROM seq)
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+           CAST(n AS BIGINT) AS n,
+           round(POWER({1 - _EWMA_ALPHA}, t)
+                 * SUM(wgt) OVER (PARTITION BY event_type ORDER BY day
+                                  ROWS UNBOUNDED PRECEDING), 6) AS ewma
+    FROM w
+    """,
+)
+def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").alias("n"))
+    sw = W.partitionBy("event_type").orderBy("day")
+    seq = daily.withColumn("t", F.row_number().over(sw))
+    decay = F.lit(1 - _EWMA_ALPHA)
+    wgt = (
+        F.col("n")
+        * F.when(F.col("t") == 1, F.lit(1.0)).otherwise(F.lit(_EWMA_ALPHA))
+        / F.pow(decay, F.col("t"))
+    )
+    cum = F.sum(wgt.alias("wgt")).over(sw.rowsBetween(W.unboundedPreceding, W.currentRow))
+    return seq.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.pow(decay, F.col("t")) * cum, 6).alias("ewma"),
+    )

@@ -51,6 +51,48 @@ def dedup_exact_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Bag-of-words exact dedup: fingerprint = md5 over the SORTED token list,
+# so token-order permutations of the same content collapse (the curation
+# step between raw-byte dedup above and fuzzy Jaccard below — catches
+# shuffled boilerplate that md5(text) misses and Jaccard only scores).
+# Same 100 TB shape as the raw fingerprint: the sort is per-row map-side
+# (bounded by doc length), then one shuffle on the fingerprint.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_bow_fingerprint",
+    oracle="""
+    WITH fp AS (
+      SELECT source,
+             md5(array_to_string(list_sort(list_filter(string_split(text, ' '),
+                                                       x -> x <> '')), ' ')) AS fp,
+             count(*) AS n, min(doc_id) AS canonical
+      FROM documents GROUP BY 1, 2)
+    SELECT source,
+           CAST(SUM(n) AS BIGINT) AS n_docs,
+           COUNT(*) AS n_unique,
+           CAST(SUM(n) - COUNT(*) AS BIGINT) AS n_redundant,
+           CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups
+    FROM fp GROUP BY source
+    """,
+)
+def dedup_bow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    fp = docs.groupBy(
+        "source",
+        F.md5(F.concat_ws(" ", F.array_sort(toks))).alias("fp"),
+    ).agg(F.count("*").alias("n"), F.min("doc_id").alias("canonical"))
+    return fp.groupBy("source").agg(
+        F.sum("n").cast("bigint").alias("n_docs"),
+        F.count("*").alias("n_unique"),
+        (F.sum("n") - F.count("*")).cast("bigint").alias("n_redundant"),
+        F.sum((F.col("n") > 1).cast("int")).cast("bigint").alias("n_dup_groups"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Exact n-gram Jaccard over all pairs sharing a shingle. This is the
 # verification kernel; standalone it's only sane at modest corpus sizes
 # (the LSH query below is the scale path that feeds it candidates).
