@@ -930,3 +930,33 @@ def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n"),
         F.round(F.pow(decay, F.col("t")) * cum, 6).alias("ewma"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Top-k most active users via the Misra-Gries candidate sketch + exact
+# recount (operators/heavyhitters.py). On THIS near-uniform testdata the
+# exactness guard proves the sketch at sf<=0.1 (top user owns >> N/(m+1))
+# and falls back to the exact aggregate where it cannot — either way the
+# result equals the plain GROUP BY top-k, which is exactly what the
+# oracle runs. The sketch is the 100 TB story: candidate traffic is
+# bounded by partitions*capacity, not by distinct-key cardinality.
+# ---------------------------------------------------------------------------
+
+_HH_K = 20
+
+
+@query(
+    "events_heavy_hitters",
+    oracle=f"""
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM events GROUP BY user_id
+    ORDER BY cnt DESC, user_id LIMIT {_HH_K}
+    """,
+)
+def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from brooklin_spark.operators.heavyhitters import top_k_exact
+
+    e = table(spark, sf_dir, "events")
+    return top_k_exact(e, "user_id", k=_HH_K).select(
+        F.col("key").alias("user_id"), "cnt"
+    )
