@@ -928,3 +928,45 @@ def join_full_outer_nation_wealth(spark: SparkSession, sf_dir: str) -> DataFrame
         F.coalesce("cust_bal", F.lit(0.0)).alias("cust_bal"),
         F.coalesce("supp_bal", F.lit(0.0)).alias("supp_bal"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Runtime bloom-filter join pruning: urgent-order revenue by month. The
+# selective orders filter (1/5 of the table) joins the unfiltered
+# lineitem scan on the order key — the shape Spark's runtime row-level
+# filtering (spark.sql.optimizer.runtime.bloomFilter.*, on by default)
+# targets at scale: a bloom filter built from the filtered creation side
+# is pushed into the application-side scan, so lineitem rows for
+# non-urgent orders die at the scan instead of riding the shuffle. At
+# bench SF the creation side is small enough that AQE broadcasts and no
+# filter is needed; tests/test_plan_quality.py pins the injection itself
+# under production thresholds (broadcast off, scan-size floor zeroed) by
+# asserting BloomFilterMightContain reaches the lineitem scan's filter.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_runtime_bloom_urgent_revenue",
+    oracle="""
+    SELECT strftime(date_trunc('month', o.o_orderdate), '%Y-%m') AS month,
+           CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1 AS DECIMAL(12,2)) - CAST(l.l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+             AS revenue
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    GROUP BY 1
+    """,
+)
+def join_runtime_bloom_urgent_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    li = table(spark, sf_dir, "lineitem")
+    revenue = dec("l_extendedprice") * one_minus("l_discount")
+    return (
+        o.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month"))
+        .agg(
+            F.countDistinct("o_orderkey").cast("bigint").alias("n_orders"),
+            dsum(revenue, "revenue"),
+        )
+    )

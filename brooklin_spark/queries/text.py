@@ -1703,6 +1703,61 @@ def text_bpe_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# BPE ENCODE audit: apply the learned merges to the whole corpus and
+# report per-source tokenizer-quality metrics — fertility (subwords per
+# word) and chars per subword, the two numbers a tokenizer team watches
+# when cutting a vocab. No second merge machinery: after training, the
+# word table (wid -> syms) IS the encoding of every distinct word, so
+# encode = one corpus scan joined to the vocab-bounded word table on the
+# term (broadcast/term-keyed at web scale), then two aggregates. Oracle:
+# the trainer's unrolled SQL continued through the same join.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_bpe_encode_stats",
+    oracle=f"""
+    WITH dtoks AS (
+      SELECT doc_id, source, unnest({_TOK}) AS w FROM documents),
+    toks AS (SELECT w FROM dtoks),
+    words_0 AS (
+      SELECT w AS wid, COUNT(*) AS cnt,
+             list_transform(generate_series(1, length(w)), i -> w[i]) AS syms
+      FROM toks GROUP BY w),
+    {",".join(_bpe_round_sql(k) for k in range(_BPE_ROUNDS))},
+    sub AS (SELECT wid, len(syms) AS n_sub FROM words_{_BPE_ROUNDS}),
+    enc AS (
+      SELECT t.doc_id, t.source, length(t.w) AS n_chr, s.n_sub
+      FROM dtoks t JOIN sub s ON t.w = s.wid)
+    SELECT source,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_sub) AS BIGINT) AS total_subwords,
+           round(CAST(SUM(n_sub) AS DOUBLE) / COUNT(*), 6) AS fertility,
+           round(CAST(SUM(n_chr) AS DOUBLE) / SUM(n_sub), 6) AS chars_per_subword
+    FROM enc GROUP BY source
+    """,
+)
+def text_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    words, _ = _bpe_fit(spark, sf_dir)
+    sub = words.select("wid", F.size("syms").alias("n_sub"))
+    docs = table(spark, sf_dir, "documents")
+    dtoks = docs.select("doc_id", "source", F.explode(X.tokens()).alias("w"))
+    enc = dtoks.join(sub, dtoks.w == sub.wid).select(
+        "doc_id", "source", F.length("w").alias("n_chr"), "n_sub"
+    )
+    return enc.groupBy("source").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        F.count("*").cast("bigint").alias("total_tokens"),
+        F.sum("n_sub").cast("bigint").alias("total_subwords"),
+        F.round(F.sum("n_sub").cast("double") / F.count("*"), 6).alias("fertility"),
+        F.round(F.sum("n_chr").cast("double") / F.sum("n_sub"), 6).alias(
+            "chars_per_subword"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Interpolated bigram log-probability scoring: rank documents by the mean
 # log of lambda*p(w2|w1) + (1-lambda)*p(w2) over their adjacent token
 # pairs — the LM-quality upgrade over text_unigram_logprob (catches

@@ -587,3 +587,34 @@ def test_pagerank_rounds_do_not_reshuffle_edges(spark, sf_correct):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     edge_exchanges = re.findall(r"Exchange hashpartitioning\(src#\d+", plan)
     assert not edge_exchanges, edge_exchanges
+
+
+def test_runtime_bloom_filter_reaches_lineitem_scan(spark, sf_correct):
+    """Under production conditions (creation side shuffle-joined, not
+    broadcast; application-side scan over the floor) Spark must inject a
+    runtime bloom filter: built from the filtered orders side, applied as
+    might_contain() in the lineitem-side Filter — rows for non-urgent
+    orders die at the scan instead of riding the big shuffle. At bench SF
+    AQE broadcasts instead (also fine); this test pins the injection path
+    itself with the thresholds at their scale-equivalent settings."""
+    from brooklin_spark.queries.relational import join_runtime_bloom_urgent_revenue
+
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_floor = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+    )
+    try:
+        df = join_runtime_bloom_urgent_revenue(spark, sf_correct)
+        plan = executed_plan(df)
+        assert "might_contain" in plan, plan
+        assert "bloom_filter_agg" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            prev_floor,
+        )
