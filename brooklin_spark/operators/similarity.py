@@ -45,6 +45,20 @@ def _collect_matrix(
     return ids, mat / norms[:, None]
 
 
+def _collect_matrix_raw(
+    df: DataFrame, id_col: str, vec_col: str
+) -> tuple[np.ndarray, np.ndarray]:
+    """Like _collect_matrix but WITHOUT row normalization — for L2/PQ
+    arithmetic, where the oracle works on raw vectors and normalizing a
+    near-unit vector injects ~1e-8 noise that can flip a rounded-6
+    boundary (observed: 3/40 adc_dist rows off by 1e-6 at sf0.1)."""
+    rows = df.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    order = np.argsort(ids)
+    return ids[order], mat[order]
+
+
 def _batch_matrix(series: pd.Series) -> np.ndarray:
     """Stack an Arrow list<float> column into a normalized float64 matrix."""
     mat = np.stack([np.asarray(v, dtype=np.float64) for v in series])
@@ -705,7 +719,10 @@ def pq_adc_topk(
     if D % m:
         raise ValueError(f"dim {D} not divisible by m={m}")
     d = D // m
-    q_ids, qm = _collect_matrix(queries, id_col, vec_col)
+    # RAW query matrix: the LUT is subspace L2 against the raw codebook —
+    # normalizing a near-unit query perturbs distances ~1e-8 and can flip
+    # a rounded-6 boundary vs the oracle's raw arithmetic
+    q_ids, qm = _collect_matrix_raw(queries, id_col, vec_col)
     lut = np.zeros((len(q_ids), m, cb.shape[0]))
     for j in range(m):
         diff = qm[:, None, j * d : (j + 1) * d] - cb[None, :, j * d : (j + 1) * d]
@@ -735,6 +752,107 @@ def pq_adc_topk(
 
     scored = corpus.select(id_col, vec_col).mapInPandas(
         op, schema="query_id bigint, neighbor_id bigint, adc_dist double"
+    )
+    w = W.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= topk)
+    )
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    codebook: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    nprobe: int = 2,
+    topk: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ search — the full billion-scale ANN layout (Jegou et al.):
+    coarse IVF routing picks ``nprobe`` lists per query, PQ codes stand in
+    for the raw vectors inside the probed lists, and the approximate
+    distance is an m-entry lookup-table sum (ADC).
+
+    This composes the two index kernels already in this module:
+    - index build = ``ivf_assign`` (list id per vector) + ``pq_encode``
+      (m-byte code per vector), BOTH shuffle-free mapInPandas passes;
+      their join on vec_id is the one index-build shuffle, paid once at
+      build time in production.
+    - query path = broadcast(probes) ⋈ index to select candidates, then m
+      broadcast joins against the per-query LUT tables (Q*k rows each) —
+      ENTIRELY JVM-side: the candidate stream carries m ints per row, not
+      the raw vector, exactly the memory story that makes IVF-PQ fit a
+      billion vectors in executor RAM. No Python in the query path.
+
+    Deterministic end-to-end (rounded-6 cosine routing with cid
+    tie-breaks, rounded-6 subspace distances with lowest-code tie-break,
+    rounded-6 ADC sums) — the approximation itself is oracle-checkable.
+    """
+    from pyspark.sql import Window as W
+
+    spark = corpus.sparkSession
+    index = ivf_assign(corpus, centroids, id_col, vec_col).join(
+        pq_encode(corpus, codebook, m, k, id_col, vec_col).drop("recon_err"),
+        "vec_id",
+    )
+
+    # probes: queries x centroids both broadcast-small (same as ivf_topk).
+    # Normalized matrices for the cosine routing; the PQ LUT below needs
+    # the RAW query rows (subspace L2, cf. pq_adc_topk)
+    c_ids, cm = _collect_matrix(centroids, id_col, vec_col)
+    q_ids, qm = _collect_matrix(queries, id_col, vec_col)
+    _, qraw = _collect_matrix_raw(queries, id_col, vec_col)
+    qsims = np.round(qm @ cm.T, 6)
+    probes = spark.createDataFrame(
+        [
+            (int(qid), int(c_ids[j]))
+            for i, qid in enumerate(q_ids)
+            for j in np.lexsort((c_ids, -qsims[i]))[:nprobe]
+        ],
+        "query_id bigint, cid bigint",
+    )
+
+    # per-query subspace LUTs from the raw codebook (driver-side numpy,
+    # Q*m*k doubles), shipped as m broadcast-joinable (query_id, code, d)
+    rows = codebook.orderBy(id_col).limit(k).select(id_col, vec_col).collect()
+    rows.sort(key=lambda r: r[0])
+    cb = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    d = cb.shape[1] // m
+    luts = []
+    for j in range(m):
+        diff = qraw[:, None, j * d : (j + 1) * d] - cb[None, :, j * d : (j + 1) * d]
+        dj = np.round((diff * diff).sum(-1), 6)
+        luts.append(
+            spark.createDataFrame(
+                [
+                    (int(qid), int(code), float(dj[i, code]))
+                    for i, qid in enumerate(q_ids)
+                    for code in range(cb.shape[0])
+                ],
+                f"query_id bigint, code_{j} int, d{j} double",
+            )
+        )
+
+    cand = (
+        F.broadcast(probes)
+        .join(index, "cid")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .withColumnRenamed("vec_id", "neighbor_id")
+    )
+    for j in range(m):
+        cand = cand.join(
+            F.broadcast(luts[j]),
+            (cand[f"c{j}"] == luts[j][f"code_{j}"])
+            & (cand["query_id"] == luts[j]["query_id"]),
+        ).drop(luts[j]["query_id"]).drop(f"code_{j}")
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(sum(F.col(f"d{j}") for j in range(m)), 6).alias("adc_dist"),
     )
     w = W.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
     return (

@@ -622,6 +622,77 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# IVF-PQ: the combined billion-scale ANN layout — IVF routing restricts
+# the scan to the probed lists, PQ/ADC replaces raw vectors with m-byte
+# codes inside them (operators/similarity.py:ivfpq_topk). Both index
+# kernels (list assignment, PQ encode) are the shuffle-free mapInPandas
+# passes used by ann_ivf_topk / ann_pq_adc_topk; the query path is pure
+# JVM broadcast-LUT joins. Deterministic throughout, so the DOUBLE
+# approximation (IVF misses x PQ distortion) is itself oracle-checked.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ann_ivfpq_topk",
+    oracle=f"""
+    WITH cent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < {_IVF_C}),
+    routed AS (
+      SELECT e.vec_id, c.cid,
+             round(list_cosine_similarity(e.embedding::DOUBLE[], c.cvec::DOUBLE[]), 6) AS sim
+      FROM embeddings e CROSS JOIN cent c),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
+        FROM routed) t WHERE rn = 1),
+    probes AS (
+      SELECT vec_id AS query_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
+        FROM routed WHERE vec_id < 8) t WHERE rn <= {_IVF_NPROBE}),
+    cb AS (SELECT vec_id AS code, embedding FROM embeddings WHERE vec_id < {_PQ_K}),
+    cd AS (
+      SELECT e.vec_id, cb.code,
+             {", ".join(f"{_pq_dist_sql(j)} AS d{j}" for j in range(_PQ_M))}
+      FROM embeddings e CROSS JOIN cb),
+    codes AS (
+      SELECT vec_id,
+             {", ".join(f"FIRST(code ORDER BY d{j} ASC, code ASC) AS c{j}" for j in range(_PQ_M))}
+      FROM cd GROUP BY vec_id),
+    qlut AS (
+      SELECT q.vec_id AS query_id, cb.code,
+             {", ".join(f"{_pq_qdist_sql(j)} AS d{j}" for j in range(_PQ_M))}
+      FROM embeddings q CROSS JOIN cb WHERE q.vec_id < 8),
+    cand AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id
+      FROM probes p JOIN assign a ON a.cid = p.cid
+      WHERE a.vec_id <> p.query_id),
+    adc AS (
+      SELECT x.query_id, x.neighbor_id,
+             round({" + ".join(f"t{j}.d{j}" for j in range(_PQ_M))}, 6) AS adc_dist
+      FROM cand x
+      JOIN codes c ON c.vec_id = x.neighbor_id
+      {" ".join(
+          f"JOIN qlut t{j} ON t{j}.code = c.c{j} AND t{j}.query_id = x.query_id"
+          for j in range(_PQ_M))}),
+    ranked AS (
+      SELECT query_id, neighbor_id, adc_dist,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_dist ASC, neighbor_id ASC) AS rank
+      FROM adc)
+    SELECT query_id, neighbor_id, adc_dist, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    cent = emb.filter(F.col("vec_id") < _IVF_C)
+    cb = emb.filter(F.col("vec_id") < _PQ_K)
+    return S.ivfpq_topk(
+        queries, emb, cent, cb, m=_PQ_M, k=_PQ_K, nprobe=_IVF_NPROBE, topk=5
+    )
+
+
+# ---------------------------------------------------------------------------
 # Scalar int8 quantization (SQ8): per-dimension [min, max] ranges over the
 # corpus, each value mapped to round(255 * (x - lo) / (hi - lo)) - 128 —
 # the 4x-compression step vector stores apply before PQ. Ranges come from

@@ -618,3 +618,22 @@ def test_runtime_bloom_filter_reaches_lineitem_scan(spark, sf_correct):
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
             prev_floor,
         )
+
+
+def test_ivfpq_query_path_is_jvm_only(spark, sf_correct):
+    """IVF-PQ: exactly two Python kernels may appear — the index build's
+    ivf_assign + pq_encode mapInPandas passes. The QUERY path (candidate
+    selection, LUT joins, ADC sum, rank) must be entirely JVM-side: the
+    memory story of PQ dies if scoring drags raw vectors back into
+    Python. Guards against a rewrite quietly adding a pandas scorer."""
+    from brooklin_spark.registry import QUERIES
+
+    import re
+
+    df = QUERIES["ann_ivfpq_topk"](spark, sf_correct)
+    plan = executed_plan(df)
+    # the formatted explain prints each node in the tree AND the details
+    # section — count tree nodes only
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 2, plan
+    assert "ArrowEvalPython" not in plan, plan
+    assert "FlatMapGroupsInPandas" not in plan, plan
