@@ -1503,6 +1503,161 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Two-stage retrieve-rerank: BM25 recalls top-50 candidates cheaply, then
+# a FULL-vocabulary tf-idf cosine rescores only those 50 — the classic
+# retrieval funnel (cheap recall stage feeding an expensive precision
+# stage; at production scale stage 2 is a cross-encoder — the funnel
+# shape and the candidate-restricted cost are what this pins). Scale: the
+# expensive per-doc work (all-terms tf-idf norms) runs ONLY on candidate
+# docs via a 50-row broadcast semi-join; the corpus-wide stages are the
+# same vocab-keyed aggregates BM25 already pays. One tokenize pass
+# (checkpointed) feeds both stages.
+# ---------------------------------------------------------------------------
+
+_RR_CANDIDATES = 50
+_RR_K = 10
+
+
+@query(
+    "text_retrieve_rerank",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOK}) AS term FROM documents),
+    lens AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM lens),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks
+      WHERE term IN ({_BM25_IN}) GROUP BY doc_id, term),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id,
+             SUM(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+                 * tf.tf * ({_BM25_K1} + 1)
+                 / (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * lens.dl / s.avgdl))
+             ) AS score
+      FROM tf JOIN df USING (term) JOIN lens USING (doc_id) CROSS JOIN stats s
+      GROUP BY tf.doc_id),
+    cand AS (
+      SELECT doc_id, score FROM (
+        SELECT doc_id, score,
+               ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+        FROM scored) t WHERE rank <= {_RR_CANDIDATES}),
+    dfa AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS dfa FROM toks GROUP BY term),
+    widf AS (
+      SELECT term, ln(CAST(s.n_docs AS DOUBLE) / dfa) AS idf
+      FROM dfa CROSS JOIN stats s),
+    tfa AS (
+      SELECT t.doc_id, t.term, COUNT(*) AS tf FROM toks t
+      WHERE t.doc_id IN (SELECT doc_id FROM cand)
+      GROUP BY t.doc_id, t.term),
+    dnorm AS (
+      SELECT a.doc_id, sqrt(SUM(a.tf * w.idf * a.tf * w.idf)) AS dn
+      FROM tfa a JOIN widf w USING (term) GROUP BY a.doc_id),
+    qnorm AS (
+      SELECT sqrt(SUM(idf * idf)) AS qn FROM widf
+      WHERE term IN ({_BM25_IN})),
+    num AS (
+      SELECT a.doc_id, SUM(a.tf * w.idf * w.idf) AS num
+      FROM tfa a JOIN widf w USING (term)
+      WHERE a.term IN ({_BM25_IN})
+      GROUP BY a.doc_id),
+    rerank AS (
+      SELECT c.doc_id,
+             round(c.score, 8) AS bm25_score,
+             round(COALESCE(n.num, 0.0) / (d.dn * q.qn), 8) AS rerank_score
+      FROM cand c
+      JOIN dnorm d USING (doc_id)
+      LEFT JOIN num n USING (doc_id)
+      CROSS JOIN qnorm q)
+    SELECT doc_id, bm25_score, rerank_score, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY rerank_score DESC, doc_id ASC) AS rank
+      FROM rerank) t WHERE rank <= {_RR_K}
+    """,
+)
+def text_retrieve_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(X.tokens()).alias("term")
+    ).localCheckpoint()
+    lens = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    n_docs, avgdl = lens.agg(F.count("*"), F.avg("dl")).first()
+    tf = (
+        toks.filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log(
+        F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + _BM25_K1 * (
+        1 - _BM25_B + _BM25_B * F.col("dl") / F.lit(float(avgdl))
+    )
+    scored = (
+        tf.join(df, "term")
+        .join(lens, "doc_id")
+        .groupBy("doc_id")
+        .agg(F.sum(idf * F.col("tf") * (_BM25_K1 + 1) / denom).alias("score"))
+    )
+    # stage-1 recall: 50 rows via TakeOrdered; checkpoint so the three
+    # stage-2 readers (semi-join prune, numerator join, final join) reuse
+    # ONE evaluation of the BM25 subtree
+    cand = (
+        scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(_RR_CANDIDATES)
+        .localCheckpoint()
+    )
+    # full-vocab idf over the corpus (vocab-keyed aggregate, no hints)
+    widf = (
+        toks.groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("dfa"))
+        .select("term", F.log(F.lit(float(n_docs)) / F.col("dfa")).alias("idf"))
+    )
+    # expensive stage runs ONLY on candidates: 50-row broadcast semi-join
+    tfa = (
+        toks.join(F.broadcast(cand.select("doc_id")), "doc_id", "left_semi")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint()  # two readers: doc norms + query-term numerator
+    )
+    wtf = F.col("tf") * F.col("idf")
+    dnorm = (
+        tfa.join(widf, "term")
+        .groupBy("doc_id")
+        .agg(F.sqrt(F.sum(wtf * wtf)).alias("dn"))
+    )
+    qn = float(
+        widf.filter(F.col("term").isin(*_BM25_TERMS))
+        .agg(F.sqrt(F.sum(F.col("idf") * F.col("idf"))))
+        .first()[0]
+    )
+    num = (
+        tfa.filter(F.col("term").isin(*_BM25_TERMS))
+        .join(widf, "term")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("tf") * F.col("idf") * F.col("idf")).alias("num"))
+    )
+    rerank = (
+        cand.join(dnorm, "doc_id")
+        .join(num, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.round("score", 8).alias("bm25_score"),
+            F.round(
+                F.coalesce(F.col("num"), F.lit(0.0)) / (F.col("dn") * F.lit(qn)), 8
+            ).alias("rerank_score"),
+        )
+    )
+    rw = W.orderBy(F.desc("rerank_score"), F.asc("doc_id"))
+    return (
+        rerank.orderBy(F.desc("rerank_score"), F.asc("doc_id"))
+        .limit(_RR_K)
+        .withColumn("rank", F.row_number().over(rw).cast("bigint"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # BPE merge training (Sennrich et al. 2016): learn the first 6 byte-pair
 # merges from the corpus, frequency-weighted — the tokenizer-TRAINING step
 # upstream of text_token_ids' encode. The engine works on the word-count
