@@ -69,6 +69,12 @@ BENCH_QUERIES = [
     # round-4 additions: the de-global-windowed rank/ntile shapes
     "customers_rfm_segments",   # 3x distributed exact ntile (distrank)
     "corpus_shard_manifest",    # distributed LPT rank shard deal
+    # round-4 second-session additions
+    "ann_ivfpq_topk",           # IVF routing + PQ/ADC (JVM-only query path)
+    "text_retrieve_rerank",     # BM25 recall -> candidate-only tf-idf rerank
+    "events_heavy_hitters",     # Misra-Gries candidates + exact recount
+    "join_runtime_bloom_urgent_revenue",  # runtime-filter join shape
+    "text_bpe_encode_stats",    # encode-side fertility over trained merges
 ]
 
 

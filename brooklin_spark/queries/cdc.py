@@ -533,3 +533,61 @@ def security_tokenized_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("price").cast("double").alias("revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Schema evolution across snapshot generations: a source adds a column
+# mid-stream (the most common CDC schema change; reference analog is the
+# Avro reader/writer resolution in functions/serde.py — this is the same
+# contract at the LAKE layer). Two parquet generations with different
+# schemas are read back as ONE table via mergeSchema; pre-evolution rows
+# surface the new column as NULL, and the rollup proves no row and no
+# value is lost across the boundary. At 100 TB mergeSchema's footer-union
+# cost is per-FILE metadata work (no data rewrite — the point of additive
+# evolution); the aggregate is one scan + one small shuffle.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cdc_schema_evolution_union",
+    oracle="""
+    WITH unioned AS (
+      SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderpriority
+      FROM orders WHERE o_orderkey % 2 = 0
+      UNION ALL
+      SELECT o_orderkey, o_totalprice, o_orderpriority
+      FROM orders WHERE o_orderkey % 2 = 1)
+    SELECT COALESCE(o_orderpriority, '(pre-evolution)') AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_price,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM unioned GROUP BY 1
+    """,
+)
+def cdc_schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    o = table(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="bk-schevo-")
+    # generation 1: pre-evolution schema (no priority column)
+    o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    ).write.mode("overwrite").parquet(f"{root}/gen=1")
+    # generation 2: the source added o_orderpriority
+    o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    ).write.mode("overwrite").parquet(f"{root}/gen=2")
+    evolved = spark.read.option("mergeSchema", "true").parquet(
+        f"{root}/gen=1", f"{root}/gen=2"
+    )
+    return evolved.groupBy(
+        F.coalesce("o_orderpriority", F.lit("(pre-evolution)")).alias("priority")
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(14,2)")).cast("double").alias(
+            "total_price"
+        ),
+        F.min("o_orderkey").cast("bigint").alias("min_key"),
+        F.max("o_orderkey").cast("bigint").alias("max_key"),
+    )
