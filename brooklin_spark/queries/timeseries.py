@@ -1,0 +1,190 @@
+"""Time-series diagnostics over the events stream: lag-k autocorrelation
+and CUSUM change-point detection — the monitoring shapes a long-running
+ingest pipeline (reference: the Brooklin health/metrics surface,
+datastream-server/.../DatastreamServer.java diagnostics endpoints) feeds
+an alerting layer.
+
+Scale shape: both queries first collapse the event stream to ONE row per
+calendar day (a single map-side-combined groupBy — the only fact-scale
+shuffle), then operate on the calendar-scale daily series (|days| rows:
+~3.6k rows even for a decade of data). Cross-engine float parity comes
+from keeping every aggregate in exact BIGINT arithmetic and applying one
+identical IEEE-double formula at the end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from brooklin_spark.io import table
+from brooklin_spark.registry import query
+
+_ACF_MAX_LAG = 7
+
+
+def _daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    return e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count("*").alias("c")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lag-k autocorrelation of the daily event-count series, k = 1..7.
+# Pairs (x_d, x_{d+k}) are formed by a self-JOIN on day arithmetic — no
+# global window anywhere, so the plan holds at any calendar length. The
+# Pearson r is computed from six exact BIGINT sums (n, Σx, Σy, Σxy, Σx²,
+# Σy²); only the final closed-form expression runs in double, identically
+# on both engines (sums are cast to double first: the formula then
+# survives daily counts past the BIGINT-product range at 100 TB).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_autocorrelation",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, COUNT(*) AS c FROM events GROUP BY 1),
+    lags AS (SELECT UNNEST(generate_series(1, {_ACF_MAX_LAG})) AS lag),
+    paired AS (
+      SELECT l.lag, a.c AS x, b.c AS y
+      FROM lags l JOIN daily a ON TRUE
+      JOIN daily b ON b.day = a.day + CAST(l.lag AS INTEGER)),
+    mom AS (
+      SELECT lag,
+             COUNT(*) AS n,
+             SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+             SUM(x * x) AS sx2, SUM(y * y) AS sy2
+      FROM paired GROUP BY lag)
+    SELECT CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_pairs,
+           round(
+             (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / nullif(sqrt((CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                           * (CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE)
+                              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 0),
+             8) AS acf
+    FROM mom
+    """,
+)
+def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily(spark, sf_dir)
+    lags = spark.range(1, _ACF_MAX_LAG + 1).select(F.col("id").alias("lag"))
+    a = daily.alias("a")
+    b = daily.alias("b")
+    paired = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            F.col("b.day")
+            == F.date_add(F.col("a.day"), F.col("lag").cast("int")),
+        )
+        .select("lag", F.col("a.c").alias("x"), F.col("b.c").alias("y"))
+    )
+    mom = paired.groupBy("lag").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sx2"),
+        F.sum(F.col("y") * F.col("y")).alias("sy2"),
+    )
+    n, sx, sy = [F.col(c).cast("double") for c in ("n", "sx", "sy")]
+    sxy, sx2, sy2 = [F.col(c).cast("double") for c in ("sxy", "sx2", "sy2")]
+    den = F.sqrt((n * sx2 - sx * sx) * (n * sy2 - sy * sy))
+    acf = F.round((n * sxy - sx * sy) / F.nullif(den, F.lit(0.0)), 8)
+    return mom.select(
+        F.col("lag").cast("bigint").alias("lag"),
+        F.col("n").cast("bigint").alias("n_pairs"),
+        acf.alias("acf"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM change-point: the single split day t* maximizing
+# |S_t - (t/n)·S_n| over the daily-count series (the classic cumulative-
+# sum statistic; ties break to the earliest day). The cumulative sum runs
+# in ONE Window over the |days|-row daily aggregate — calendar scale by
+# construction (a decade is ~3.6k rows through one task), the same
+# documented shape as the events_concurrency_profile sweep-line; the
+# fact-scale work is the map-side-combined daily groupBy before it.
+# Scalar totals (n, S_n) come from a broadcast 1-row aggregate join, not
+# a second pass.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_changepoint_cusum",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, COUNT(*) AS c FROM events GROUP BY 1),
+    tot AS (SELECT COUNT(*) AS n, SUM(c) AS total FROM daily),
+    seq AS (
+      SELECT day, c,
+             ROW_NUMBER() OVER (ORDER BY day) AS t,
+             SUM(c) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS s
+      FROM daily),
+    scored AS (
+      SELECT seq.day, seq.t, seq.s, tot.n, tot.total,
+             abs(CAST(seq.s AS DOUBLE)
+                 - CAST(seq.t AS DOUBLE) * CAST(tot.total AS DOUBLE)
+                   / CAST(tot.n AS DOUBLE)) AS stat
+      FROM seq, tot
+      WHERE seq.t < tot.n)
+    SELECT strftime(day, '%Y-%m-%d') AS split_day,
+           CAST(t AS BIGINT) AS t_split,
+           CAST(n AS BIGINT) AS n_days,
+           round(stat, 8) AS cusum_stat,
+           round(CAST(s AS DOUBLE) / CAST(t AS DOUBLE), 8) AS mean_before,
+           round(CAST(total - s AS DOUBLE) / CAST(n - t AS DOUBLE), 8)
+             AS mean_after
+    FROM scored
+    ORDER BY stat DESC, day ASC
+    LIMIT 1
+    """,
+)
+def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily(spark, sf_dir)
+    tot = daily.agg(
+        F.count("*").alias("n"), F.sum("c").alias("total")
+    )
+    w = W.orderBy("day")
+    seq = daily.select(
+        "day",
+        "c",
+        F.row_number().over(w).alias("t"),
+        F.sum("c").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)).alias("s"),
+    )
+    scored = (
+        seq.crossJoin(F.broadcast(tot))
+        .filter(F.col("t") < F.col("n"))
+        .withColumn(
+            "stat",
+            F.abs(
+                F.col("s").cast("double")
+                - F.col("t").cast("double")
+                * F.col("total").cast("double")
+                / F.col("n").cast("double")
+            ),
+        )
+    )
+    return (
+        scored.orderBy(F.col("stat").desc(), F.col("day").asc())
+        .limit(1)
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("split_day"),
+            F.col("t").cast("bigint").alias("t_split"),
+            F.col("n").cast("bigint").alias("n_days"),
+            F.round("stat", 8).alias("cusum_stat"),
+            F.round(F.col("s").cast("double") / F.col("t").cast("double"), 8).alias(
+                "mean_before"
+            ),
+            F.round(
+                (F.col("total") - F.col("s")).cast("double")
+                / (F.col("n") - F.col("t")).cast("double"),
+                8,
+            ).alias("mean_after"),
+        )
+    )

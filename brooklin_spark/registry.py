@@ -47,6 +47,7 @@ def load_all() -> None:
         similarity,
         streaming,
         text,
+        timeseries,
         tpch_extra,
         tpch_more,
     )

@@ -80,6 +80,7 @@ def main() -> None:
             "detector": "Window operators whose child exchange is SinglePartition, EXCLUDING operators/distrank.py's carry-in-offset windows (marker __dr_pid, <= buckets per-partition-count rows by construction); every query listed in with_single_partition_window must be justified here",
             "events_concurrency_profile": "day-offset cumulation runs over the per-DAY aggregate (|days| rows — calendar scale, not event scale); documented + plan-asserted in tests",
             "text_token_ids": "vocab id assignment runs AFTER TakeOrderedAndProject limit(VOCAB_N=256) — bounded-constant input; the vocab COUNT aggregate itself is never globally sorted",
+            "events_changepoint_cusum": "CUSUM cumulative sum runs over the per-DAY aggregate (|days| rows — calendar scale, ~3.6k rows per decade); the fact-scale work is the map-side-combined daily groupBy before it; documented + plan-asserted in tests",
         },
     }
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLAN_AUDIT.json"), "w") as f:

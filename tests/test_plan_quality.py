@@ -637,3 +637,24 @@ def test_ivfpq_query_path_is_jvm_only(spark, sf_correct):
     assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 2, plan
     assert "ArrowEvalPython" not in plan, plan
     assert "FlatMapGroupsInPandas" not in plan, plan
+
+
+def test_autocorrelation_is_window_free(spark, sf_correct):
+    """Lag-k ACF must come from the day-arithmetic self-join, never a
+    global ordered window: the plan has NO window operator at all, and
+    the daily collapse is a map-side-combined aggregate pair."""
+    df = _q(spark, sf_correct, "events_autocorrelation")
+    plan = executed_plan(df)
+    assert "windowspecdefinition" not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_changepoint_window_is_calendar_scale(spark, sf_correct):
+    """CUSUM's only window runs over the per-day aggregate: a
+    HashAggregate (the fact-scale daily collapse) must sit BELOW the
+    window's exchange, and the scalar totals join is a broadcast."""
+    df = _q(spark, sf_correct, "events_changepoint_cusum")
+    plan = executed_plan(df)
+    assert "windowspecdefinition" in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
