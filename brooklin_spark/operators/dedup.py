@@ -1048,3 +1048,45 @@ def banded_hamming_pairs(
         )
         .filter(F.col("hamming") <= max_distance)
     )
+
+
+def band_rows(signatures: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """Explode a minhash signature table into band rows (id, band_id,
+    k0..k{r-1}) — the shared banding step of lsh_candidate_pairs, exposed
+    for probe-vs-base joins (incremental dedup: band the NEW batch and the
+    BASE corpus separately, then equi-join on the band tuple instead of a
+    self-join). Map-side only; the shuffle happens at whatever join
+    consumes the band rows, keyed on the band tuple."""
+    band_cols = []
+    for j in range(bands):
+        rows = [
+            F.col(f"h{j * rows_per_band + r}").alias(f"k{r}")
+            for r in range(rows_per_band)
+        ]
+        band_cols.append(F.struct(F.lit(j).alias("band_id"), *rows))
+    return signatures.select(
+        "id", F.explode(F.array(*band_cols)).alias("b")
+    ).select("id", "b.*")
+
+
+def lsh_candidates_against(
+    probe_banded: DataFrame, base_banded: DataFrame, rows_per_band: int
+) -> DataFrame:
+    """Distinct candidate pairs (id_a from probe, id_b from base) sharing
+    any band bucket — the bipartite form of lsh_candidate_pairs. Both
+    inputs come from band_rows(); the join is a plain equi-join on
+    (band_id, k0..k{r-1}), so at scale it shuffles band tuples, never
+    signatures or documents, and the probe side is typically the small
+    daily increment (broadcastable when it fits)."""
+    x = probe_banded.alias("x")
+    y = base_banded.alias("y")
+    key_eq = functools.reduce(
+        pyop.and_,
+        [F.col(f"x.k{r}") == F.col(f"y.k{r}") for r in range(rows_per_band)],
+        F.col("x.band_id") == F.col("y.band_id"),
+    )
+    return (
+        x.join(y, key_eq)
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )

@@ -1,0 +1,176 @@
+"""Corpus-curation operators a training-data pipeline runs between ingest
+and tokenization: deterministic weighted sampling and incremental
+new-batch-vs-base dedup (the daily-increment twin of the one-shot dedup
+family in queries/dedup.py; reference analog: Brooklin's incremental
+flow — a connector delivers a bounded new batch against an existing
+destination, datastream-server/.../DatastreamTaskImpl.java checkpoint
+semantics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from brooklin_spark.io import table
+from brooklin_spark.operators import dedup as D
+from brooklin_spark.queries import _sqlgen as G
+from brooklin_spark.registry import query
+
+# ---------------------------------------------------------------------------
+# Weighted priority sampling: top-K documents by the integer key
+# h(doc_id) / weight — the A-ES (Efraimidis-Spirakis) priority-sampling
+# shape with the float u^(1/w) key replaced by an exact-integer h/w key
+# (h = 52-bit md5 prefix, uniform; w = n_chars), so selection is
+# bit-reproducible across engines and re-runs while still biasing
+# selection toward heavy documents (key is ~Uniform/w: P(doc in top-K)
+# grows with w). Plan shape: one map-side key projection, then
+# TakeOrderedAndProject — per-partition heaps + one K-row driver merge,
+# NO global sort, no shuffle of the corpus. That is the 100 TB sampler:
+# cost is a scan plus K rows per partition.
+# ---------------------------------------------------------------------------
+
+_WS_K = 100
+
+
+@query(
+    "sample_weighted_priority",
+    oracle=f"""
+    SELECT doc_id, lang, n_chars,
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
+             // GREATEST(n_chars, 1) AS priority_key
+    FROM documents
+    ORDER BY priority_key ASC, doc_id ASC
+    LIMIT {_WS_K}
+    """,
+)
+def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    h = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10)
+        .cast("bigint")
+    )
+    # exact integer division on BOTH engines (Spark `div`, DuckDB `//`):
+    # a double divide + cast can round up across the truncation boundary
+    # and reorder near-tied keys between engines
+    return (
+        docs.select("doc_id", "lang", "n_chars", h.alias("h"))
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.expr("h div greatest(n_chars, 1L)").alias("priority_key"),
+        )
+        .orderBy(F.col("priority_key").asc(), F.col("doc_id").asc())
+        .limit(_WS_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: flag each document of the NEW batch (a deterministic
+# 20% id-hash slice standing in for today's increment) against the BASE
+# corpus (the other 80%) — exact_dup via content fingerprint, near_dup
+# via MinHash-LSH candidates verified at Jaccard >= 0.7. Unlike the
+# one-shot dedup family, the LSH join here is PROBE-vs-BASE
+# (operators/dedup.py band_rows + lsh_candidates_against): at scale the
+# base band table is a precomputed index on disk and the per-day work is
+# O(new batch) map-side signatures plus one band-keyed equi-join — the
+# whole corpus is never re-shingled per increment.
+# ---------------------------------------------------------------------------
+
+_INC_MH, _INC_BANDS, _INC_ROWS = 16, 4, 4
+_INC_TH = 0.7
+_INC_BUCKETS, _INC_NEW = 5, 0
+
+
+@query(
+    "dedup_incremental_new_vs_base",
+    oracle=f"""
+    WITH {G.shingle_cte(3)},
+    split AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               % {_INC_BUCKETS} = {_INC_NEW} AS is_new
+      FROM documents),
+    fp AS (SELECT doc_id, md5(text) AS fp FROM documents),
+    exactdup AS (
+      SELECT DISTINCT nf.doc_id
+      FROM fp nf
+      JOIN split sn ON sn.doc_id = nf.doc_id AND sn.is_new
+      JOIN fp bf ON bf.fp = nf.fp
+      JOIN split sb ON sb.doc_id = bf.doc_id AND NOT sb.is_new),
+    sig AS ({G.minhash_km_select(_INC_MH)}),
+    banded AS ({" UNION ALL ".join(G.band_int_exprs(_INC_BANDS, _INC_ROWS))}),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS new_id, y.doc_id AS base_id
+      FROM banded x
+      JOIN split sn ON sn.doc_id = x.doc_id AND sn.is_new
+      JOIN banded y ON y.band_id = x.band_id AND y.band_key = x.band_key
+      JOIN split sb ON sb.doc_id = y.doc_id AND NOT sb.is_new),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT c.new_id, c.base_id, count(*) AS common
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.new_id
+      JOIN sh b ON b.doc_id = c.base_id AND b.shingle = a.shingle
+      GROUP BY 1, 2),
+    neardup AS (
+      SELECT DISTINCT co.new_id AS doc_id
+      FROM common co
+      JOIN sizes sa ON sa.doc_id = co.new_id
+      JOIN sizes sb ON sb.doc_id = co.base_id
+      WHERE common * 1.0 / (sa.n_sh + sb.n_sh - common) >= {_INC_TH})
+    SELECT s.doc_id,
+           e.doc_id IS NOT NULL AS exact_dup,
+           nd.doc_id IS NOT NULL AS near_dup
+    FROM split s
+    LEFT JOIN exactdup e ON e.doc_id = s.doc_id
+    LEFT JOIN neardup nd ON nd.doc_id = s.doc_id
+    WHERE s.is_new
+    """,
+)
+def dedup_incremental_new_vs_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % _INC_BUCKETS
+    )
+    split = docs.select("doc_id", "text", (bucket == _INC_NEW).alias("is_new"))
+
+    fp = split.select("doc_id", "is_new", F.md5("text").alias("fp"))
+    new_ids = fp.filter("is_new").select("doc_id")
+    exact = (
+        fp.filter("is_new")
+        .join(fp.filter(~F.col("is_new")).select("fp").distinct(), "fp", "left_semi")
+        .select("doc_id")
+    )
+
+    # signatures map-side over the WHOLE corpus here (the oracle must see
+    # the same world); in the production increment flow the base half is
+    # the precomputed band index and only `new` runs the kernel
+    arr = D.shingle_arrays_pandas(split, n=3).localCheckpoint()
+    sig = D.minhash_signature_pandas(arr, num_hashes=_INC_MH).localCheckpoint()
+    flags = split.select(F.col("doc_id").alias("id"), "is_new")
+    banded = D.band_rows(sig, bands=_INC_BANDS, rows_per_band=_INC_ROWS).join(
+        flags, "id"
+    )
+    cand = D.lsh_candidates_against(
+        banded.filter("is_new").drop("is_new"),
+        banded.filter(~F.col("is_new")).drop("is_new"),
+        rows_per_band=_INC_ROWS,
+    )
+    near = (
+        D.jaccard_verify(arr, cand, threshold=_INC_TH)
+        .select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+    )
+    return (
+        new_ids.join(exact.withColumn("e", F.lit(True)), "doc_id", "left")
+        .join(near.withColumn("n", F.lit(True)), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("e", F.lit(False)).alias("exact_dup"),
+            F.coalesce("n", F.lit(False)).alias("near_dup"),
+        )
+    )

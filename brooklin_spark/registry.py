@@ -38,6 +38,7 @@ def load_all() -> None:
     from brooklin_spark.queries import (  # noqa: F401
         analytics,
         cdc,
+        curation,
         dedup,
         multimodal,
         pandas_udfs,

@@ -658,3 +658,26 @@ def test_changepoint_window_is_calendar_scale(spark, sf_correct):
     assert "windowspecdefinition" in plan, plan
     assert plan.count("HashAggregate") >= 2, plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_weighted_priority_sample_is_topk_not_global_sort(spark, sf_correct):
+    """The weighted sampler must plan as TakeOrderedAndProject
+    (per-partition heaps + K-row driver merge), never a global sort."""
+    df = _q(spark, sf_correct, "sample_weighted_priority")
+    plan = executed_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+
+
+def test_incremental_dedup_band_join_is_hash_equi(spark, sf_correct):
+    """Probe-vs-base LSH: the band join is an equi-join (hash/broadcast),
+    never a nested loop, and only the two map-side Arrow kernels
+    (shingles, minhash) run in Python."""
+    import re
+
+    df = _q(spark, sf_correct, "dedup_incremental_new_vs_base")
+    plan = executed_plan(df)
+    assert "NestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan)) <= 2, plan
