@@ -1,0 +1,97 @@
+"""Avro Object Container File layer: byte-level roundtrip, corruption
+detection, block layout, and the distributed reader."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from brooklin_spark.functions.avro_ocf import (
+    MAGIC,
+    read_ocf,
+    read_ocf_bytes,
+    write_ocf,
+)
+
+SCHEMA = {
+    "type": "record",
+    "name": "T",
+    "fields": [
+        {"name": "k", "type": "long"},
+        {"name": "s", "type": "string"},
+        {"name": "x", "type": "double"},
+    ],
+}
+
+
+def _recs(n):
+    return [{"k": i, "s": f"s{i}", "x": i * 0.5} for i in range(n)]
+
+
+def test_roundtrip_multi_block(tmp_path):
+    p = str(tmp_path / "t.avro")
+    n = write_ocf(p, SCHEMA, _recs(1234), records_per_block=100)
+    assert n == 1234
+    data = open(p, "rb").read()
+    assert data[:4] == MAGIC
+    schema, recs = read_ocf_bytes(data)
+    assert schema["name"] == "T"
+    out = list(recs)
+    assert out == _recs(1234)
+
+
+def test_deterministic_bytes(tmp_path):
+    p1, p2 = str(tmp_path / "a.avro"), str(tmp_path / "b.avro")
+    write_ocf(p1, SCHEMA, _recs(50))
+    write_ocf(p2, SCHEMA, _recs(50))
+    assert open(p1, "rb").read() == open(p2, "rb").read()
+
+
+def test_bad_magic_rejected():
+    with pytest.raises(ValueError, match="magic"):
+        next(iter(read_ocf_bytes(b"NOPE" + b"\x00" * 64)[1]))
+
+
+def test_compressed_codec_rejected(tmp_path):
+    p = str(tmp_path / "t.avro")
+    write_ocf(p, SCHEMA, _recs(3))
+    data = bytearray(open(p, "rb").read())
+    i = data.find(b"null", 4)
+    data[i : i + 4] = b"defl"
+    with pytest.raises(ValueError, match="codec"):
+        read_ocf_bytes(bytes(data))
+
+
+def test_corrupt_sync_detected(tmp_path):
+    p = str(tmp_path / "t.avro")
+    write_ocf(p, SCHEMA, _recs(10), records_per_block=5)
+    data = bytearray(open(p, "rb").read())
+    data[-1] ^= 0xFF  # flip a byte of the final sync marker
+    _, recs = read_ocf_bytes(bytes(data))
+    with pytest.raises(ValueError, match="sync"):
+        list(recs)
+
+
+def test_empty_file_roundtrip(tmp_path):
+    p = str(tmp_path / "t.avro")
+    assert write_ocf(p, SCHEMA, []) == 0
+    schema, recs = read_ocf_bytes(open(p, "rb").read())
+    assert list(recs) == []
+    assert json.dumps(schema)  # parseable
+
+
+def test_distributed_read(spark, tmp_path):
+    d = tmp_path / "ocf"
+    d.mkdir()
+    for i in range(3):
+        write_ocf(
+            str(d / f"p{i}.avro"),
+            SCHEMA,
+            [{"k": i * 100 + j, "s": f"r{j}", "x": j * 1.5} for j in range(40)],
+            records_per_block=16,
+        )
+    df = read_ocf(spark, str(d), "k bigint, s string, x double")
+    assert df.count() == 120
+    got = {r["k"] for r in df.collect()}
+    assert got == {i * 100 + j for i in range(3) for j in range(40)}
