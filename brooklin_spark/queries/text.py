@@ -2064,3 +2064,108 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("pmi", 8).alias("pmi"),
         F.row_number().over(rw).cast("bigint").alias("rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring duplicate-span coverage (the Lee et al. 2022
+# "Deduplicating Training Data" measure, cross-document form): a span is
+# the md5 of 8 consecutive tokens; a span duplicated across >= 2 distinct
+# docs marks its 8 token positions as duplicated, and per-doc coverage is
+# the UNION length of those fixed-width intervals (consecutive-position
+# merge: each dup position contributes min(8, gap-to-next), the last
+# contributes 8). Scale shape: explode to (doc, pos, hash) rows, one
+# hash-keyed groupBy for the cross-doc dup set, a hash-keyed semi-join
+# back, then a PER-DOC window (hash-partitioned on doc_id, rows bounded
+# by doc length) — no global window, no driver work, every shuffle keyed.
+# ---------------------------------------------------------------------------
+
+_SPAN_W = 8
+
+
+@query(
+    "text_dup_span_coverage",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source, {_TOK} AS w FROM documents),
+    spans AS (
+      SELECT doc_id, source, i AS pos,
+             md5(array_to_string(array_slice(w, i, i + {_SPAN_W - 1}), ' ')) AS h
+      FROM tok, UNNEST(generate_series(1, len(w) - {_SPAN_W - 1})) AS t(i)
+      WHERE len(w) >= {_SPAN_W}),
+    dup AS (
+      SELECT h FROM spans GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+    dspans AS (
+      SELECT s.doc_id, s.pos FROM spans s JOIN dup USING (h)),
+    gaps AS (
+      SELECT doc_id, pos,
+             LEAD(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+      FROM dspans),
+    cov AS (
+      SELECT doc_id,
+             SUM(LEAST({_SPAN_W}, COALESCE(nxt - pos, {_SPAN_W}))) AS covered
+      FROM gaps GROUP BY doc_id),
+    toks AS (SELECT doc_id, source, len(w) AS n_tok FROM tok)
+    SELECT t.source,
+           COUNT(*) AS n_docs,
+           COUNT(c.doc_id) AS n_docs_with_dup_span,
+           CAST(COALESCE(SUM(c.covered), 0) AS BIGINT) AS covered_tokens,
+           CAST(SUM(t.n_tok) AS BIGINT) AS total_tokens,
+           round(CAST(COALESCE(SUM(c.covered), 0) AS DOUBLE)
+                 / nullif(CAST(SUM(t.n_tok) AS DOUBLE), 0), 8) AS dup_ratio
+    FROM toks t LEFT JOIN cov c ON c.doc_id = t.doc_id
+    GROUP BY t.source
+    """,
+)
+def text_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "source", X.tokens().alias("w"))
+    m = F.size("w")
+    span_structs = F.transform(
+        F.sequence(F.lit(1), m - (_SPAN_W - 1)),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.md5(F.array_join(F.slice("w", i, _SPAN_W), " ")).alias("h"),
+        ),
+    )
+    spans = (
+        toks.filter(m >= _SPAN_W)
+        .select("doc_id", F.explode(span_structs).alias("s"))
+        .select("doc_id", "s.pos", "s.h")
+    )
+    dup = (
+        spans.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    dspans = spans.join(dup, "h", "left_semi").select("doc_id", "pos")
+    win = W.partitionBy("doc_id").orderBy("pos")
+    cov = (
+        dspans.withColumn("nxt", F.lead("pos").over(win))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.least(
+                    F.lit(_SPAN_W),
+                    F.coalesce(F.col("nxt") - F.col("pos"), F.lit(_SPAN_W)),
+                )
+            ).alias("covered")
+        )
+    )
+    per_doc = toks.select("doc_id", "source", m.alias("n_tok"))
+    covered_sum = F.coalesce(F.sum("covered"), F.lit(0))
+    return (
+        per_doc.join(cov, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count("covered").alias("n_docs_with_dup_span"),
+            covered_sum.cast("bigint").alias("covered_tokens"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+            F.round(
+                covered_sum.cast("double")
+                / F.nullif(F.sum("n_tok").cast("double"), F.lit(0.0)),
+                8,
+            ).alias("dup_ratio"),
+        )
+    )

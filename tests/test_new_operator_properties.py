@@ -234,3 +234,24 @@ def test_scd2_pit_lookup_matches_interval_join_reference(spark):
                 match = (ver, props)
         want[r[0]] = (match[0], match[1], True) if match else (None, None, False)
     assert got == want, (got, want)
+
+
+# --- dup-span coverage: consecutive-gap merge == interval-union length ---
+
+from hypothesis import given as _hyp_given, strategies as _hyp_st
+
+
+@_hyp_given(
+    _hyp_st.lists(_hyp_st.integers(min_value=1, max_value=200), min_size=1, max_size=40)
+)
+def test_span_gap_merge_equals_interval_union(positions):
+    """The query's per-doc coverage formula — each duplicated position
+    contributes min(W, gap to next), the last contributes W — must equal
+    the true union length of the fixed-width [p, p+W-1] intervals."""
+    W = 8
+    ps = sorted(set(positions))
+    formula = sum(
+        min(W, b - a) for a, b in zip(ps, ps[1:])
+    ) + W
+    union = len({i for p in ps for i in range(p, p + W)})
+    assert formula == union
