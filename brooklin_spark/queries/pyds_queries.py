@@ -291,3 +291,46 @@ def streaming_pyds_txn_sink_rollup(spark: SparkSession, sf_dir: str) -> DataFram
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return result
+
+
+# ---------------------------------------------------------------------------
+# Splittable Avro OCF source (SPI form): same orders container files as
+# source_avro_ocf_orders, but read through the avro_ocf Python
+# DataSource with a tiny split_bytes so each FILE fans out across
+# multiple byte-range partitions (the real Avro split algorithm: seek to
+# range start, scan to the next sync marker, decode blocks whose start
+# falls in-range). The oracle is the raw-parquet aggregate, so a
+# boundary bug — a block decoded twice by adjacent ranges, or skipped —
+# shows up as a count/sum mismatch, which is exactly what makes this the
+# split-correctness gate.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "source_avro_ocf_split",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_orderkey
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def source_avro_ocf_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from brooklin_spark.queries.serde_queries import _prepare_orders_ocf
+
+    pyds.register(spark)
+    ocf_dir = _prepare_orders_ocf(sf_dir)
+    df = (
+        spark.read.format("avro_ocf")
+        .options(path=ocf_dir, split_bytes=str(64 << 10))
+        .load()
+    )
+    return df.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("revenue_cents"),
+        F.min("o_orderkey").cast("bigint").alias("min_orderkey"),
+    )

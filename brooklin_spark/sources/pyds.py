@@ -423,11 +423,155 @@ def committed_files(path: str) -> list:
     return out
 
 
+class _OcfSplit(InputPartition):
+    def __init__(self, path: str, start: int, end: int):
+        self.path = path
+        self.start = start
+        self.end = end
+
+
+_AVRO_TO_SPARK = {
+    "long": "bigint",
+    "int": "int",
+    "double": "double",
+    "float": "float",
+    "string": "string",
+    "boolean": "boolean",
+    "bytes": "binary",
+}
+
+
+def _ocf_files(path: str) -> list:
+    import glob as _g
+
+    if os.path.isdir(path):
+        return sorted(_g.glob(os.path.join(path, "*.avro")))
+    return sorted(_g.glob(path))
+
+
+def _ocf_header(path: str):
+    """Parse just the container header: (writer_schema, sync, header_end)."""
+    from brooklin_spark.functions.avro_codec import _read_varint, decode_value
+
+    with open(path, "rb") as f:
+        data = f.read(1 << 16)  # headers are tiny; metadata is schema+codec
+    if data[:4] != b"Obj\x01":
+        raise ValueError(f"{path}: not an Avro OCF")
+    meta, pos = {}, 4
+    while True:
+        count, pos = _read_varint(data, pos)
+        if count == 0:
+            break
+        for _ in range(abs(count)):
+            k, pos = decode_value("string", data, pos)
+            v, pos = decode_value("bytes", data, pos)
+            meta[k] = v
+    schema = json.loads(meta["avro.schema"].decode())
+    return schema, data[pos : pos + 16], pos + 16
+
+
+class AvroOcfReader(DataSourceReader):
+    """Byte-range-splittable Avro OCF reader — the real Avro split
+    algorithm: partitions are fixed byte ranges; each task mmaps its
+    file, finds the first block boundary at-or-after its range start by
+    scanning for the 16-byte sync marker (a block starts right after the
+    header or right after a sync), then decodes exactly the blocks whose
+    START falls inside its range (a block may spill past range end — it
+    belongs to the range containing its start, so every block is decoded
+    exactly once). Same 2^-128 false-sync caveat as every Avro reader.
+
+    This upgrades functions/avro_ocf.read_ocf's one-task-per-file
+    granularity to true intra-file parallelism: a single huge container
+    file fans out across the cluster.
+    """
+
+    def __init__(self, options):
+        self.path = options["path"]
+        self.split_bytes = int(options.get("split_bytes", str(4 << 20)))
+
+    def partitions(self):
+        out = []
+        for p in _ocf_files(self.path):
+            size = os.path.getsize(p)
+            start = 0
+            while start < size:
+                out.append(_OcfSplit(p, start, min(start + self.split_bytes, size)))
+                start += self.split_bytes
+        return out or [_OcfSplit("", 0, 0)]
+
+    def read(self, partition: _OcfSplit):
+        import mmap
+
+        import pyarrow as pa
+
+        from brooklin_spark.functions.avro_codec import _read_varint, decode_value
+
+        if not partition.path:
+            return
+        schema, sync, header_end = _ocf_header(partition.path)
+        fields = [f["name"] for f in schema["fields"]]
+        with open(partition.path, "rb") as f:
+            mm = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
+            try:
+                size = len(mm)
+                # first block boundary at-or-after range start
+                if partition.start <= header_end:
+                    pos = header_end
+                else:
+                    hit = mm.find(sync, partition.start - 16)
+                    if hit < 0:
+                        return
+                    pos = hit + 16
+                rows: list = []
+                while pos < partition.end and pos < size:
+                    n_rec, p = _read_varint(mm, pos)
+                    _, p = _read_varint(mm, p)
+                    for _ in range(n_rec):
+                        rec, p = decode_value(schema, mm, p)
+                        rows.append(rec)
+                    if mm[p : p + 16] != sync:
+                        raise ValueError(
+                            f"{partition.path}: sync mismatch at {p}"
+                        )
+                    pos = p + 16
+                if rows:
+                    yield pa.RecordBatch.from_pydict(
+                        {c: [r[c] for r in rows] for c in fields}
+                    )
+            finally:
+                mm.close()
+
+
+class AvroOcfDataSource(DataSource):
+    """spark.read.format("avro_ocf").options(path=..., split_bytes=...)"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "avro_ocf"
+
+    def schema(self) -> str:
+        files = _ocf_files(self.options["path"])
+        if not files:
+            raise ValueError(f"no .avro files under {self.options['path']}")
+        schema, _, _ = _ocf_header(files[0])
+        cols = []
+        for f in schema["fields"]:
+            t = f["type"]
+            if isinstance(t, list):  # nullable union ["null", T]
+                t = next(x for x in t if x != "null")
+            cols.append(f"{f['name']} {_AVRO_TO_SPARK[t]}")
+        return ", ".join(cols)
+
+    def reader(self, schema) -> DataSourceReader:
+        return AvroOcfReader(self.options)
+
+
 def register(spark) -> None:
     """Idempotently register all formats on a session."""
     spark.dataSource.register(ChunkedDuckDBDataSource)
     spark.dataSource.register(ParquetReplayDataSource)
     spark.dataSource.register(TransactionalDirDataSource)
+    spark.dataSource.register(AvroOcfDataSource)
 
 
 def offsets_json(start_row: int) -> str:

@@ -95,3 +95,43 @@ def test_distributed_read(spark, tmp_path):
     assert df.count() == 120
     got = {r["k"] for r in df.collect()}
     assert got == {i * 100 + j for i in range(3) for j in range(40)}
+
+
+def test_spi_split_reader_boundaries(spark, tmp_path):
+    """Every block is decoded by exactly ONE byte-range split, for many
+    split sizes (including sizes smaller than a block): union of split
+    outputs == file contents, no dupes, no gaps."""
+    from brooklin_spark.sources import pyds
+
+    d = tmp_path / "ocf"
+    d.mkdir()
+    n = write_ocf(str(d / "one.avro"), SCHEMA, _recs(2000), records_per_block=64)
+    assert n == 2000
+    pyds.register(spark)
+    for split in (200, 1 << 10, 8 << 10, 1 << 20):
+        df = (
+            spark.read.format("avro_ocf")
+            .options(path=str(d), split_bytes=str(split))
+            .load()
+        )
+        got = sorted(r["k"] for r in df.collect())
+        assert got == list(range(2000)), f"split_bytes={split}"
+
+
+def test_spi_schema_probe(tmp_path):
+    from brooklin_spark.sources.pyds import AvroOcfDataSource
+
+    p = str(tmp_path / "t.avro")
+    write_ocf(p, SCHEMA, _recs(1))
+    ds = AvroOcfDataSource(options={"path": str(tmp_path)})
+    assert ds.schema() == "k bigint, s string, x double"
+
+
+def test_spi_empty_dir_yields_nothing(spark, tmp_path):
+    from brooklin_spark.sources import pyds
+    from brooklin_spark.sources.pyds import AvroOcfReader
+
+    r = AvroOcfReader({"path": str(tmp_path)})
+    parts = r.partitions()
+    assert len(parts) == 1 and parts[0].path == ""
+    assert list(r.read(parts[0])) == []
