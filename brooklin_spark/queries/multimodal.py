@@ -370,3 +370,88 @@ def multimodal_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.md5(F.concat_ws(",", ordered.getField("sig"))).alias("sig_checksum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A/V alignment: every sampled video frame (25 fps grid -> 40 ms steps)
+# picks the most recent audio chunk (37 ms cadence, deliberately
+# off-grid) of the SAME doc via the backward as-of join — the multimodal
+# composition a caption/transcript aligner runs before pairing frames
+# with audio features. Spark side composes the binary frame slicer with
+# operators/asof.py's union+window point-in-time rewrite (hash-
+# partitioned on doc_id, per-doc rows bounded by payload length); the
+# oracle uses DuckDB's native ASOF JOIN, so the PIT semantics themselves
+# are cross-checked engine-vs-engine.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_av_align",
+    oracle="""
+    WITH media AS (
+      SELECT doc_id, md5(text) || md5(text || ':1') AS vpayload,
+             md5(text || ':a') AS apayload
+      FROM documents WHERE doc_id < 200),
+    vidx AS (SELECT unnest(generate_series(0, 2)) AS i),
+    frames AS (
+      SELECT doc_id, CAST(i * 2 AS BIGINT) AS frame_no,
+             CAST(i * 2 * 40 AS BIGINT) AS frame_ms
+      FROM media CROSS JOIN vidx
+      WHERE length(substr(vpayload, i * 2 * 16 + 1, 16)) = 16),
+    aidx AS (SELECT unnest(generate_series(0, 3)) AS j),
+    chunks AS (
+      SELECT doc_id, CAST(j AS BIGINT) AS chunk_no,
+             CAST(j * 37 AS BIGINT) AS chunk_ms,
+             substr(apayload, j * 8 + 1, 8) AS chunk_ascii
+      FROM media CROSS JOIN aidx)
+    SELECT f.doc_id, f.frame_no, f.frame_ms,
+           c.chunk_no, c.chunk_ms, c.chunk_ascii
+    FROM frames f
+    ASOF JOIN chunks c
+      ON f.doc_id = c.doc_id AND f.frame_ms >= c.chunk_ms
+    """,
+)
+def multimodal_av_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from brooklin_spark.operators.asof import asof_join
+
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    vpayload = F.concat(
+        F.md5("text"), F.md5(F.concat(F.col("text"), F.lit(":1")))
+    ).cast("binary")
+    media = docs.select(
+        "doc_id",
+        vpayload.alias("payload"),
+        F.md5(F.concat(F.col("text"), F.lit(":a"))).alias("apayload"),
+    )
+    frames = M.sample_video_frames(
+        media.select("doc_id", "payload"), frame_size=16, every_k=2, max_frames=3
+    ).select(
+        "doc_id",
+        F.col("frame_no").cast("bigint").alias("frame_no"),
+        (F.col("frame_no") * 40).cast("bigint").alias("frame_ms"),
+    )
+    j = F.explode(F.sequence(F.lit(0), F.lit(3))).alias("j")
+    chunks = media.select("doc_id", "apayload").select(
+        "doc_id", j, "apayload"
+    ).select(
+        "doc_id",
+        F.col("j").cast("bigint").alias("chunk_no"),
+        (F.col("j") * 37).cast("bigint").alias("chunk_ms"),
+        F.substring("apayload", F.col("j") * 8 + 1, 8).alias("chunk_ascii"),
+    )
+    out = asof_join(
+        frames,
+        chunks,
+        on="doc_id",
+        left_ts="frame_ms",
+        right_ts="chunk_ms",
+        value_cols=["chunk_no", "chunk_ascii"],
+    )
+    return out.select(
+        "doc_id",
+        "frame_no",
+        "frame_ms",
+        "chunk_no",
+        F.col("matched_ts").alias("chunk_ms"),
+        "chunk_ascii",
+    )
