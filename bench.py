@@ -75,6 +75,10 @@ BENCH_QUERIES = [
     "events_heavy_hitters",     # Misra-Gries candidates + exact recount
     "join_runtime_bloom_urgent_revenue",  # runtime-filter join shape
     "text_bpe_encode_stats",    # encode-side fertility over trained merges
+    # round-4 third-session additions
+    "text_dup_span_coverage",   # exact-substring dup-span coverage (Lee et al.)
+    "dedup_incremental_new_vs_base",  # probe-vs-base bipartite LSH increment
+    "events_autocorrelation",   # lag-k ACF via day-arithmetic self-join
 ]
 
 
