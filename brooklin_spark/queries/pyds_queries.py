@@ -334,3 +334,41 @@ def source_avro_ocf_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("revenue_cents"),
         F.min("o_orderkey").cast("bigint").alias("min_orderkey"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming OCF ingest: the same orders container files arrive as a
+# micro-batch tail (one FILE per poll — maxFilesPerPoll flow control
+# through the avro_ocf stream reader), drained through a complete-mode
+# rollup. Equality with the batch parquet aggregate proves every file
+# was decoded and delivered exactly once across the micro-batches.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "streaming_ocf_ingest_rollup",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def streaming_ocf_ingest_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from brooklin_spark.queries.serde_queries import _prepare_orders_ocf
+
+    pyds.register(spark)
+    ocf_dir = _prepare_orders_ocf(sf_dir)
+    s = (
+        spark.readStream.format("avro_ocf")
+        .options(path=ocf_dir, max_files="1")
+        .load()
+    )
+    agg = s.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("revenue_cents"),
+    )
+    return run_to_completion(agg, mode="complete")

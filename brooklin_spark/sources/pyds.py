@@ -542,6 +542,55 @@ class AvroOcfReader(DataSourceReader):
                 mm.close()
 
 
+class OcfTailStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch tail of an OCF landing directory: offset = number of
+    files consumed in lexicographic name order (producers name files
+    monotonically — the dirwatch/file-source convention; producers that
+    can't should land through the txn_dir manifest instead). Each read()
+    consumes at most ``max_files`` new files (maxFilesPerPoll flow
+    control); the engine's checkpoint owns the offset, so restart
+    recovery replays the uncommitted file range exactly once — the same
+    simple-reader rationale as ParquetReplayStreamReader above."""
+
+    def __init__(self, options):
+        self.path = options["path"]
+        self.max_files = int(options.get("max_files", "4"))
+
+    def _files(self) -> list:
+        return _ocf_files(self.path)
+
+    def initialOffset(self) -> dict:
+        return {"files": 0}
+
+    def _rows(self, files: list) -> list:
+        # materialized list, NOT a generator: the engine's prefetch cache
+        # copy.copy()s entries, and generators don't pickle — a batch is
+        # bounded by max_files anyway
+        from brooklin_spark.functions.avro_ocf import read_ocf_bytes
+
+        out = []
+        for p in files:
+            with open(p, "rb") as f:
+                schema, recs = read_ocf_bytes(f.read())
+            fields = [fl["name"] for fl in schema["fields"]]
+            out.extend(tuple(r[c] for c in fields) for r in recs)
+        return out
+
+    def read(self, start: dict):
+        files = self._files()
+        lo = start["files"]
+        hi = min(len(files), lo + self.max_files)
+        if hi <= lo:
+            return iter([]), start
+        return iter(self._rows(files[lo:hi])), {"files": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(self._rows(self._files()[start["files"] : end["files"]]))
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
 class AvroOcfDataSource(DataSource):
     """spark.read.format("avro_ocf").options(path=..., split_bytes=...)"""
 
@@ -564,6 +613,9 @@ class AvroOcfDataSource(DataSource):
 
     def reader(self, schema) -> DataSourceReader:
         return AvroOcfReader(self.options)
+
+    def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
+        return OcfTailStreamReader(self.options)
 
 
 def register(spark) -> None:

@@ -135,3 +135,60 @@ def test_spi_empty_dir_yields_nothing(spark, tmp_path):
     parts = r.partitions()
     assert len(parts) == 1 and parts[0].path == ""
     assert list(r.read(parts[0])) == []
+
+
+def test_ocf_tail_stream_exactly_once_across_restart(spark, tmp_path):
+    """OCF tail source: stop after the first micro-batches, restart on
+    the same checkpoint — every record of every file delivered exactly
+    once (trigger(once) steps bound each run to one batch)."""
+    import os
+    import time
+
+    from brooklin_spark.sources import pyds
+
+    pyds.register(spark)
+    d = tmp_path / "land"
+    d.mkdir()
+    for i in range(5):
+        write_ocf(
+            str(d / f"f{i:03d}.avro"),
+            SCHEMA,
+            [{"k": i * 1000 + j, "s": f"r{j}", "x": 0.0} for j in range(50)],
+            records_per_block=20,
+        )
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "sinkout")
+    os.makedirs(out)
+
+    def start(once):
+        s = (
+            spark.readStream.format("avro_ocf")
+            .options(path=str(d), max_files="2")
+            .load()
+            .select("k")
+        )
+        w = (
+            s.writeStream.format("json")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+        )
+        if once:
+            w = w.trigger(once=True)
+        return w.start()
+
+    q = start(once=True)  # one micro-batch: files 0-1
+    q.awaitTermination(60)
+    q2 = start(once=False)
+    q2.processAllAvailable()
+    q2.stop()
+
+    import glob
+    import json
+
+    keys = [
+        json.loads(ln)["k"]
+        for fp in glob.glob(os.path.join(out, "*.json"))
+        for ln in open(fp)
+    ]
+    expect = [i * 1000 + j for i in range(5) for j in range(50)]
+    assert sorted(keys) == expect, (len(keys), len(set(keys)))
