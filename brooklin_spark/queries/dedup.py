@@ -922,3 +922,90 @@ def graph_nhop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         _graph_node_str("node").alias("node"),
         F.col("hops").cast("bigint").alias("hops"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bounded label propagation (2 synchronous min-label rounds) over the
+# part co-purchase graph: parts co-occurring in >= 2 distinct orders are
+# linked; after K rounds every node carries the min part id within K
+# hops — the bounded-round community detector (LPA shape) that
+# complements the run-to-convergence connected components above. Scale
+# shape mirrors PageRank: the edge table is built once and
+# localCheckpoint'd (reused by both rounds + the node set), each round
+# is one src-keyed join + one node-keyed min aggregate; labels are
+# (node, long) pairs — the only data that moves.
+# ---------------------------------------------------------------------------
+
+_LPA_ROUNDS = 2
+
+
+@query(
+    "graph_label_propagation",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM lineitem a
+      JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(DISTINCT a.l_orderkey) >= 2),
+    edges AS (
+      SELECT pa AS src, pb AS dst FROM pairs
+      UNION ALL SELECT pb AS src, pa AS dst FROM pairs),
+    l0 AS (SELECT DISTINCT src AS v, src AS lbl FROM edges),
+    l1 AS (
+      SELECT v, MIN(lbl) AS lbl FROM (
+        SELECT v, lbl FROM l0
+        UNION ALL
+        SELECT e.dst AS v, l0.lbl FROM edges e JOIN l0 ON l0.v = e.src)
+      GROUP BY v),
+    l2 AS (
+      SELECT v, MIN(lbl) AS lbl FROM (
+        SELECT v, lbl FROM l1
+        UNION ALL
+        SELECT e.dst AS v, l1.lbl FROM edges e JOIN l1 ON l1.v = e.src)
+      GROUP BY v)
+    SELECT CAST(lbl AS BIGINT) AS community,
+           COUNT(*) AS n_members,
+           CAST(MAX(v) AS BIGINT) AS max_member
+    FROM l2 GROUP BY lbl
+    """,
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count_distinct("a.l_orderkey").alias("n_ord"))
+        .filter(F.col("n_ord") >= 2)
+        .select("pa", "pb")
+    )
+    edges = (
+        pairs.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .unionAll(pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+        .localCheckpoint()
+    )
+    labels = edges.select(F.col("src").alias("v")).distinct().select(
+        "v", F.col("v").alias("lbl")
+    )
+    for _ in range(_LPA_ROUNDS):
+        propagated = (
+            edges.join(labels, edges.src == labels.v)
+            .select(F.col("dst").alias("v"), "lbl")
+        )
+        labels = (
+            labels.unionByName(propagated)
+            .groupBy("v")
+            .agg(F.min("lbl").alias("lbl"))
+        )
+    return labels.groupBy(F.col("lbl").cast("bigint").alias("community")).agg(
+        F.count("*").alias("n_members"),
+        F.max("v").cast("bigint").alias("max_member"),
+    )

@@ -2169,3 +2169,40 @@ def text_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_ratio"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Feature hashing (hashing-TF, Weinberger et al.): terms map straight to
+# D=64 buckets via md5 — NO vocabulary table, NO term-id join, which is
+# the whole point at 100 TB: the only shuffle is the (source, bucket)
+# aggregate over at most |sources|*D partial rows per task (map-side
+# combine collapses the exploded terms immediately). n_terms tracks
+# bucket collision load.
+# ---------------------------------------------------------------------------
+
+_HTF_D = 64
+
+
+@query(
+    "text_hashing_tf",
+    oracle=f"""
+    WITH terms AS (
+      SELECT source, UNNEST({_TOK}) AS term FROM documents)
+    SELECT source,
+           CAST(('0x' || substr(md5(term), 1, 8))::BIGINT % {_HTF_D} AS BIGINT)
+             AS bucket,
+           COUNT(*) AS tf,
+           CAST(COUNT(DISTINCT term) AS BIGINT) AS n_terms
+    FROM terms GROUP BY 1, 2
+    """,
+)
+def text_hashing_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    terms = docs.select("source", F.explode(X.tokens()).alias("term"))
+    bucket = (
+        F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("bigint") % _HTF_D
+    )
+    return terms.groupBy("source", bucket.alias("bucket")).agg(
+        F.count("*").alias("tf"),
+        F.count_distinct("term").cast("bigint").alias("n_terms"),
+    )

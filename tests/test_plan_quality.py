@@ -694,3 +694,24 @@ def test_dup_span_coverage_windows_are_per_doc(spark, sf_correct):
     assert not single_partition_window_lines(df), plan
     assert "NestedLoopJoin" not in plan, plan
     assert "EvalPython" not in plan and "InPandas" not in plan, plan
+
+
+def test_hashing_tf_is_pure_aggregate(spark, sf_correct):
+    """Feature hashing: no vocabulary join anywhere — the plan is
+    explode + hash aggregates only (no join operator at all), fully
+    JVM-side."""
+    df = _q(spark, sf_correct, "text_hashing_tf")
+    plan = executed_plan(df)
+    assert "Join" not in plan, plan
+    assert "EvalPython" not in plan and "InPandas" not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_label_propagation_edges_built_once(spark, sf_correct):
+    """LPA: the lineitem self-join (edge build) happens once — the
+    checkpointed edge RDD feeds both rounds, so the plan over the
+    checkpoint contains NO scan of lineitem and no window."""
+    df = _q(spark, sf_correct, "graph_label_propagation")
+    plan = executed_plan(df)
+    assert "lineitem" not in plan, plan[:2000]
+    assert "windowspecdefinition" not in plan, plan
