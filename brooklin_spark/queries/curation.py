@@ -174,3 +174,103 @@ def dedup_incremental_new_vs_base(spark: SparkSession, sf_dir: str) -> DataFrame
             F.coalesce("n", F.lit(False)).alias("near_dup"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted-index form of the increment flow — the production shape run
+# end-to-end: the BASE corpus is signed ONCE into an on-disk index
+# (band rows + shingle arrays + content fingerprints, parquet, built on
+# first use per sf like the persisted IVF index) and the query touches
+# base documents ONLY through that index. Per-increment cost is O(new):
+# two Arrow kernels over the 20% batch, one fp semi-join, one
+# band-keyed equi-join against the index, candidate-only verify.
+# Oracle identical to dedup_incremental_new_vs_base — same answer,
+# index-probe plan.
+# ---------------------------------------------------------------------------
+
+
+def _split_docs(docs: DataFrame) -> DataFrame:
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % _INC_BUCKETS
+    )
+    return docs.select("doc_id", "text", (bucket == _INC_NEW).alias("is_new"))
+
+
+def _base_dedup_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once) the base-corpus dedup index: bands/, arrays/, fps/."""
+    import hashlib
+    import os
+    import shutil
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = hashlib.md5(
+        f"{os.path.abspath(src)}:{os.path.getmtime(src)}:"
+        f"{_INC_MH}:{_INC_BANDS}:{_INC_BUCKETS}".encode()
+    ).hexdigest()[:12]
+    idx = os.path.join("/tmp", f"bspark_dedup_idx_{key}")
+    if not os.path.exists(os.path.join(idx, "_SUCCESS")):
+        tmp = idx + ".building"
+        shutil.rmtree(tmp, ignore_errors=True)
+        base = _split_docs(table(spark, sf_dir, "documents")).filter(
+            ~F.col("is_new")
+        )
+        arr = D.shingle_arrays_pandas(base, n=3).localCheckpoint()
+        sig = D.minhash_signature_pandas(arr, num_hashes=_INC_MH)
+        D.band_rows(sig, bands=_INC_BANDS, rows_per_band=_INC_ROWS).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(tmp, "bands"))
+        arr.write.mode("overwrite").parquet(os.path.join(tmp, "arrays"))
+        base.select(
+            F.col("doc_id").alias("id"), F.md5("text").alias("fp")
+        ).write.mode("overwrite").parquet(os.path.join(tmp, "fps"))
+        open(os.path.join(tmp, "_SUCCESS"), "w").close()
+        shutil.rmtree(idx, ignore_errors=True)
+        os.rename(tmp, idx)
+    return idx
+
+
+from brooklin_spark import registry as _registry
+
+
+@query(
+    "dedup_incremental_persisted_index",
+    oracle=_registry.ORACLES["dedup_incremental_new_vs_base"],
+)
+def dedup_incremental_persisted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    idx = _base_dedup_index(spark, sf_dir)
+    base_bands = spark.read.parquet(os.path.join(idx, "bands"))
+    base_arr = spark.read.parquet(os.path.join(idx, "arrays"))
+    base_fps = spark.read.parquet(os.path.join(idx, "fps"))
+
+    new = _split_docs(table(spark, sf_dir, "documents")).filter("is_new")
+    new_ids = new.select("doc_id")
+    exact = (
+        new.select("doc_id", F.md5("text").alias("fp"))
+        .join(base_fps.select("fp").distinct(), "fp", "left_semi")
+        .select("doc_id")
+    )
+    arr = D.shingle_arrays_pandas(new, n=3).localCheckpoint()
+    sig = D.minhash_signature_pandas(arr, num_hashes=_INC_MH).localCheckpoint()
+    cand = D.lsh_candidates_against(
+        D.band_rows(sig, bands=_INC_BANDS, rows_per_band=_INC_ROWS),
+        base_bands,
+        rows_per_band=_INC_ROWS,
+    )
+    near = (
+        D.jaccard_verify(arr.unionByName(base_arr), cand, threshold=_INC_TH)
+        .select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+    )
+    return (
+        new_ids.join(exact.withColumn("e", F.lit(True)), "doc_id", "left")
+        .join(near.withColumn("n", F.lit(True)), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("e", F.lit(False)).alias("exact_dup"),
+            F.coalesce("n", F.lit(False)).alias("near_dup"),
+        )
+    )
