@@ -1090,3 +1090,45 @@ def lsh_candidates_against(
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
         .distinct()
     )
+
+
+def span_rows_pandas(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 8
+) -> DataFrame:
+    """Exploded positional n-token spans via ONE mapInPandas kernel:
+    (id, n_tok, pos, h) rows — pos is the 1-based token position, h the
+    md5 hex of the space-joined span, n_tok the doc's token count
+    carried on every row (so consumers never re-scan the text).
+
+    Exists because the JVM composition (transform over sequence + slice
+    + array_join + md5 + explode) is interpreted PER ELEMENT — measured
+    16.4 s at sf1 vs 2.4 s for this kernel; same r1 lesson as the
+    shingle kernels above. Map-side, partition-preserving, no shuffle.
+    """
+    import hashlib as _hl
+
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+
+    def op(batches):
+        for pdf in batches:
+            ids: list = []
+            nt: list = []
+            ps: list = []
+            hs: list = []
+            for doc_id, txt in zip(pdf[id_col], pdf[text_col]):
+                toks = [w for w in (txt or "").split(" ") if w]
+                m = len(toks)
+                if m < n:
+                    continue
+                for i in range(m - n + 1):
+                    hs.append(
+                        _hl.md5(" ".join(toks[i : i + n]).encode()).hexdigest()
+                    )
+                ids.extend([doc_id] * (m - n + 1))
+                nt.extend([m] * (m - n + 1))
+                ps.extend(range(1, m - n + 2))
+            yield pd.DataFrame({"id": ids, "n_tok": nt, "pos": ps, "h": hs})
+
+    return df.repartition(n_parts, F.col(id_col)).mapInPandas(
+        op, schema="id bigint, n_tok int, pos int, h string"
+    )

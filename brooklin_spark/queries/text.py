@@ -2117,32 +2117,28 @@ _SPAN_W = 8
     """,
 )
 def text_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from brooklin_spark.operators.dedup import span_rows_pandas
+
     docs = table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", "source", X.tokens().alias("w"))
-    m = F.size("w")
-    span_structs = F.transform(
-        F.sequence(F.lit(1), m - (_SPAN_W - 1)),
-        lambda i: F.struct(
-            i.alias("pos"),
-            F.md5(F.array_join(F.slice("w", i, _SPAN_W), " ")).alias("h"),
-        ),
+    # ONE Arrow kernel pass (operators/dedup.py span_rows_pandas — the
+    # JVM HOF composition was 16.4 s vs ~4 s at sf1), consumed ONCE:
+    # the cross-doc dup flag is min(id)!=max(id) over a window keyed on
+    # the span hash instead of a groupBy + semi-join back, so the kernel
+    # output is never re-executed (no exchange reuse across pandas
+    # subtrees) and never checkpointed. Two keyed shuffles total
+    # (h, then doc); per-h work is bounded by the span's posting list.
+    spans = span_rows_pandas(docs, n=_SPAN_W)
+    wh = W.partitionBy("h")
+    dspans = (
+        spans.withColumn("mn", F.min("id").over(wh))
+        .withColumn("mx", F.max("id").over(wh))
+        .filter(F.col("mn") != F.col("mx"))
+        .select("id", "pos")
     )
-    spans = (
-        toks.filter(m >= _SPAN_W)
-        .select("doc_id", F.explode(span_structs).alias("s"))
-        .select("doc_id", "s.pos", "s.h")
-    )
-    dup = (
-        spans.groupBy("h")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("h")
-    )
-    dspans = spans.join(dup, "h", "left_semi").select("doc_id", "pos")
-    win = W.partitionBy("doc_id").orderBy("pos")
+    win = W.partitionBy("id").orderBy("pos")
     cov = (
         dspans.withColumn("nxt", F.lead("pos").over(win))
-        .groupBy("doc_id")
+        .groupBy("id")
         .agg(
             F.sum(
                 F.least(
@@ -2151,8 +2147,9 @@ def text_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("covered")
         )
+        .withColumnRenamed("id", "doc_id")
     )
-    per_doc = toks.select("doc_id", "source", m.alias("n_tok"))
+    per_doc = docs.select("doc_id", "source", X.token_count().alias("n_tok"))
     covered_sum = F.coalesce(F.sum("covered"), F.lit(0))
     return (
         per_doc.join(cov, "doc_id", "left")

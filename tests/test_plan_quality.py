@@ -684,16 +684,19 @@ def test_incremental_dedup_band_join_is_hash_equi(spark, sf_correct):
 
 
 def test_dup_span_coverage_windows_are_per_doc(spark, sf_correct):
-    """Dup-span coverage: the only window is hash-partitioned on doc_id
-    (rows bounded by doc length) and every join is equi — no nested loop,
-    no Python, no single-partition exchange feeding a window."""
+    """Dup-span coverage: exactly ONE Arrow span kernel (its output is
+    consumed once — the dup flag is a window over the span hash, not a
+    groupBy + semi-join that would re-execute the kernel), windows are
+    hash-partitioned (h, then doc_id), joins are equi."""
+    import re
+
     from brooklin_spark.plans import single_partition_window_lines
 
     df = _q(spark, sf_correct, "text_dup_span_coverage")
     plan = executed_plan(df)
     assert not single_partition_window_lines(df), plan
     assert "NestedLoopJoin" not in plan, plan
-    assert "EvalPython" not in plan and "InPandas" not in plan, plan
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1, plan
 
 
 def test_hashing_tf_is_pure_aggregate(spark, sf_correct):
