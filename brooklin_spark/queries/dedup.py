@@ -971,7 +971,15 @@ _LPA_ROUNDS = 2
     """,
 )
 def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # distinct (order, part) FIRST: pairs from the self-join are then
+    # distinct-per-order by construction, so the >=2-orders support
+    # filter is a plain count — no count_distinct expand on the squared
+    # pair table (the big intermediate)
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
     a = li.alias("a")
     b = li.alias("b")
     pairs = (
@@ -983,7 +991,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
         )
-        .agg(F.count_distinct("a.l_orderkey").alias("n_ord"))
+        .agg(F.count("*").alias("n_ord"))
         .filter(F.col("n_ord") >= 2)
         .select("pa", "pb")
     )
