@@ -76,6 +76,9 @@ def main() -> None:
         "join_full_outer_nation_wealth": "SortMergeJoin expected: FULL OUTER cannot broadcast",
         "dedup_apply_keep_canonical": "SortMergeJoin expected: the anti-join drop set scales with the duplicate fraction of the corpus, so it carries no broadcast hint (round-4 policy) and the checkpointed CC side sits outside AQE's re-plan boundary at toy SF — SMJ on doc_id is the correct strategy at scale",
         "udtf_token_positions": "BatchEvalPython expected: Python UDTFs are row-at-a-time by API design; the query exists to pin that extension surface",
+        "dedup_incremental_new_vs_base": "SortMergeJoin expected: band rows, candidate pairs, and shingle-array verify sides all scale with the corpus (no broadcast hint per round-4 policy); every join is keyed on the band tuple / doc id",
+        "dedup_incremental_persisted_index": "SortMergeJoin expected: probe bands join the on-disk base band index and verify joins the base array store — both corpus-scaled (AQE may broadcast the 20% probe side at toy SF)",
+        "graph_label_propagation": "SortMergeJoin expected: label x edge joins are large-pair at scale, same class as PageRank's rank x edge rounds; the checkpointed edge table feeds both rounds",
         "single_partition_window_whitelist": {
             "detector": "Window operators whose child exchange is SinglePartition, EXCLUDING operators/distrank.py's carry-in-offset windows (marker __dr_pid, <= buckets per-partition-count rows by construction); every query listed in with_single_partition_window must be justified here",
             "events_concurrency_profile": "day-offset cumulation runs over the per-DAY aggregate (|days| rows — calendar scale, not event scale); documented + plan-asserted in tests",
