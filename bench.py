@@ -79,6 +79,8 @@ BENCH_QUERIES = [
     "text_dup_span_coverage",   # exact-substring dup-span coverage (Lee et al.)
     "dedup_incremental_new_vs_base",  # probe-vs-base bipartite LSH increment
     "events_autocorrelation",   # lag-k ACF via day-arithmetic self-join
+    "graph_label_propagation",  # bounded 2-round min-label communities
+    "text_hashing_tf",          # feature hashing behind vocab pre-aggregate
 ]
 
 

@@ -90,13 +90,18 @@ def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("lag", F.col("a.c").alias("x"), F.col("b.c").alias("y"))
     )
+    # second-moment sums in DECIMAL(38,0): a 1e9-events/day series over a
+    # decade sums x^2 past BIGINT range. DuckDB's SUM(BIGINT) already
+    # widens to HUGEINT; this is the Spark-side equivalent (exact, and
+    # trivial cost — the input is |days| rows per lag)
+    dec = "decimal(38,0)"
     mom = paired.groupBy("lag").agg(
         F.count("*").alias("n"),
         F.sum("x").alias("sx"),
         F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sx2"),
-        F.sum(F.col("y") * F.col("y")).alias("sy2"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sx2"),
+        F.sum((F.col("y") * F.col("y")).cast(dec)).alias("sy2"),
     )
     n, sx, sy = [F.col(c).cast("double") for c in ("n", "sx", "sy")]
     sxy, sx2, sy2 = [F.col(c).cast("double") for c in ("sxy", "sx2", "sy2")]
