@@ -200,3 +200,81 @@ def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_after"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Series similarity: pairwise Pearson correlation between the per-type
+# daily-count series (the time-series-similarity-search shape — EDBT'19
+# streaming-series similarity — collapsed to the exact all-pairs case:
+# |event_types| series, so the pair space is tiny even though each
+# series is fact-derived). One fact-scale (type, day) groupBy, one
+# day-keyed self-join (types meet only on shared days), exact BIGINT /
+# DECIMAL moments, one final IEEE formula — same parity discipline as
+# the ACF above.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_series_correlation",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS c
+      FROM events GROUP BY 1, 2),
+    paired AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             a.c AS x, b.c AS y
+      FROM daily a JOIN daily b
+        ON a.day = b.day AND a.event_type < b.event_type),
+    mom AS (
+      SELECT type_a, type_b, COUNT(*) AS n,
+             SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+             SUM(x * x) AS sx2, SUM(y * y) AS sy2
+      FROM paired GROUP BY 1, 2)
+    SELECT type_a, type_b, CAST(n AS BIGINT) AS n_days,
+           round(
+             (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / nullif(sqrt((CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                           * (CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE)
+                              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 0),
+             8) AS corr
+    FROM mom
+    """,
+)
+def events_series_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint()  # two join sides; |types|*|days| rows
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    paired = a.join(
+        b,
+        (F.col("a.day") == F.col("b.day"))
+        & (F.col("a.event_type") < F.col("b.event_type")),
+    ).select(
+        F.col("a.event_type").alias("type_a"),
+        F.col("b.event_type").alias("type_b"),
+        F.col("a.c").alias("x"),
+        F.col("b.c").alias("y"),
+    )
+    dec = "decimal(38,0)"
+    mom = paired.groupBy("type_a", "type_b").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sx2"),
+        F.sum((F.col("y") * F.col("y")).cast(dec)).alias("sy2"),
+    )
+    n, sx, sy = [F.col(c).cast("double") for c in ("n", "sx", "sy")]
+    sxy, sx2, sy2 = [F.col(c).cast("double") for c in ("sxy", "sx2", "sy2")]
+    den = F.sqrt((n * sx2 - sx * sx) * (n * sy2 - sy * sy))
+    return mom.select(
+        "type_a",
+        "type_b",
+        F.col("n").cast("bigint").alias("n_days"),
+        F.round((n * sxy - sx * sy) / F.nullif(den, F.lit(0.0)), 8).alias("corr"),
+    )
