@@ -372,3 +372,102 @@ def streaming_ocf_ingest_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("revenue_cents"),
     )
     return run_to_completion(agg, mode="complete")
+
+
+# ---------------------------------------------------------------------------
+# OCF schema evolution: a mixed-generation landing directory — gen-1
+# files wrote (orderkey, totalprice), gen-2 files added o_orderpriority
+# — read as ONE table under a reader schema whose new field carries the
+# Avro default ('UNKNOWN' for gen-1 rows). Per-FILE resolution happens
+# in the split reader (each split decodes with its file's writer schema,
+# then projects onto the reader record), the OCF twin of
+# cdc_schema_evolution_union's parquet mergeSchema path. The oracle
+# recomputes the generation split from the same orderkey hash rule.
+# ---------------------------------------------------------------------------
+
+_EVO_READER = {
+    "type": "record",
+    "name": "OrderEvolved",
+    "fields": [
+        {"name": "o_orderkey", "type": "long"},
+        {"name": "o_totalprice", "type": "double"},
+        {"name": "o_orderpriority", "type": "string", "default": "UNKNOWN"},
+    ],
+}
+
+
+def _prepare_evolved_ocf(sf_dir: str) -> str:
+    import hashlib
+    import json as _json
+    import os
+
+    import pyarrow.parquet as pq
+
+    from brooklin_spark.functions.avro_ocf import write_ocf
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    out_dir = os.path.join("/tmp", "brooklin_ocf_evo", tag)
+    done = os.path.join(out_dir, "_SUCCESS")
+    if os.path.exists(done):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    rows = pq.read_table(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_totalprice", "o_orderpriority"],
+    ).to_pylist()
+    gen1 = [
+        {"o_orderkey": r["o_orderkey"], "o_totalprice": r["o_totalprice"]}
+        for r in rows
+        if r["o_orderkey"] % 2 == 0
+    ]
+    gen2 = [r for r in rows if r["o_orderkey"] % 2 == 1]
+    v1 = {
+        "type": "record",
+        "name": "OrderV1",
+        "fields": [
+            {"name": "o_orderkey", "type": "long"},
+            {"name": "o_totalprice", "type": "double"},
+        ],
+    }
+    v2 = {
+        "type": "record",
+        "name": "OrderV2",
+        "fields": [
+            {"name": "o_orderkey", "type": "long"},
+            {"name": "o_totalprice", "type": "double"},
+            {"name": "o_orderpriority", "type": "string"},
+        ],
+    }
+    write_ocf(os.path.join(out_dir, "gen1-0000.avro"), v1, gen1)
+    write_ocf(os.path.join(out_dir, "gen2-0000.avro"), v2, gen2)
+    open(done, "w").close()
+    return out_dir
+
+
+@query(
+    "source_avro_ocf_evolved",
+    oracle="""
+    SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'UNKNOWN' ELSE o_orderpriority END
+             AS o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM orders GROUP BY 1
+    """,
+)
+def source_avro_ocf_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+
+    pyds.register(spark)
+    evo_dir = _prepare_evolved_ocf(sf_dir)
+    df = (
+        spark.read.format("avro_ocf")
+        .options(path=evo_dir, reader_schema=_json.dumps(_EVO_READER))
+        .load()
+    )
+    return df.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("revenue_cents"),
+    )

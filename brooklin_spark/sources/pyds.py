@@ -488,6 +488,17 @@ class AvroOcfReader(DataSourceReader):
     def __init__(self, options):
         self.path = options["path"]
         self.split_bytes = int(options.get("split_bytes", str(4 << 20)))
+        # optional READER schema (Avro 'Schema Resolution', the same
+        # name-matching + defaults subset as functions/avro_codec.resolve):
+        # each file decodes with ITS OWN writer schema, then projects onto
+        # the reader record — writer-only fields drop, reader-only fields
+        # take declared defaults. This is how mixed-generation landing
+        # directories (additive column evolution) read as one table.
+        self.reader_schema = (
+            json.loads(options["reader_schema"])
+            if "reader_schema" in options
+            else None
+        )
 
     def partitions(self):
         out = []
@@ -509,7 +520,21 @@ class AvroOcfReader(DataSourceReader):
         if not partition.path:
             return
         schema, sync, header_end = _ocf_header(partition.path)
-        fields = [f["name"] for f in schema["fields"]]
+        if self.reader_schema is not None:
+            fields = [f["name"] for f in self.reader_schema["fields"]]
+            writer_names = {f["name"] for f in schema["fields"]}
+            defaults = {}
+            for f in self.reader_schema["fields"]:
+                if f["name"] not in writer_names:
+                    if "default" not in f:
+                        raise ValueError(
+                            f"reader field {f['name']!r} absent from "
+                            f"{partition.path} and has no default"
+                        )
+                    defaults[f["name"]] = f["default"]
+        else:
+            fields = [f["name"] for f in schema["fields"]]
+            defaults = {}
         with open(partition.path, "rb") as f:
             mm = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
             try:
@@ -536,7 +561,10 @@ class AvroOcfReader(DataSourceReader):
                     pos = p + 16
                 if rows:
                     yield pa.RecordBatch.from_pydict(
-                        {c: [r[c] for r in rows] for c in fields}
+                        {
+                            c: [r.get(c, defaults.get(c)) for r in rows]
+                            for c in fields
+                        }
                     )
             finally:
                 mm.close()
@@ -599,10 +627,13 @@ class AvroOcfDataSource(DataSource):
         return "avro_ocf"
 
     def schema(self) -> str:
-        files = _ocf_files(self.options["path"])
-        if not files:
-            raise ValueError(f"no .avro files under {self.options['path']}")
-        schema, _, _ = _ocf_header(files[0])
+        if "reader_schema" in self.options:
+            schema = json.loads(self.options["reader_schema"])
+        else:
+            files = _ocf_files(self.options["path"])
+            if not files:
+                raise ValueError(f"no .avro files under {self.options['path']}")
+            schema, _, _ = _ocf_header(files[0])
         cols = []
         for f in schema["fields"]:
             t = f["type"]

@@ -192,3 +192,45 @@ def test_ocf_tail_stream_exactly_once_across_restart(spark, tmp_path):
     ]
     expect = [i * 1000 + j for i in range(5) for j in range(50)]
     assert sorted(keys) == expect, (len(keys), len(set(keys)))
+
+
+def test_spi_reader_schema_resolution(spark, tmp_path):
+    """Mixed writer generations under one reader schema: missing reader
+    field takes its default on old files; a missing default errors."""
+    import json
+
+    from brooklin_spark.sources import pyds
+
+    pyds.register(spark)
+    d = tmp_path / "mixed"
+    d.mkdir()
+    v1 = {"type": "record", "name": "V1",
+          "fields": [{"name": "k", "type": "long"}]}
+    v2 = {"type": "record", "name": "V2",
+          "fields": [{"name": "k", "type": "long"},
+                     {"name": "tag", "type": "string"}]}
+    write_ocf(str(d / "a.avro"), v1, [{"k": 1}, {"k": 2}])
+    write_ocf(str(d / "b.avro"), v2, [{"k": 3, "tag": "x"}])
+    reader = {"type": "record", "name": "R",
+              "fields": [{"name": "k", "type": "long"},
+                         {"name": "tag", "type": "string", "default": "D"}]}
+    df = (
+        spark.read.format("avro_ocf")
+        .options(path=str(d), reader_schema=json.dumps(reader))
+        .load()
+    )
+    got = {(r["k"], r["tag"]) for r in df.collect()}
+    assert got == {(1, "D"), (2, "D"), (3, "x")}
+
+    bad = {"type": "record", "name": "B",
+           "fields": [{"name": "k", "type": "long"},
+                      {"name": "nodefault", "type": "string"}]}
+    df2 = (
+        spark.read.format("avro_ocf")
+        .options(path=str(d), reader_schema=json.dumps(bad))
+        .load()
+    )
+    import pytest as _pt
+
+    with _pt.raises(Exception, match="no default"):
+        df2.collect()
