@@ -14,6 +14,7 @@ identical IEEE-double formula at the end.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -277,4 +278,111 @@ def events_series_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "type_b",
         F.col("n").cast("bigint").alias("n_days"),
         F.round((n * sxy - sx * sy) / F.nullif(den, F.lit(0.0)), 8).alias("corr"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DTW series distance: exact dynamic-time-warping distance (|x-y| local
+# cost, unconstrained band) between every pair of per-type daily-count
+# series — the alignment-tolerant complement of the Pearson matrix
+# above (EDBT'19 distributed time-series similarity class). Integer
+# arithmetic end-to-end, so cross-engine equality is exact.
+#
+# Spark: one fact-scale (type, day) groupBy, per-type ordered arrays,
+# |types|^2/2 pairs, DP in a vectorized Arrow kernel (O(n*m) per pair,
+# row-at-a-time numpy) — series live as arrays, pairs are the unit of
+# parallelism (the right shape when series count >> series length).
+# Oracle: recursive CTE over DP rows; the inner recurrence is re-cast
+# entry-point form — new_row[j] = min over k<=j of (row-run cost k..j +
+# min(prev[k], prev[k-1])) — because SQL lambdas can't carry the
+# within-row sequential dependency; verified equal to the classic DP on
+# randomized series (tests/test_new_operator_properties.py).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_series_dtw",
+    oracle="""
+    WITH RECURSIVE
+    daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS c
+      FROM events GROUP BY 1, 2),
+    ser AS (
+      SELECT event_type, list(c ORDER BY day) AS v
+      FROM daily GROUP BY event_type),
+    p AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             a.v AS x, b.v AS y
+      FROM ser a JOIN ser b ON a.event_type < b.event_type),
+    dtw(type_a, type_b, x, y, i, row) AS (
+      SELECT type_a, type_b, x, y, 1,
+             list_transform(generate_series(1, len(y)),
+               j -> list_sum(list_transform(generate_series(1, j),
+                      t -> abs(x[1] - y[t]))))
+      FROM p
+      UNION ALL
+      SELECT type_a, type_b, x, y, i + 1,
+             list_transform(generate_series(1, len(y)), j ->
+               list_min(list_transform(generate_series(1, j), k ->
+                 list_sum(list_transform(generate_series(k, j),
+                   t -> abs(x[i + 1] - y[t])))
+                 + CASE WHEN k = 1 THEN row[1]
+                        ELSE least(row[k], row[k - 1]) END)))
+      FROM dtw WHERE i < len(x))
+    SELECT type_a, type_b,
+           CAST(len(x) AS BIGINT) AS n_a, CAST(len(y) AS BIGINT) AS n_b,
+           CAST(row[len(y)] AS BIGINT) AS dtw_dist
+    FROM dtw WHERE i = len(x)
+    """,
+)
+def events_series_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    e = table(spark, sf_dir, "events")
+    ser = (
+        e.groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.count("*").alias("c"))
+        .groupBy("event_type")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("day", "c"))),
+                lambda s: s["c"],
+            ).alias("v")
+        )
+        .localCheckpoint()  # two join sides, |types| rows
+    )
+
+    @pandas_udf("bigint")
+    def _dtw(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for x, y in zip(xs, ys):
+            x = np.asarray(x, dtype=np.int64)
+            y = np.asarray(y, dtype=np.int64)
+            m = len(y)
+            prev = np.cumsum(np.abs(x[0] - y))
+            for i in range(1, len(x)):
+                cost = np.abs(x[i] - y)
+                row = np.empty(m, dtype=np.int64)
+                row[0] = cost[0] + prev[0]
+                for j in range(1, m):
+                    row[j] = cost[j] + min(prev[j], prev[j - 1], row[j - 1])
+                prev = row
+            out.append(int(prev[-1]))
+        return pd.Series(out)
+
+    a, b = ser.alias("a"), ser.alias("b")
+    pairs = a.join(b, F.col("a.event_type") < F.col("b.event_type")).select(
+        F.col("a.event_type").alias("type_a"),
+        F.col("b.event_type").alias("type_b"),
+        F.col("a.v").alias("x"),
+        F.col("b.v").alias("y"),
+    )
+    return pairs.select(
+        "type_a",
+        "type_b",
+        F.size("x").cast("bigint").alias("n_a"),
+        F.size("y").cast("bigint").alias("n_b"),
+        _dtw("x", "y").alias("dtw_dist"),
     )

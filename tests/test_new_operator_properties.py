@@ -255,3 +255,52 @@ def test_span_gap_merge_equals_interval_union(positions):
     ) + W
     union = len({i for p in ps for i in range(p, p + W)})
     assert formula == union
+
+
+# --- DTW: entry-point recurrence (the SQL-oracle form) == classic DP ---
+
+_DTW_TMPL = """
+WITH RECURSIVE
+p AS (SELECT {x}::BIGINT[] AS x, {y}::BIGINT[] AS y),
+dtw(x, y, i, row) AS (
+  SELECT x, y, 1,
+         list_transform(generate_series(1, len(y)),
+           j -> list_sum(list_transform(generate_series(1, j), t -> abs(x[1] - y[t]))))
+  FROM p
+  UNION ALL
+  SELECT x, y, i + 1,
+         list_transform(generate_series(1, len(y)), j ->
+           list_min(list_transform(generate_series(1, j), k ->
+             list_sum(list_transform(generate_series(k, j), t -> abs(x[i + 1] - y[t])))
+             + CASE WHEN k = 1 THEN row[1] ELSE least(row[k], row[k - 1]) END)))
+  FROM dtw WHERE i < len(x))
+SELECT row[len(y)] FROM dtw WHERE i = len(x)
+"""
+
+
+def _dtw_classic(x, y):
+    import numpy as np
+
+    n, m = len(x), len(y)
+    D = np.full((n + 1, m + 1), float("inf"))
+    D[0, 0] = 0
+    for i in range(1, n + 1):
+        for j in range(1, m + 1):
+            D[i, j] = abs(x[i - 1] - y[j - 1]) + min(
+                D[i - 1, j], D[i, j - 1], D[i - 1, j - 1]
+            )
+    return int(D[n, m])
+
+
+@_hyp_given(
+    _hyp_st.lists(_hyp_st.integers(min_value=0, max_value=60), min_size=1, max_size=10),
+    _hyp_st.lists(_hyp_st.integers(min_value=0, max_value=60), min_size=1, max_size=10),
+)
+def test_dtw_oracle_recurrence_matches_classic_dp(x, y):
+    """The oracle's row-run entry-point form — new_row[j] = min over
+    k<=j of (run cost k..j + min(prev[k], prev[k-1])) — must equal the
+    textbook three-way DP for every series pair."""
+    import duckdb
+
+    got = duckdb.sql(_DTW_TMPL.format(x=x, y=y)).fetchone()[0]
+    assert got == _dtw_classic(x, y), (x, y)
