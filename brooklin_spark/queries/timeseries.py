@@ -386,3 +386,68 @@ def events_series_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("y").cast("bigint").alias("n_b"),
         _dtw("x", "y").alias("dtw_dist"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Burst windows (gaps-and-islands): maximal runs of consecutive days
+# where a type's daily count exceeds its own mean — the burst
+# detector an ops pipeline pages on. Island id = day_index - run_index
+# (the classic difference trick), both ranks computed in PER-TYPE
+# windows (hash-partitioned; |types| series of calendar length). The
+# 1.5x threshold is exact: means are compared as 2*n*c > 3*total in
+# BIGINT, so no float boundary can disagree between engines.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_burst_windows",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS c
+      FROM events GROUP BY 1, 2),
+    stats AS (
+      SELECT event_type, COUNT(*) AS n_days, SUM(c) AS total
+      FROM daily GROUP BY 1),
+    flagged AS (
+      SELECT d.event_type, d.day, d.c
+      FROM daily d JOIN stats s ON s.event_type = d.event_type
+      WHERE s.n_days * d.c > s.total),
+    ranked AS (
+      SELECT event_type, day, c,
+             day - CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+                        AS INTEGER) AS island
+      FROM flagged)
+    SELECT event_type,
+           strftime(MIN(day), '%Y-%m-%d') AS burst_start,
+           strftime(MAX(day), '%Y-%m-%d') AS burst_end,
+           COUNT(*) AS n_days,
+           CAST(MAX(c) AS BIGINT) AS peak,
+           CAST(SUM(c) AS BIGINT) AS volume
+    FROM ranked GROUP BY event_type, island
+    """,
+)
+def events_burst_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint()  # feeds stats join + flag filter
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.count("*").alias("n_days"), F.sum("c").alias("total")
+    )
+    flagged = daily.join(F.broadcast(stats), "event_type").filter(
+        F.col("n_days") * F.col("c") > F.col("total")
+    )
+    win = W.partitionBy("event_type").orderBy("day")
+    ranked = flagged.withColumn(
+        "island",
+        F.date_sub(F.col("day"), F.row_number().over(win)),
+    )
+    return ranked.groupBy("event_type", "island").agg(
+        F.date_format(F.min("day"), "yyyy-MM-dd").alias("burst_start"),
+        F.date_format(F.max("day"), "yyyy-MM-dd").alias("burst_end"),
+        F.count("*").alias("n_days"),
+        F.max("c").cast("bigint").alias("peak"),
+        F.sum("c").cast("bigint").alias("volume"),
+    ).drop("island")
