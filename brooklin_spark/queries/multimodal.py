@@ -455,3 +455,73 @@ def multimodal_av_align(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("matched_ts").alias("chunk_ms"),
         "chunk_ascii",
     )
+
+
+# ---------------------------------------------------------------------------
+# Video near-dup: re-upload detection over frame-hash SETS — each video
+# contributes 8 frame hashes (3 boilerplate frames keyed by lang — the
+# shared intro/outro real corpora carry — and 5 content frames keyed by
+# the document text), candidate pairs come from a frame-hash equi-self-
+# join (videos sharing >= 1 frame), and Jaccard >= 0.2 keeps both
+# true re-uploads (identical content -> 1.0) and boilerplate-heavy
+# pairs (shared intro alone -> 3/13 ~ 0.23, the grey zone a reviewer
+# triages). The multimodal twin of the text LSH
+# family: the shuffle is keyed on the frame hash, set sizes are fixed
+# (8), everything JVM-side.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_video_near_dup",
+    oracle="""
+    WITH fidx AS (SELECT unnest(generate_series(0, 7)) AS f),
+    frames AS (
+      SELECT doc_id,
+             md5(CASE WHEN f < 3 THEN lang || ':' || CAST(f AS VARCHAR)
+                      ELSE text || ':' || CAST(f AS VARCHAR) END) AS fh
+      FROM documents CROSS JOIN fidx WHERE doc_id < 200),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM frames a JOIN frames b ON a.fh = b.fh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b, CAST(n_common AS BIGINT) AS n_common,
+           round(n_common * 1.0 / (16 - n_common), 6) AS jaccard
+    FROM common
+    WHERE n_common * 1.0 / (16 - n_common) >= 0.2
+    """,
+)
+def multimodal_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    f_ = F.explode(F.sequence(F.lit(0), F.lit(7))).alias("f")
+    frames = docs.select("doc_id", "lang", "text").select(
+        "doc_id", f_, "lang", "text"
+    ).select(
+        "doc_id",
+        F.md5(
+            F.when(
+                F.col("f") < 3,
+                F.concat(F.col("lang"), F.lit(":"), F.col("f").cast("string")),
+            ).otherwise(
+                F.concat(F.col("text"), F.lit(":"), F.col("f").cast("string"))
+            )
+        ).alias("fh"),
+    )
+    a, b = frames.alias("a"), frames.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.fh") == F.col("b.fh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    jac = F.col("n_common") / (F.lit(16) - F.col("n_common"))
+    return common.select(
+        "doc_a",
+        "doc_b",
+        F.col("n_common").cast("bigint").alias("n_common"),
+        F.round(jac, 6).alias("jaccard"),
+    ).filter(jac >= 0.2)
