@@ -162,3 +162,59 @@ def global_ntile(
         rem + F.floor((F.col(rk) - 1 - rem * big) / base) + 1
     )
     return ranked.withColumn(out, tile.cast("bigint")).drop(rk, tot)
+
+
+def global_running_sum(
+    df: DataFrame,
+    order_by: Sequence[Column],
+    value: str,
+    *,
+    out: str = "cum",
+    total_out: Optional[str] = None,
+    buckets: Optional[int] = None,
+) -> DataFrame:
+    """Exact global running SUM over a total order, distributed — the
+    prefix-sum sibling of global_row_number (Pareto/ABC cuts, quantile
+    mass, cumulative-share reports).
+
+    Same decomposition: range repartition (disjoint ordered key ranges),
+    then a PER-PARTITION ordered cumsum — a window partitioned on the
+    derived pid, hash-distributed, never SinglePartition — plus carry-in
+    offsets cumulated over the <= buckets per-partition sums (metadata
+    scale, whitelist-marked). The pid comes from the same packed
+    monotonic id as global_row_number, and the projection is
+    localCheckpoint'ed once for the same one-evaluation reason.
+
+    ``value`` should be an exact type (bigint / decimal); ``order_by``
+    must be a total order.
+    """
+    spark = df.sparkSession
+    if buckets is None:
+        buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    cols = df.columns
+    part = df.repartitionByRange(buckets, *order_by)
+    mid = F.monotonically_increasing_id()
+    local = (
+        part.sortWithinPartitions(*order_by)
+        .select(*cols, F.shiftrightunsigned(mid, 33).alias(_PID))
+        .localCheckpoint(eager=False)
+    )
+    pw = (
+        W.partitionBy(_PID)
+        .orderBy(*order_by)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    local_cum = local.withColumn("__dr_lcum", F.sum(value).over(pw))
+    sums = local.groupBy(_PID).agg(F.sum(value).alias(_CNT))
+    ow = W.orderBy(_PID).rowsBetween(W.unboundedPreceding, W.currentRow)
+    tw = W.orderBy(_PID).rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    offs = sums.select(
+        _PID,
+        (F.sum(_CNT).over(ow) - F.col(_CNT)).alias(_OFF),
+        F.sum(_CNT).over(tw).alias(_TOT),
+    )
+    joined = local_cum.join(F.broadcast(offs), _PID)
+    res = joined.withColumn(out, F.col("__dr_lcum") + F.col(_OFF))
+    if total_out is not None:
+        res = res.withColumn(total_out, F.col(_TOT))
+    return res.drop(_PID, "__dr_lcum", _OFF, _TOT)

@@ -1187,3 +1187,66 @@ def dq_validation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     for ch in checks[1:]:
         out = out.unionAll(ch)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Pareto / ABC analysis: rank parts by revenue, cut the DESCENDING
+# cumulative share at 80% (A) and 95% (B) — the inventory-curation
+# report every warehouse team runs, and the third first-class consumer
+# of the distrank decomposition: the global prefix sum runs through
+# operators/distrank.py global_running_sum (range repartition +
+# per-partition ordered cumsum + <=B carry-in offsets), so no part-
+# scale SinglePartition window exists even though the cut needs an
+# exact GLOBAL cumulative. Class boundaries compare in integer cents
+# (5*cum vs 4*total, 20*cum vs 19*total) — no float boundary.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "parts_pareto_abc",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey,
+             SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                 AS BIGINT)) AS cents
+      FROM lineitem GROUP BY l_partkey),
+    ranked AS (
+      SELECT l_partkey, cents,
+             SUM(cents) OVER (ORDER BY cents DESC, l_partkey ASC
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(cents) OVER () AS total
+      FROM rev),
+    classed AS (
+      SELECT CASE WHEN 5 * cum <= 4 * total THEN 'A'
+                  WHEN 20 * cum <= 19 * total THEN 'B'
+                  ELSE 'C' END AS abc_class,
+             cents
+      FROM ranked)
+    SELECT abc_class,
+           COUNT(*) AS n_parts,
+           CAST(SUM(cents) AS BIGINT) AS revenue_cents
+    FROM classed GROUP BY abc_class
+    """,
+)
+def parts_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from brooklin_spark.operators.distrank import global_running_sum
+
+    li = table(spark, sf_dir, "lineitem")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
+    rev = li.groupBy("l_partkey").agg(F.sum(cents).alias("cents"))
+    ranked = global_running_sum(
+        rev,
+        [F.col("cents").desc(), F.col("l_partkey").asc()],
+        "cents",
+        out="cum",
+        total_out="total",
+    )
+    abc = F.when(5 * F.col("cum") <= 4 * F.col("total"), "A").when(
+        20 * F.col("cum") <= 19 * F.col("total"), "B"
+    ).otherwise("C")
+    return ranked.groupBy(abc.alias("abc_class")).agg(
+        F.count("*").alias("n_parts"),
+        F.sum("cents").cast("bigint").alias("revenue_cents"),
+    )

@@ -127,3 +127,37 @@ def test_property_ntile_any_shape(spark, vals, k, buckets):
         ).collect()
     }
     assert got == exp
+
+
+def test_global_running_sum_matches_pandas(spark):
+    """Exact prefix sum over a total order equals the single-node cumsum
+    for arbitrary data and any bucket count (boundary placement must not
+    matter)."""
+    import pandas as pd
+
+    from brooklin_spark.operators.distrank import global_running_sum
+    from pyspark.sql import functions as F
+
+    pdf = pd.DataFrame(
+        {
+            "k": [(i * 37) % 101 for i in range(500)],
+            "v": [((i * 13) % 7) - 3 for i in range(500)],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    for buckets in (1, 3, 16):
+        got = (
+            global_running_sum(
+                df,
+                [F.col("k").asc(), F.col("v").asc()],
+                "v",
+                out="cum",
+                total_out="tot",
+                buckets=buckets,
+            )
+            .orderBy("k", "v")
+            .toPandas()
+        )
+        ref = pdf.sort_values(["k", "v"], ignore_index=True)
+        assert list(got["cum"]) == list(ref["v"].cumsum()), buckets
+        assert set(got["tot"]) == {pdf["v"].sum()}, buckets

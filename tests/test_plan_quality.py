@@ -718,3 +718,17 @@ def test_label_propagation_edges_built_once(spark, sf_correct):
     plan = executed_plan(df)
     assert "lineitem" not in plan, plan[:2000]
     assert "windowspecdefinition" not in plan, plan
+
+
+def test_pareto_abc_no_fact_scale_global_window(spark, sf_correct):
+    """The global cumulative share must come from the distrank prefix-sum
+    decomposition: every window is either hash-partitioned or the
+    whitelisted <=B-row __dr_pid offsets window."""
+    df = _q(spark, sf_correct, "parts_pareto_abc")
+    plan = executed_plan(df)
+    assert not _fact_scale_windows(plan) or all(
+        "__dr_pid" in ln for ln in _fact_scale_windows(plan)
+    ), _fact_scale_windows(plan)
+    from brooklin_spark.plans import single_partition_window_lines
+
+    assert not single_partition_window_lines(df), plan
