@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "events_autocorrelation",   # lag-k ACF via day-arithmetic self-join
     "graph_label_propagation",  # bounded 2-round min-label communities
     "text_hashing_tf",          # feature hashing behind vocab pre-aggregate
+    "parts_pareto_abc",         # exact global prefix-sum (distrank) ABC cut
 ]
 
 
