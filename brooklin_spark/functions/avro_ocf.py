@@ -36,10 +36,20 @@ from brooklin_spark.functions.avro_codec import (
 MAGIC = b"Obj\x01"
 
 
-def _sync_for(schema_json: str) -> bytes:
-    """Deterministic 16-byte sync marker derived from the schema (the spec
-    only requires the marker be consistent within a file)."""
-    return hashlib.md5(schema_json.encode()).digest()
+def _sync_for(schema_json: str, path: str) -> bytes:
+    """Deterministic 16-byte sync marker derived from (schema, file name).
+
+    The spec only requires the marker be consistent within a file; readers
+    always take it from the header, never re-derive it. Mixing the file
+    name in keeps write_ocf byte-deterministic for identical inputs while
+    making the marker non-predictable from the schema alone — a payload
+    that embeds md5(schema) (a schema-registry-style digest field) can no
+    longer collide with the marker and corrupt the split reader's
+    false-sync scan. basename (not abspath) so a stage->promote rename
+    across directories does not change what a re-write would produce."""
+    return hashlib.md5(
+        schema_json.encode() + b"\x00" + os.path.basename(path).encode()
+    ).digest()
 
 
 def write_ocf(
@@ -51,7 +61,7 @@ def write_ocf(
     """Write records to ``path`` as an uncompressed OCF. Returns the
     record count. Deterministic bytes for identical inputs."""
     schema_json = json.dumps(schema, sort_keys=True)
-    sync = _sync_for(schema_json)
+    sync = _sync_for(schema_json, path)
     out = bytearray(MAGIC)
     meta = {"avro.schema": schema_json.encode(), "avro.codec": b"null"}
     _write_varint(out, len(meta))

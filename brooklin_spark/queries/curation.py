@@ -81,12 +81,13 @@ def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 _INC_MH, _INC_BANDS, _INC_ROWS = 16, 4, 4
 _INC_TH = 0.7
 _INC_BUCKETS, _INC_NEW = 5, 0
+_INC_SHINGLE_N = 3  # shingle width shared by oracle, kernels, and index key
 
 
 @query(
     "dedup_incremental_new_vs_base",
     oracle=f"""
-    WITH {G.shingle_cte(3)},
+    WITH {G.shingle_cte(_INC_SHINGLE_N)},
     split AS (
       SELECT doc_id,
              ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
@@ -149,7 +150,7 @@ def dedup_incremental_new_vs_base(spark: SparkSession, sf_dir: str) -> DataFrame
     # signatures map-side over the WHOLE corpus here (the oracle must see
     # the same world); in the production increment flow the base half is
     # the precomputed band index and only `new` runs the kernel
-    arr = D.shingle_arrays_pandas(split, n=3).localCheckpoint()
+    arr = D.shingle_arrays_pandas(split, n=_INC_SHINGLE_N).localCheckpoint()
     sig = D.minhash_signature_pandas(arr, num_hashes=_INC_MH).localCheckpoint()
     flags = split.select(F.col("doc_id").alias("id"), "is_new")
     banded = D.band_rows(sig, bands=_INC_BANDS, rows_per_band=_INC_ROWS).join(
@@ -207,7 +208,8 @@ def _base_dedup_index(spark: SparkSession, sf_dir: str) -> str:
     src = os.path.join(sf_dir, "documents.parquet")
     key = hashlib.md5(
         f"{os.path.abspath(src)}:{os.path.getmtime(src)}:"
-        f"{_INC_MH}:{_INC_BANDS}:{_INC_BUCKETS}".encode()
+        f"{_INC_MH}:{_INC_BANDS}:{_INC_ROWS}:{_INC_BUCKETS}:{_INC_NEW}:"
+        f"{_INC_TH}:{_INC_SHINGLE_N}".encode()
     ).hexdigest()[:12]
     idx = os.path.join("/tmp", f"bspark_dedup_idx_{key}")
     if not os.path.exists(os.path.join(idx, "_SUCCESS")):
@@ -216,7 +218,7 @@ def _base_dedup_index(spark: SparkSession, sf_dir: str) -> str:
         base = _split_docs(table(spark, sf_dir, "documents")).filter(
             ~F.col("is_new")
         )
-        arr = D.shingle_arrays_pandas(base, n=3).localCheckpoint()
+        arr = D.shingle_arrays_pandas(base, n=_INC_SHINGLE_N).localCheckpoint()
         sig = D.minhash_signature_pandas(arr, num_hashes=_INC_MH)
         D.band_rows(sig, bands=_INC_BANDS, rows_per_band=_INC_ROWS).write.mode(
             "overwrite"
@@ -253,7 +255,7 @@ def dedup_incremental_persisted_index(spark: SparkSession, sf_dir: str) -> DataF
         .join(base_fps.select("fp").distinct(), "fp", "left_semi")
         .select("doc_id")
     )
-    arr = D.shingle_arrays_pandas(new, n=3).localCheckpoint()
+    arr = D.shingle_arrays_pandas(new, n=_INC_SHINGLE_N).localCheckpoint()
     sig = D.minhash_signature_pandas(arr, num_hashes=_INC_MH).localCheckpoint()
     cand = D.lsh_candidates_against(
         D.band_rows(sig, bands=_INC_BANDS, rows_per_band=_INC_ROWS),

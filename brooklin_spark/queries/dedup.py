@@ -819,32 +819,39 @@ def fuzzy_name_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = keyed.alias("a")
     b = keyed.alias("b")
-    # NOTE: the `dist` alias does NOT guarantee single evaluation —
-    # Catalyst's CollapseProject/pushdown inlines it into both the Filter
-    # and the Project, so levenshtein runs up to 3x per candidate pair.
-    # Acceptable here: names are <=50 chars and blocking already bounds
-    # the candidate set; a checkpointed intermediate would cost more than
-    # the re-evaluation saves.
+    # An alias alone does NOT guarantee single evaluation — Catalyst's
+    # CollapseProject/pushdown would inline `dist` into both the Filter
+    # and the Project, re-running levenshtein up to 3x per candidate
+    # pair. The lazy localCheckpoint below is a lineage barrier: the thin
+    # (block, name_a, name_b, dist) projection materializes ONCE at first
+    # use, so each candidate pair pays exactly one levenshtein, and the
+    # downstream filter/sim read the stored column. Candidate volume is
+    # bounded by the block key (same discipline as an LSH band bucket),
+    # so the materialization is small.
     cand = (
         a.join(
             b,
             (F.col("a.blk") == F.col("b.blk"))
             & (F.col("a.p_name") < F.col("b.p_name")),
         )
-        .withColumn("dist", F.levenshtein(F.col("a.p_name"), F.col("b.p_name")))
+        .select(
+            F.col("a.blk").alias("block"),
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            F.levenshtein(F.col("a.p_name"), F.col("b.p_name")).alias("dist"),
+        )
+        .localCheckpoint(eager=False)
         .filter(F.col("dist") <= 4)
     )
     return cand.select(
-        F.col("a.blk").alias("block"),
-        F.col("a.p_name").alias("name_a"),
-        F.col("b.p_name").alias("name_b"),
+        "block",
+        "name_a",
+        "name_b",
         F.col("dist").cast("bigint").alias("dist"),
         F.round(
             1.0
             - F.col("dist")
-            / F.greatest(
-                F.length(F.col("a.p_name")), F.length(F.col("b.p_name"))
-            ),
+            / F.greatest(F.length("name_a"), F.length("name_b")),
             8,
         ).alias("sim"),
     )

@@ -394,8 +394,9 @@ def events_series_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
 # detector an ops pipeline pages on. Island id = day_index - run_index
 # (the classic difference trick), both ranks computed in PER-TYPE
 # windows (hash-partitioned; |types| series of calendar length). The
-# 1.5x threshold is exact: means are compared as 2*n*c > 3*total in
-# BIGINT, so no float boundary can disagree between engines.
+# above-mean flag is exact: both engines compare n_days * c > total in
+# BIGINT (i.e. c > mean without dividing), so no float boundary can
+# disagree between engines.
 # ---------------------------------------------------------------------------
 
 

@@ -24,6 +24,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import SparkSession  # noqa: E402
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+# Optional substring filter: `driver_sim.py <sf_dir> name1,name2` checks
+# only queries whose name contains one of the given substrings.
+ONLY = sys.argv[2].split(",") if len(sys.argv) > 2 else None
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
@@ -77,6 +80,8 @@ def main() -> int:
     print("entry rows:", len(ent.entry(spark).collect()))
     fails = []
     for name in sorted(qs):
+        if ONLY and not any(s in name for s in ONLY):
+            continue
         try:
             sdf = normalize(qs[name](spark, SF).toPandas())
             if name not in osql:

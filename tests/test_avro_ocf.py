@@ -42,10 +42,28 @@ def test_roundtrip_multi_block(tmp_path):
 
 
 def test_deterministic_bytes(tmp_path):
-    p1, p2 = str(tmp_path / "a.avro"), str(tmp_path / "b.avro")
+    # Same basename in different dirs -> identical bytes (the sync marker
+    # depends on (schema, basename) only, so a stage->promote rename or an
+    # idempotent re-write reproduces the file exactly).
+    (tmp_path / "d1").mkdir()
+    (tmp_path / "d2").mkdir()
+    p1, p2 = str(tmp_path / "d1" / "a.avro"), str(tmp_path / "d2" / "a.avro")
     write_ocf(p1, SCHEMA, _recs(50))
     write_ocf(p2, SCHEMA, _recs(50))
     assert open(p1, "rb").read() == open(p2, "rb").read()
+
+
+def test_sync_marker_differs_per_file(tmp_path):
+    # Different file names -> different markers: a payload embedding
+    # md5(schema) can never alias every file's block boundary.
+    p1, p2 = str(tmp_path / "a.avro"), str(tmp_path / "b.avro")
+    write_ocf(p1, SCHEMA, _recs(5))
+    write_ocf(p2, SCHEMA, _recs(5))
+    b1, b2 = open(p1, "rb").read(), open(p2, "rb").read()
+    assert b1[-16:] != b2[-16:]
+    _, r1 = read_ocf_bytes(b1)
+    _, r2 = read_ocf_bytes(b2)
+    assert list(r1) == list(r2)
 
 
 def test_bad_magic_rejected():
