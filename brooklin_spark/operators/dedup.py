@@ -563,7 +563,12 @@ def minhash_signature(shingles: DataFrame, num_hashes: int = 16) -> DataFrame:
     return shingles.groupBy("id").agg(*aggs)
 
 
-def lsh_candidate_pairs(signatures: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    bands: int,
+    rows_per_band: int,
+    max_bucket: int | None = None,
+) -> DataFrame:
     """Band the signature and emit candidate pairs sharing any band bucket.
 
     The band key is the raw tuple of its ``rows_per_band`` hash ints —
@@ -572,9 +577,15 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int, rows_per_band: int) -
     candidate set — equal key iff equal tuple — while paying per-row
     hashing, so the tuple join is strictly better; the DuckDB oracle keeps
     md5 band keys and matches because the candidate sets coincide). The
-    shuffle is keyed on the band tuple, so skew only appears if a bucket
-    is hot, which minhash uniformity prevents.
-    Returns distinct (id_a, id_b), id_a < id_b.
+    shuffle is keyed on the band tuple; minhash uniformity spreads
+    DISTINCT documents, but a giant exact/near-dup cluster (the 100k-copy
+    boilerplate page every web crawl carries) shares whole signatures and
+    lands in ONE bucket — quadratic pairs. ``max_bucket`` is the posting
+    cap for that case: buckets larger than it are dropped (members stay
+    discoverable through their other bands unless those are equally hot;
+    the standard LSH recall trade). The cap is a COUNT WINDOW over the
+    same (band_id, key-tuple) the join shuffles on, so it adds no extra
+    exchange. Returns distinct (id_a, id_b), id_a < id_b.
     """
     band_cols = []
     for j in range(bands):
@@ -586,6 +597,15 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int, rows_per_band: int) -
     banded = signatures.select("id", F.explode(F.array(*band_cols)).alias("b")).select(
         "id", "b.*"
     )
+    if max_bucket is not None:
+        from pyspark.sql import Window as W
+
+        keys = ["band_id"] + [f"k{r}" for r in range(rows_per_band)]
+        banded = (
+            banded.withColumn("__c", F.count("*").over(W.partitionBy(*keys)))
+            .filter(F.col("__c") <= max_bucket)
+            .drop("__c")
+        )
     x = banded.alias("x")
     y = banded.alias("y")
     key_eq = functools.reduce(
@@ -740,7 +760,11 @@ def simhash_signature_int_pandas(arrays: DataFrame, bits: int = 32) -> DataFrame
 
 
 def simhash_pairs_onepass(
-    signatures: DataFrame, bits: int, bands: int, max_distance: int
+    signatures: DataFrame,
+    bits: int,
+    bands: int,
+    max_distance: int,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """EXACT hamming-<=d pairs over BIGINT signatures in ONE join pass:
     the signature rides along with its band rows, so hamming verification
@@ -751,7 +775,12 @@ def simhash_pairs_onepass(
 
     Scale: the shuffle key is (band_id, band_key); carrying the 8-byte sig
     per band row is 4×8 bytes/doc — negligible against re-shuffling the
-    signature table twice for the verify joins it replaces.
+    signature table twice for the verify joins it replaces. Bucket size is
+    corpus/2^(bits/bands) in expectation, so bits/bands must be sized to
+    log2(corpus) at scale; ``max_bucket`` drops buckets above the cap
+    (count window over the join's own shuffle key — no extra exchange),
+    trading recall inside over-cap buckets for a hard per-bucket pair
+    bound, same discipline as the LSH/posting caps.
     """
     if max_distance >= bands:
         raise ValueError("exactness requires max_distance < bands")
@@ -769,6 +798,16 @@ def simhash_pairs_onepass(
     banded = signatures.select(
         "id", "sig", F.explode(F.array(*band_structs)).alias("b")
     ).select("id", "sig", "b.band_id", "b.band_key")
+    if max_bucket is not None:
+        from pyspark.sql import Window as W
+
+        banded = (
+            banded.withColumn(
+                "__c", F.count("*").over(W.partitionBy("band_id", "band_key"))
+            )
+            .filter(F.col("__c") <= max_bucket)
+            .drop("__c")
+        )
     x = banded.alias("x")
     y = banded.alias("y")
     dist = F.bit_count(F.col("x.sig").bitwiseXOR(F.col("y.sig"))).cast("int")

@@ -5,6 +5,7 @@ from brooklin_spark.plans.audit import (  # noqa: F401
     executed_plan,
     pushed_filters,
     read_schema_columns,
+    self_join_candidate_generators,
     shuffle_count,
     single_partition_window_lines,
     wholestage_codegen_ids,

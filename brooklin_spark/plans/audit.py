@@ -120,3 +120,47 @@ def wholestage_codegen_ids(df: DataFrame) -> set[int]:
         int(m.group(1))
         for m in re.finditer(r"WholeStageCodegen \((\d+)\)", executed_plan(df))
     }
+
+
+_ATTR = r"([A-Za-z_][A-Za-z0-9_]*)#\d+L?"
+
+
+def _strip_ids(keys: str) -> list[str]:
+    """`fh#123L, band_id#4` -> ['fh', 'band_id'] (expression keys kept raw)."""
+    return [
+        re.sub(r"#\d+L?", "", k.strip()) for k in keys.split(",") if k.strip()
+    ]
+
+
+def self_join_candidate_generators(df: DataFrame) -> list[str]:
+    """Join lines that look like CANDIDATE-PAIR GENERATION over one
+    relation: an equi-join whose left and right key NAMES are identical
+    (a.key == b.key over the same source) combined with a `<` tie-break
+    on another same-named column pair (a.id < b.id) — the LSH/blocking
+    self-join shape. Output volume is quadratic per key value, so every
+    flagged join must be protected by a posting/df cap or band
+    discipline and justified by name in the plan-audit notes (the r5
+    audit extension; the video-near-dup hot key was the motivating
+    defect).
+
+    USING-joins on a shared key name alone are NOT flagged: without the
+    tie-break they are lookups, not pair generators.
+    """
+    plan = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    hits: list[str] = []
+    join_re = re.compile(
+        r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)\w*\s+"
+        r"(?:\w+\s+)?\[([^\]]*)\],\s*\[([^\]]*)\],\s*(\w+)(.*)$"
+    )
+    for ln in plan.splitlines():
+        m = join_re.search(ln)
+        if not m:
+            continue
+        lkeys, rkeys = _strip_ids(m.group(2)), _strip_ids(m.group(3))
+        if not lkeys or lkeys != rkeys:
+            continue
+        cond = m.group(5)
+        tie = re.search(rf"\(?{_ATTR}\s*<\s*{_ATTR}\)?", cond)
+        if tie and tie.group(1) == tie.group(2):
+            hits.append(ln.strip()[:200])
+    return hits

@@ -144,6 +144,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _MH, _BANDS, _ROWS = 16, 4, 4
+# Band-bucket posting cap (r5): a giant near-dup cluster shares whole
+# signatures and lands in ONE bucket — quadratic candidates. Buckets
+# larger than this are dropped (never binds at test SFs — pinned by a
+# unit test with a synthetic giant cluster; at 100 TB it is the hard
+# per-bucket pair bound).
+_LSH_MAX_BUCKET = 1024
 
 
 @query(
@@ -152,9 +158,15 @@ _MH, _BANDS, _ROWS = 16, 4, 4
     WITH {G.shingle_cte(3)},
     sig AS ({G.minhash_km_select(_MH)}),
     banded AS ({" UNION ALL ".join(G.band_int_exprs(_BANDS, _ROWS))}),
+    bsize AS (SELECT band_id, band_key, COUNT(*) AS c
+              FROM banded GROUP BY 1, 2),
+    capped AS (SELECT b.doc_id, b.band_id, b.band_key
+               FROM banded b JOIN bsize s
+                 ON s.band_id = b.band_id AND s.band_key = b.band_key
+               WHERE s.c <= {_LSH_MAX_BUCKET}),
     cand AS (
       SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-      FROM banded x JOIN banded y
+      FROM capped x JOIN capped y
         ON x.band_id = y.band_id AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
     sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
     common AS (
@@ -186,7 +198,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # then per-pair array-intersect verify — work is O(candidates)
     arr = D.shingle_arrays_pandas(docs, n=3).localCheckpoint()
     sig = D.minhash_signature_pandas(arr, num_hashes=_MH).localCheckpoint()
-    cand = D.lsh_candidate_pairs(sig, bands=_BANDS, rows_per_band=_ROWS)
+    cand = D.lsh_candidate_pairs(
+        sig, bands=_BANDS, rows_per_band=_ROWS, max_bucket=_LSH_MAX_BUCKET
+    )
     return D.jaccard_verify(arr, cand, threshold=0.7)
 
 
@@ -261,9 +275,15 @@ def dedup_canonical_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM base GROUP BY doc_id),
     sigs AS (SELECT doc_id, {G.simhash_sig_int_expr(_BITS)} AS sig FROM sums),
     banded AS ({" UNION ALL ".join(G.simhash_band_int_selects(_BITS, _SH_BANDS))}),
+    bsize AS (SELECT band_id, band_key, COUNT(*) AS c
+              FROM banded GROUP BY 1, 2),
+    capped AS (SELECT b.doc_id, b.band_id, b.band_key
+               FROM banded b JOIN bsize s
+                 ON s.band_id = b.band_id AND s.band_key = b.band_key
+               WHERE s.c <= {_LSH_MAX_BUCKET}),
     cand AS (
       SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-      FROM banded x JOIN banded y
+      FROM capped x JOIN capped y
         ON x.band_id = y.band_id AND x.band_key = y.band_key AND x.doc_id < y.doc_id)
     SELECT c.doc_a, c.doc_b, CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
     FROM cand c JOIN sigs a ON a.doc_id = c.doc_a JOIN sigs b ON b.doc_id = c.doc_b
@@ -281,7 +301,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # n_docs, the cheapest possible materialization point.
     arr = D.shingle_arrays_pandas(docs, n=3)
     sig = D.simhash_signature_int_pandas(arr, bits=_BITS).localCheckpoint()
-    return D.simhash_pairs_onepass(sig, bits=_BITS, bands=_SH_BANDS, max_distance=_MAX_D)
+    return D.simhash_pairs_onepass(
+        sig, bits=_BITS, bands=_SH_BANDS, max_distance=_MAX_D,
+        max_bucket=_LSH_MAX_BUCKET,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -361,9 +384,15 @@ def dedup_decontamination_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE common * 1.0 / (sa.n_sh + sb.n_sh - common) >= 0.7),
     sig AS ({G.minhash_km_select(_MH)}),
     banded AS ({" UNION ALL ".join(G.band_int_exprs(_BANDS, _ROWS))}),
+    bsize AS (SELECT band_id, band_key, COUNT(*) AS c
+              FROM banded GROUP BY 1, 2),
+    capped AS (SELECT b.doc_id, b.band_id, b.band_key
+               FROM banded b JOIN bsize s
+                 ON s.band_id = b.band_id AND s.band_key = b.band_key
+               WHERE s.c <= {_LSH_MAX_BUCKET}),
     cand AS (
       SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-      FROM banded x JOIN banded y
+      FROM capped x JOIN capped y
         ON x.band_id = y.band_id AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
     hit AS (SELECT t.doc_a, t.doc_b FROM truth t JOIN cand c
             ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b)
@@ -384,7 +413,9 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = D.jaccard_pairs_selfjoin(sh, threshold=0.7).select("doc_a", "doc_b")
     arr = D.shingle_arrays_pandas(docs, n=3).localCheckpoint()
     sig = D.minhash_signature_pandas(arr, num_hashes=_MH).localCheckpoint()
-    cand = D.lsh_candidate_pairs(sig, bands=_BANDS, rows_per_band=_ROWS).select(
+    cand = D.lsh_candidate_pairs(
+        sig, bands=_BANDS, rows_per_band=_ROWS, max_bucket=_LSH_MAX_BUCKET
+    ).select(
         F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
     )
     hit = truth.join(cand, ["doc_a", "doc_b"])

@@ -20,6 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from brooklin_spark import registry  # noqa: E402
 from brooklin_spark.plans.audit import (  # noqa: E402
     executed_plan,
+    self_join_candidate_generators,
     shuffle_count,
     single_partition_window_lines,
 )
@@ -57,6 +58,9 @@ def main() -> None:
             "row_at_a_time_python": plan.count("BatchEvalPython"),
             "windows": plan.count("Window"),
             "single_partition_windows": len(single_partition_window_lines(df)),
+            "self_join_candidate_generators": len(
+                self_join_candidate_generators(df)
+            ),
             "scans": plan.count("InMemoryFileIndex"),
         }
     agg = {
@@ -69,6 +73,9 @@ def main() -> None:
         "with_single_partition_window": sorted(
             k for k, v in out.items() if v.get("single_partition_windows")
         ),
+        "with_self_join_candidate_generator": sorted(
+            k for k, v in out.items() if v.get("self_join_candidate_generators")
+        ),
         "errors": sum(1 for v in out.values() if "error" in v),
     }
     agg["notes"] = {
@@ -79,6 +86,18 @@ def main() -> None:
         "dedup_incremental_new_vs_base": "SortMergeJoin expected: band rows, candidate pairs, and shingle-array verify sides all scale with the corpus (no broadcast hint per round-4 policy); every join is keyed on the band tuple / doc id",
         "dedup_incremental_persisted_index": "SortMergeJoin expected: probe bands join the on-disk base band index and verify joins the base array store — both corpus-scaled (AQE may broadcast the 20% probe side at toy SF)",
         "graph_label_propagation": "SortMergeJoin expected: label x edge joins are large-pair at scale, same class as PageRank's rank x edge rounds; the checkpointed edge table feeds both rounds",
+        "self_join_candidate_generator_whitelist": {
+            "detector": "equi-joins whose left/right key NAMES coincide plus a same-named `<` tie-break (the LSH/blocking candidate-pair shape — quadratic per key value); every query listed in with_self_join_candidate_generator must be justified here with the cap/band discipline that bounds it (r5 extension; the video-near-dup hot key was the motivating defect)",
+            "dedup_ngram_jaccard": "posting cap: shingles with df > MAX_POSTING dropped before the self-join (operators/dedup.py jaccard_pairs_selfjoin count-window cap; property-tested)",
+            "dedup_pair_similarity_histogram": "same jaccard_pairs_selfjoin posting cap as dedup_ngram_jaccard",
+            "dedup_containment_pairs": "same count-window MAX_POSTING cap inline in the query",
+            "dedup_minhash_lsh": "band discipline + r5 bucket cap: buckets larger than _LSH_MAX_BUCKET dropped (count window over the join's own shuffle key; giant-cluster unit test)",
+            "dedup_simhash": "band discipline + r5 bucket cap (same _LSH_MAX_BUCKET via simhash_pairs_onepass max_bucket); band width bits/bands must be sized to log2(corpus) at scale — both are operator parameters",
+            "multimodal_video_near_dup": "r5 df cap: frame hashes with document frequency > _VND_DF_CAP cannot seed candidates (boilerplate hot key eliminated; hot-key unit tests)",
+            "text_tfidf_cosine_pairs": "df cap: terms with df > _TFIDF_MAX_DF dropped from the postings self-join",
+            "events_series_correlation": "key is the DAY; per-key group size = |event types| (domain-bounded, not corpus-scaled) — pairs per day are |types|^2, a constant",
+            "not_visible_to_detector": "fuzzy_name_match_pairs' block-key self-join sits behind its r5 lazy localCheckpoint (plan truncates at Scan ExistingRDD); its bound is the block key, covered by its own comment + oracle",
+        },
         "single_partition_window_whitelist": {
             "detector": "Window operators whose child exchange is SinglePartition, EXCLUDING operators/distrank.py's carry-in-offset windows (marker __dr_pid, <= buckets per-partition-count rows by construction); every query listed in with_single_partition_window must be justified here",
             "events_concurrency_profile": "day-offset cumulation runs over the per-DAY aggregate (|days| rows — calendar scale, not event scale); documented + plan-asserted in tests",
@@ -86,6 +105,10 @@ def main() -> None:
             "events_changepoint_cusum": "CUSUM cumulative sum runs over the per-DAY aggregate (|days| rows — calendar scale, ~3.6k rows per decade); the fact-scale work is the map-side-combined daily groupBy before it; documented + plan-asserted in tests",
         },
     }
+    agg["unjustified_self_join_candidate_generators"] = sorted(
+        set(agg["with_self_join_candidate_generator"])
+        - set(agg["notes"]["self_join_candidate_generator_whitelist"])
+    )
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLAN_AUDIT.json"), "w") as f:
         json.dump({"summary": agg, "queries": out}, f, indent=1, sort_keys=True)
     print(json.dumps(agg))

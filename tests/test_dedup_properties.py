@@ -127,3 +127,34 @@ def test_blocked_pairs_match_guarded_kernel(spark, sf_smoke):
             for r in S.similar_pairs_blocked(emb, threshold=0.2, n_blocks=nb).collect()
         }
         assert a == b and len(a) > 0, f"n_blocks={nb}"
+
+
+def test_lsh_band_bucket_cap_drops_giant_cluster(spark):
+    """r5 hot-bucket discipline: a giant cluster of IDENTICAL signatures
+    lands in one band bucket per band; with max_bucket set below the
+    cluster size the bucket is dropped (zero candidates from it) while
+    normal-size clusters are untouched. Candidate count per bucket is
+    thereby hard-bounded by max_bucket*(max_bucket-1)/2."""
+    big, small = 40, 4
+    rows = [(i, 7, 7, 7, 7) for i in range(big)]  # one giant bucket
+    rows += [(100 + i, 9, 9, 9, 9) for i in range(small)]
+    sig = spark.createDataFrame(
+        rows, "id bigint, h0 bigint, h1 bigint, h2 bigint, h3 bigint"
+    )
+    uncapped = D.lsh_candidate_pairs(sig, bands=1, rows_per_band=4)
+    assert uncapped.count() == big * (big - 1) // 2 + small * (small - 1) // 2
+    capped = D.lsh_candidate_pairs(sig, bands=1, rows_per_band=4, max_bucket=16)
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert got == {(a, b) for a in range(100, 104) for b in range(100, 104) if a < b}
+
+
+def test_simhash_bucket_cap_drops_giant_cluster(spark):
+    big, small = 40, 4
+    rows = [(i, 0x12345678) for i in range(big)]
+    rows += [(100 + i, 0x0F0F0F0F) for i in range(small)]
+    sig = spark.createDataFrame(rows, "id bigint, sig bigint")
+    capped = D.simhash_pairs_onepass(
+        sig, bits=32, bands=4, max_distance=3, max_bucket=16
+    )
+    got = {(r.doc_a, r.doc_b) for r in capped.collect()}
+    assert got == {(a, b) for a in range(100, 104) for b in range(100, 104) if a < b}

@@ -732,3 +732,24 @@ def test_pareto_abc_no_fact_scale_global_window(spark, sf_correct):
     from brooklin_spark.plans import single_partition_window_lines
 
     assert not single_partition_window_lines(df), plan
+
+
+def test_self_join_candidate_generator_detector(spark, sf_correct):
+    """r5 audit extension: the detector flags the LSH/blocking self-join
+    shape (same key names + same-named `<` tie-break) and stays silent on
+    ordinary star joins; every flagged registered query carries a
+    cap/band justification in scripts/plan_audit.py's whitelist."""
+    from brooklin_spark.plans import self_join_candidate_generators
+
+    # the motivating defect's query — now capped, still flagged (the
+    # detector sees the join shape; the cap is the rare-fh semi-join
+    # upstream, asserted by the multimodal hot-key tests)
+    vnd = _q(spark, sf_correct, "multimodal_video_near_dup")
+    assert self_join_candidate_generators(vnd)
+    # a star join with different key names on each side: silent
+    q5 = _q(spark, sf_correct, "q5_local_supplier_volume")
+    assert not self_join_candidate_generators(q5)
+    # a USING-style lookup join on a shared key name WITHOUT the
+    # tie-break: silent (lookups are not pair generators)
+    lk = _q(spark, sf_correct, "dedup_decontamination_flags")
+    assert not self_join_candidate_generators(lk)
