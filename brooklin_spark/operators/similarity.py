@@ -116,8 +116,9 @@ def brute_force_topk(
     k: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    metric: str = "cosine",
 ) -> DataFrame:
-    """Exact top-k cosine neighbors for each query vector.
+    """Exact top-k neighbors for each query vector (cosine or squared-L2).
 
     Plan shape: the query matrix is collected and closed over (the
     broadcast step — queries are small by contract), the corpus streams
@@ -129,27 +130,45 @@ def brute_force_topk(
     """
     from pyspark.sql import Window as W
 
-    q_ids, qm = _collect_matrix(queries, id_col, vec_col)
+    if metric not in ("cosine", "l2"):
+        raise ValueError(f"unknown metric {metric!r}")
+    if metric == "cosine":
+        q_ids, qm = _collect_matrix(queries, id_col, vec_col)
+    else:
+        q_ids, qm = _collect_matrix_raw(queries, id_col, vec_col)
 
     def op(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
             ids = pdf[id_col].to_numpy(dtype=np.int64)
-            sims = np.round(_batch_matrix(pdf[vec_col]) @ qm.T, 6)
+            if metric == "cosine":
+                # higher is better: negate so ascending lexsort ranks best-first
+                score = -np.round(_batch_matrix(pdf[vec_col]) @ qm.T, 6)
+            else:
+                raw = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+                )
+                diff = raw[:, None, :] - qm[None, :, :]
+                score = np.round((diff * diff).sum(-1), 6)
             out: dict[str, list] = {"query_id": [], "neighbor_id": [], "sim": []}
             for j, qid in enumerate(q_ids):
                 mask = np.flatnonzero(ids != qid)
-                order = mask[np.lexsort((ids[mask], -sims[mask, j]))][:k]
+                order = mask[np.lexsort((ids[mask], score[mask, j]))][:k]
                 out["query_id"].extend([qid] * len(order))
                 out["neighbor_id"].extend(ids[order].tolist())
-                out["sim"].extend(sims[order, j].tolist())
+                out["sim"].extend((-score[order, j] if metric == "cosine" else score[order, j]).tolist())
             yield pd.DataFrame(out)
 
     scored = corpus.select(id_col, vec_col).mapInPandas(
         op, schema="query_id bigint, neighbor_id bigint, sim double"
     )
-    w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    ordering = (
+        [F.desc("sim"), F.asc("neighbor_id")]
+        if metric == "cosine"
+        else [F.asc("sim"), F.asc("neighbor_id")]
+    )
+    w = W.partitionBy("query_id").orderBy(*ordering)
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
@@ -677,6 +696,89 @@ def pq_encode(
         + ", recon_err double"
     )
     return corpus.select(id_col, vec_col).mapInPandas(op, schema=schema)
+
+
+def pq_train(
+    corpus: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    rounds: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Train PQ sub-quantizers: per-subspace Lloyd's k-means (L2), the
+    index-build step a real IVF-PQ system runs instead of taking the
+    first k corpus vectors as codewords (Jegou et al. §III — r4 VERDICT
+    next-round #8). Init IS the first-k codebook, so rounds=0 reproduces
+    pq_encode's baseline exactly; each round provably lowers total
+    reconstruction error (monotone Lloyd), and recall@5 of the trained
+    codebook is oracle-measured by ann_pq_recall_eval.
+
+    Plan per round (same fused shape as kmeans_refine): ONE mapInPandas
+    pass whose kernel assigns every sub-vector to its nearest codeword
+    (rounded-6 squared L2, lowest-code tie-break — identical arithmetic
+    to pq_encode) and pre-reduces per-(subspace, code, dim) partial sums
+    inside the Arrow batch; then a groupBy((j, code, dim)) shuffle whose
+    payload is m·k·d partial-sum rows per batch, never vectors. The
+    rounded means (m·k·d doubles) are collected between rounds — the
+    broadcast-small model state. A (j, code) cell that loses all members
+    keeps its previous codeword (deterministic on both engines).
+
+    Returns the trained codebook as a k-row DataFrame (id_col 0..k-1,
+    vec_col full-D assembled vector) — drop-in for pq_encode /
+    pq_adc_topk / ivfpq_topk, which slice it back into subspaces.
+    """
+    spark = corpus.sparkSession
+    rows = corpus.orderBy(id_col).limit(k).select(id_col, vec_col).collect()
+    rows.sort(key=lambda r: r[0])
+    cb = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    D = cb.shape[1]
+    if D % m:
+        raise ValueError(f"dim {D} not divisible by m={m}")
+    d = D // m
+    sel = corpus.select(id_col, vec_col)
+    for _ in range(rounds):
+
+        def op(batches, _cb=cb.copy()):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                raw = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+                )
+                out: dict[str, list] = {
+                    "j": [], "code": [], "dim": [], "psum": [], "cnt": [],
+                }
+                for j in range(m):
+                    sub = raw[:, j * d : (j + 1) * d]
+                    csub = _cb[:, j * d : (j + 1) * d]
+                    diff = sub[:, None, :] - csub[None, :, :]
+                    d2 = np.round((diff * diff).sum(-1), 6)
+                    best = d2.argmin(axis=1)  # first min == lowest code
+                    for c in np.unique(best):
+                        s = sub[best == c].sum(axis=0)
+                        out["j"].extend([j] * d)
+                        out["code"].extend([int(c)] * d)
+                        out["dim"].extend(range(d))
+                        out["psum"].extend(s.tolist())
+                        out["cnt"].extend([int((best == c).sum())] * d)
+                yield pd.DataFrame(out)
+
+        comp = (
+            sel.mapInPandas(
+                op, schema="j int, code int, dim int, psum double, cnt bigint"
+            )
+            .groupBy("j", "code", "dim")
+            .agg(F.round(F.sum("psum") / F.sum("cnt"), 6).alias("c"))
+        )
+        nxt = cb.copy()  # dead (j, code) cells keep their previous codeword
+        for r in comp.collect():  # m*k*d rounded doubles — model state, tiny
+            nxt[int(r.code), int(r.j) * d + int(r.dim)] = float(r.c)
+        cb = nxt
+    return spark.createDataFrame(
+        [(int(c), cb[c].tolist()) for c in range(k)],
+        f"{id_col} bigint, {vec_col} array<double>",
+    )
 
 
 def pq_adc_topk(

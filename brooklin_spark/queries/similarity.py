@@ -622,6 +622,161 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# TRAINED sub-quantizers (r5, VERDICT r4 next-round #8): a real IVF-PQ
+# index trains per-subspace k-means codebooks instead of taking the
+# first k corpus vectors. operators/similarity.py:pq_train runs the
+# Lloyd rounds distributively (fused assign+reduce mapInPandas, m·k·d
+# partial-sum shuffle rows — the kmeans_refine shape); the oracle
+# replays the SAME rounds as unrolled CTEs (the BPE-train discipline),
+# so the trained codebook itself — init, assignment tie-breaks, rounded
+# means, dead-cell carryover — is cross-engine checked, not just the
+# final top-k. ann_pq_recall_eval then measures recall@5 of first-k vs
+# trained against exact L2 truth: trained wins (0.075 -> 0.156 at
+# sf0.1), pinned by a test.
+# ---------------------------------------------------------------------------
+
+_PQ_TRAIN_ROUNDS = 2
+_PQ_NQ = 32  # recall-eval query count (8 is too noisy to rank codebooks)
+
+
+def _pq_sub_dist(vec_expr: str, j_expr: str = "c.j", cw: str = "c.cw") -> str:
+    """Rounded-6 squared L2 between a dynamic subspace slice and a
+    per-(code, j) codeword list — the trained-codebook twin of
+    _pq_dist_sql (which hard-codes the slice per generated column)."""
+    s = _PQ_SUB
+    return (
+        f"round(list_sum(list_transform("
+        f"{vec_expr}[{j_expr}*{s}+1 : {j_expr}*{s}+{s}], "
+        f"(x, i) -> (x::DOUBLE - {cw}[i]) * (x::DOUBLE - {cw}[i]))), 6)"
+    )
+
+
+def _pq_train_ctes(rounds: int) -> str:
+    """CTE chain jj, cb0 .. cb{rounds}: per-(code, subspace) codeword
+    lists after each Lloyd round, mirroring pq_train exactly (first-k
+    init, rounded-6 assignment distances with lowest-code tie-break,
+    rounded-6 means, dead cells carry the previous codeword)."""
+    s = _PQ_SUB
+    ctes = [
+        f"jj AS (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS j)",
+        f"""cb0 AS (
+      SELECT e.vec_id AS code, jj.j,
+             list_transform(e.embedding[jj.j*{s}+1 : jj.j*{s}+{s}], x -> x::DOUBLE) AS cw
+      FROM embeddings e CROSS JOIN jj WHERE e.vec_id < {_PQ_K})""",
+    ]
+    for r in range(rounds):
+        ctes.append(f"""asg{r} AS (
+      SELECT e.vec_id, c.j,
+             FIRST(c.code ORDER BY {_pq_sub_dist("e.embedding")} ASC, c.code ASC) AS code
+      FROM embeddings e CROSS JOIN cb{r} c GROUP BY e.vec_id, c.j)""")
+        ctes.append(f"""mn{r} AS (
+      SELECT a.j, a.code, dd.i AS dim,
+             round(SUM(e.embedding[a.j*{s} + dd.i]::DOUBLE) / COUNT(*), 6) AS comp
+      FROM asg{r} a JOIN embeddings e ON e.vec_id = a.vec_id
+      CROSS JOIN (SELECT unnest(generate_series(1, {s})) AS i) dd
+      GROUP BY 1, 2, 3)""")
+        ctes.append(f"""cb{r + 1} AS (
+      SELECT code, j, list(comp ORDER BY dim) AS cw FROM mn{r} GROUP BY code, j
+      UNION ALL
+      SELECT p.code, p.j, p.cw FROM cb{r} p
+      WHERE NOT EXISTS (SELECT 1 FROM mn{r} n WHERE n.code = p.code AND n.j = p.j))""")
+    return ",\n    ".join(ctes)
+
+
+def _pq_adc_sql(cb_cte: str, nq: int, out: str) -> str:
+    """ADC top-5 CTE chain over a per-(code, j) codebook CTE: encode,
+    query LUT (queries are corpus members, so cd covers them), fixed
+    j-order sum (matches the kernel's ascending-j accumulation), rank."""
+    joins = "\n      ".join(
+        f"JOIN {out}_ql t{j} ON t{j}.j = {j} AND t{j}.code = c.c{j}"
+        + (f" AND t{j}.query_id = t0.query_id" if j else "")
+        for j in range(_PQ_M)
+    )
+    return f"""{out}_cd AS (
+      SELECT e.vec_id, c.code, c.j, {_pq_sub_dist("e.embedding")} AS dd
+      FROM embeddings e CROSS JOIN {cb_cte} c),
+    {out}_codes AS (
+      SELECT vec_id,
+             {", ".join(f"FIRST(code ORDER BY dd ASC, code ASC) FILTER (j = {j}) AS c{j}" for j in range(_PQ_M))}
+      FROM {out}_cd GROUP BY vec_id),
+    {out}_ql AS (
+      SELECT vec_id AS query_id, code, j, dd FROM {out}_cd WHERE vec_id < {nq}),
+    {out}_adc AS (
+      SELECT t0.query_id, c.vec_id AS neighbor_id,
+             round({" + ".join(f"t{j}.dd" for j in range(_PQ_M))}, 6) AS adc_dist
+      FROM {out}_codes c
+      {joins}
+      WHERE c.vec_id <> t0.query_id),
+    {out} AS (
+      SELECT query_id, neighbor_id, adc_dist, rank FROM (
+        SELECT query_id, neighbor_id, adc_dist,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY adc_dist ASC, neighbor_id ASC) AS rank
+        FROM {out}_adc) t WHERE rank <= 5)"""
+
+
+@query(
+    "ann_pq_adc_trained_topk",
+    oracle=f"""
+    WITH {_pq_train_ctes(_PQ_TRAIN_ROUNDS)},
+    {_pq_adc_sql(f"cb{_PQ_TRAIN_ROUNDS}", 8, "top")}
+    SELECT query_id, neighbor_id, adc_dist, rank FROM top
+    """,
+)
+def ann_pq_adc_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    cbt = S.pq_train(emb, m=_PQ_M, k=_PQ_K, rounds=_PQ_TRAIN_ROUNDS)
+    queries = emb.filter(F.col("vec_id") < 8)
+    return S.pq_adc_topk(queries, emb, cbt, m=_PQ_M, k=_PQ_K, topk=5)
+
+
+@query(
+    "ann_pq_recall_eval",
+    oracle=f"""
+    WITH {_pq_train_ctes(_PQ_TRAIN_ROUNDS)},
+    exact AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+               round(list_sum(list_transform(e.embedding,
+                 (x, i) -> (x::DOUBLE - q.embedding[i]::DOUBLE)
+                         * (x::DOUBLE - q.embedding[i]::DOUBLE))), 6) ASC,
+               e.vec_id ASC) AS rn
+      FROM embeddings q CROSS JOIN embeddings e
+      WHERE q.vec_id < {_PQ_NQ} AND e.vec_id <> q.vec_id),
+    truth AS (SELECT query_id, neighbor_id FROM exact WHERE rn <= 5),
+    {_pq_adc_sql("cb0", _PQ_NQ, "base")},
+    {_pq_adc_sql(f"cb{_PQ_TRAIN_ROUNDS}", _PQ_NQ, "trained")}
+    SELECT {_PQ_NQ} AS n_queries,
+           round((SELECT COUNT(*) FROM truth t
+                  JOIN base b ON b.query_id = t.query_id
+                             AND b.neighbor_id = t.neighbor_id)
+                 * 1.0 / {5 * _PQ_NQ}, 6) AS recall_firstk,
+           round((SELECT COUNT(*) FROM truth t
+                  JOIN trained x ON x.query_id = t.query_id
+                               AND x.neighbor_id = t.neighbor_id)
+                 * 1.0 / {5 * _PQ_NQ}, 6) AS recall_trained
+    """,
+)
+def ann_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _PQ_NQ)
+    truth = S.brute_force_topk(queries, emb, k=5, metric="l2").select(
+        "query_id", "neighbor_id"
+    )
+    base_cb = emb.filter(F.col("vec_id") < _PQ_K)
+    top_b = S.pq_adc_topk(queries, emb, base_cb, m=_PQ_M, k=_PQ_K, topk=5)
+    cbt = S.pq_train(emb, m=_PQ_M, k=_PQ_K, rounds=_PQ_TRAIN_ROUNDS)
+    top_t = S.pq_adc_topk(queries, emb, cbt, m=_PQ_M, k=_PQ_K, topk=5)
+    n_b = truth.join(top_b, ["query_id", "neighbor_id"]).count()
+    n_t = truth.join(top_t, ["query_id", "neighbor_id"]).count()
+    denom = 5 * _PQ_NQ
+    return spark.createDataFrame(
+        [(_PQ_NQ, round(n_b / denom, 6), round(n_t / denom, 6))],
+        "n_queries int, recall_firstk double, recall_trained double",
+    )
+
+
+# ---------------------------------------------------------------------------
 # IVF-PQ: the combined billion-scale ANN layout — IVF routing restricts
 # the scan to the probed lists, PQ/ADC replaces raw vectors with m-byte
 # codes inside them (operators/similarity.py:ivfpq_topk). Both index

@@ -1,16 +1,27 @@
 #!/usr/bin/env python
-"""Derive a 10x benchmark corpus ("sf1") from the driver's sf0.1 testdata.
+"""Derive an Nx benchmark corpus from the driver's sf0.1 testdata.
+
+  python scripts/make_benchdata.py [SRC] [DST]        # BENCH_REPLICAS=10
+  BENCH_REPLICAS=100 python scripts/make_benchdata.py \
+      /root/testdata/sf0.1 benchdata/sf10             # the r5 scale corpus
 
 Replication strategy (key-shifted copies, referential integrity preserved):
 every fact/dim key shifts by replica*10_000_000, so joins stay 1:1 with the
-original semantics and selectivities while row counts scale 10x. Document
-text is word-prefixed per replica (r1..r9) so shingle spaces are disjoint
+original semantics and selectivities while row counts scale Nx. Document
+text is word-prefixed per replica (r1..r99) so shingle spaces are disjoint
 across replicas — the near-dup structure scales linearly instead of
-creating artificial 10-copy duplicate clusters. region/nation stay fixed
-(TPC-H keeps them constant across scale factors).
+creating artificial N-copy duplicate clusters. Embedding vectors get a
+deterministic per-replica SIGN-FLIP pattern (dim d flips iff
+hash(replica, d) is odd) for the same reason: a shared pattern preserves
+every intra-replica dot product exactly (s_d^2 = 1), while cross-replica
+cosines decorrelate to ~0 — without it every vector would have N-1 exact
+duplicates and the cosine-threshold dedup family would grow
+quadratically in replicas, a data-shape artifact rather than a
+measurement. region/nation stay fixed (TPC-H keeps them constant across
+scale factors).
 
 This corpus exists ONLY to measure plans above Spark's local scheduling
-floor (BASELINE.md round-2 table); correctness gates keep running on the
+floor (BASELINE.md scale tables); correctness gates keep running on the
 driver's own sf0.01 data.
 """
 
@@ -53,6 +64,13 @@ def main() -> None:
                 "CASE WHEN i.range = 0 THEN text ELSE array_to_string("
                 "list_transform(string_split(text, ' '), w -> 'r' || i.range || w), ' ') "
                 "END AS text"
+            )
+        if t == "embeddings":
+            repl.append(
+                "CASE WHEN i.range = 0 THEN embedding ELSE "
+                "list_transform(embedding, (x, d) -> "
+                "CASE WHEN hash(i.range, d) % 2 = 0 THEN x ELSE -x END) "
+                "END AS embedding"
             )
         con.sql(
             f"COPY (SELECT * EXCLUDE (range) REPLACE ({', '.join(repl)}) "
