@@ -82,6 +82,9 @@ BENCH_QUERIES = [
     "graph_label_propagation",  # bounded 2-round min-label communities
     "text_hashing_tf",          # feature hashing behind vocab pre-aggregate
     "parts_pareto_abc",         # exact global prefix-sum (distrank) ABC cut
+    # round-5 additions
+    "multimodal_video_near_dup",  # df-capped frame-hash near-dup (r5 fix)
+    "ann_pq_adc_trained_topk",  # trained sub-quantizers + ADC search
 ]
 
 

@@ -219,10 +219,16 @@ def similar_pairs(
     )
 
 
+#: adaptive tiling target: rows per block. A tile's similarity matrix is
+#: (≤rows)² float64 = 128 MB at 4096 — 32 concurrent tiles stay under
+#: ~6 GB of kernel scratch regardless of corpus size.
+BLOCK_ROWS = 4096
+
+
 def similar_pairs_blocked(
     corpus: DataFrame,
     threshold: float,
-    n_blocks: int = 8,
+    n_blocks: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -234,13 +240,21 @@ def similar_pairs_blocked(
     (triangular tiling), ONE shuffle keyed on (b_lo, b_hi), and each of
     the B(B+1)/2 independent tiles runs its matmul in numpy. Every id
     pair lands in exactly one tile, so the result is exact — identical to
-    the all-pairs SQL oracle. Task memory is two blocks ≈ 2N/B vectors
-    no matter how big the corpus; compute stays O(N²) (that is what exact
-    all-pairs means — LSH buckets are the sub-quadratic path). Size
-    ``n_blocks`` so a block fits an executor: B ≈ N·dim·8B / mem_target;
-    replication cost is B× the corpus through one shuffle.
+    the all-pairs SQL oracle, and INVARIANT to B (per-pair arithmetic
+    never crosses a tile). Compute stays O(N²) — that is what exact
+    all-pairs means; LSH buckets are the sub-quadratic path.
+
+    ``n_blocks`` defaults to ceil(count/BLOCK_ROWS): per-task memory is
+    then a CONSTANT two ~BLOCK_ROWS blocks plus a ≤BLOCK_ROWS² scratch
+    matrix no matter how big the corpus, while tile COUNT grows as the
+    corpus squares — more tasks, never bigger ones. (The r5 sf10 run
+    proved the fixed-B=8 default fatal: at 200k vectors each tile held a
+    25k x 25k float64 scratch — 5 GB x 32 concurrent tasks, kernel
+    OOM-killing the JVM. Replication cost is B x the corpus through one
+    shuffle: ~N²·dim/BLOCK_ROWS bytes — at true 100 TB embedding scale
+    you cap B and accept bigger tiles, or go LSH.)
     """
-    B = int(n_blocks)
+    B = int(n_blocks) if n_blocks else max(2, -(-corpus.count() // BLOCK_ROWS))
     blk = F.pmod(F.crc32(F.col(id_col).cast("string").cast("binary")), F.lit(B)).cast(
         "int"
     )

@@ -342,3 +342,25 @@ def test_pq_trained_recall_beats_firstk(spark, sf_correct):
     sf0.1). Deterministic end-to-end, so a strict inequality is pinnable."""
     row = registry.QUERIES["ann_pq_recall_eval"](spark, sf_correct).collect()[0]
     assert row.recall_trained > row.recall_firstk, row
+
+
+def test_blocked_pairs_invariant_to_block_count(spark, sf_correct):
+    """Tiling exactness: every id pair lands in exactly one tile, so the
+    result set is identical for ANY block count — including the adaptive
+    default (ceil(N/BLOCK_ROWS)), which keeps per-task scratch constant
+    as the corpus grows (the r5 sf10 run OOM-killed the JVM under the
+    old fixed B=8: 25k-row tiles at 200k vectors)."""
+    from brooklin_spark.io import table
+    from brooklin_spark.operators.similarity import similar_pairs_blocked
+
+    emb = table(spark, sf_correct, "embeddings")
+    ref = {
+        (r.vec_a, r.vec_b, r.sim)
+        for r in similar_pairs_blocked(emb, threshold=0.4, n_blocks=2).collect()
+    }
+    for b in (7, None):  # None = adaptive ceil(N/BLOCK_ROWS)
+        got = {
+            (r.vec_a, r.vec_b, r.sim)
+            for r in similar_pairs_blocked(emb, threshold=0.4, n_blocks=b).collect()
+        }
+        assert got == ref, b
