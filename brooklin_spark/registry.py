@@ -43,6 +43,7 @@ def load_all() -> None:
         multimodal,
         pandas_udfs,
         pyds_queries,
+        quality_model,
         relational,
         serde_queries,
         similarity,
