@@ -975,3 +975,69 @@ def ivfpq_topk(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= topk)
     )
+
+
+def semdedup_keep(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means clusters
+    bound the candidate space for semantic dedup — within each cluster, a
+    vector with a LOWER-id neighbor at cosine >= threshold is dropped.
+    Returns (vec_id, cid, keep) — the per-vector dedup manifest.
+
+    Plan shape (the 100 TB path for paraphrase dedup): assignment is one
+    centroid-matmul mapInPandas over the corpus with the vector riding
+    along (no shuffle, no join back for the pair stage); then ONE shuffle
+    keyed on cid; per-cluster applyInPandas does the within-cluster
+    pairwise matmul and emits per-vector keep flags directly — pairs never
+    materialize as rows. Candidate work is quadratic ONLY in cluster size:
+    the cluster count k is the dial, grown with the corpus so N/k (and
+    per-task memory, (N/k)*dim*8B) stays constant — SemDeDup runs ~100k
+    clusters on LAION-scale corpora for exactly this reason. Cross-cluster
+    near-dups are missed by design (recall <-> k), same contract as the
+    SRP-bucketed variant (srp_bucket_pairs); everything emitted is exact.
+    """
+    c_ids, cm = _collect_matrix(centroids, id_col, vec_col)
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            sims = np.round(_batch_matrix(pdf[vec_col]) @ cm.T, 6)
+            best = np.array(
+                [c_ids[np.lexsort((c_ids, -row))[0]] for row in sims],
+                dtype=np.int64,
+            )
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].to_numpy(dtype=np.int64),
+                    "cid": best,
+                    "vec": pdf[vec_col],
+                }
+            )
+
+    assigned = corpus.select(id_col, vec_col).mapInPandas(
+        assign, schema="id bigint, cid bigint, vec array<float>"
+    )
+
+    def flags(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        if len(pdf) == 1:
+            return pd.DataFrame(
+                {"vec_id": ids, "cid": pdf["cid"], "keep": [True]}
+            )
+        mat = _batch_matrix(pdf["vec"])
+        sims = np.round(mat @ mat.T, 6)
+        # dup[i] iff some j with ids[j] < ids[i] has cosine >= threshold
+        dup = ((sims >= threshold) & (ids[None, :] < ids[:, None])).any(axis=1)
+        return pd.DataFrame(
+            {"vec_id": ids, "cid": pdf["cid"].to_numpy(), "keep": ~dup}
+        )
+
+    return assigned.groupBy("cid").applyInPandas(
+        flags, schema="vec_id bigint, cid bigint, keep boolean"
+    )

@@ -276,3 +276,148 @@ def dedup_incremental_persisted_index(spark: SparkSession, sf_dir: str) -> DataF
             F.coalesce("n", F.lit(False)).alias("near_dup"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget corpus selection: rank the corpus by quality (descending,
+# doc_id tie-break) and keep the best prefix whose cumulative token count
+# fits the training budget — the "train on the best X tokens" selection
+# every data-constrained run performs (quality-ranked prefix under a hard
+# token budget). The budget here is HALF the corpus tokens so the query is
+# SF-invariant; boundary compares in exact integers (2*cum <= total), no
+# float threshold.
+#
+# Plan shape: the quality projection is map-side; the exact GLOBAL ordered
+# prefix sum runs through operators/distrank.py global_running_sum (range
+# repartition + per-partition ordered cumsum + <=B carry-in offsets) — no
+# corpus-scale SinglePartition window even though the cut needs a global
+# cumulative; the report is a |sources|-row aggregate. The quality doubles
+# are bit-identical across engines (fixed IEEE expression tree — same
+# guarantee text_quality_score's hash-match already proves), so the order,
+# and therefore the admitted set, is engine-exact.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "corpus_token_budget_select",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, source,
+             len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens,
+             len(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS n_distinct,
+             len(list_filter(list_filter(string_split(text, ' '), x -> x <> ''),
+                 x -> list_contains(['the','and','of','to','in','is','a'], x))) AS stop_hits
+      FROM documents),
+    scored AS (
+      SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+             0.5 * least(n_tokens / 100.0, 1.0)
+               + 0.3 * (CAST(n_distinct AS DOUBLE) / n_tokens)
+               + 0.2 * least(5.0 * stop_hits / n_tokens, 1.0) AS quality
+      FROM d WHERE n_tokens > 0),
+    ranked AS (
+      SELECT doc_id, source, n_tokens, quality,
+             SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id ASC
+                                 ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(n_tokens) OVER () AS total
+      FROM scored)
+    SELECT source,
+           COUNT(*) AS n_kept,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens_kept,
+           CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+           MIN(quality) AS min_quality_admitted
+    FROM ranked WHERE 2 * cum <= total
+    GROUP BY source
+    """,
+)
+def corpus_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from brooklin_spark.functions import text as X
+    from brooklin_spark.operators.distrank import global_running_sum
+
+    docs = table(spark, sf_dir, "documents")
+    n_tok = X.token_count()
+    quality = (
+        0.5 * F.least(n_tok / 100.0, F.lit(1.0))
+        + 0.3 * (X.distinct_token_count().cast("double") / n_tok)
+        + 0.2 * F.least(5.0 * X.stopword_hits(lang="en") / n_tok, F.lit(1.0))
+    )
+    scored = docs.filter(n_tok > 0).select(
+        "doc_id",
+        "source",
+        n_tok.cast("bigint").alias("n_tokens"),
+        quality.alias("quality"),
+    )
+    ranked = global_running_sum(
+        scored,
+        [F.col("quality").desc(), F.col("doc_id").asc()],
+        "n_tokens",
+        out="cum",
+        total_out="total",
+    )
+    return (
+        ranked.filter(2 * F.col("cum") <= F.col("total"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum("n_tokens").cast("bigint").alias("tokens_kept"),
+            F.sum("doc_id").cast("bigint").alias("id_checksum"),
+            F.min("quality").alias("min_quality_admitted"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Data-mixing epoch plan: temperature-scaled source weights (T = 2, i.e.
+# share ∝ sqrt(tokens) — the standard rebalancing rule for multilingual /
+# multi-domain pretraining mixes: up-samples small sources, down-samples
+# the head) and the per-source epoch count implied by a training budget of
+# one corpus-size worth of tokens: epochs = target_share * total / tokens.
+#
+# Float-parity discipline: token counts stay BIGINT; sqrt is rounded to 6
+# and summed as DECIMAL(18,6) (exact accumulation — a cross-source double
+# sum would be fold-order sensitive); each reported share/epoch is a fixed
+# IEEE expression tree over those exact moments. Plan shape: one fact-scale
+# map-side-combined groupBy; everything after runs on |sources| rows with
+# the 1-row totals broadcast (the whitelisted scalar crossJoin).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "corpus_mixture_epoch_plan",
+    oracle="""
+    WITH tok AS (
+      SELECT source,
+             CAST(SUM(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT) AS tokens
+      FROM documents GROUP BY source),
+    s AS (
+      SELECT source, tokens,
+             CAST(round(sqrt(tokens), 6) AS DECIMAL(18,6)) AS sq
+      FROM tok),
+    t AS (SELECT SUM(tokens) AS total, SUM(sq) AS sq_total FROM s)
+    SELECT s.source, s.tokens,
+           CAST(s.tokens AS DOUBLE) / t.total AS raw_share,
+           CAST(s.sq AS DOUBLE) / CAST(t.sq_total AS DOUBLE) AS target_share,
+           CAST(s.sq AS DOUBLE) / CAST(t.sq_total AS DOUBLE) * t.total / s.tokens AS epochs
+    FROM s, t
+    """,
+)
+def corpus_mixture_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from brooklin_spark.functions import text as X
+
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.groupBy("source").agg(
+        F.sum(X.token_count()).cast("bigint").alias("tokens")
+    )
+    # |sources| rows, referenced twice (per-source rows + totals): the
+    # checkpoint keeps the fact-scale groupBy to ONE corpus scan
+    s = tok.withColumn(
+        "sq", F.round(F.sqrt("tokens"), 6).cast("decimal(18,6)")
+    ).localCheckpoint()
+    t = s.agg(F.sum("tokens").alias("total"), F.sum("sq").alias("sq_total"))
+    target = F.col("sq").cast("double") / F.col("sq_total").cast("double")
+    return s.crossJoin(F.broadcast(t)).select(
+        "source",
+        "tokens",
+        (F.col("tokens").cast("double") / F.col("total")).alias("raw_share"),
+        target.alias("target_share"),
+        (target * F.col("total") / F.col("tokens")).alias("epochs"),
+    )

@@ -1255,3 +1255,48 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("comp").alias("cluster"),
         (F.col("comp") == F.col("id")).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: k-means clusters bound the candidate space for semantic dedup
+# (Abbas et al. 2023). Distinct from dedup_semantic_clusters (SRP buckets +
+# connected components): here the partition comes from centroid assignment
+# — the dial is CLUSTER COUNT, grown with the corpus so per-cluster
+# quadratic work stays constant — and the output is the per-vector
+# keep/drop manifest (lowest-id cluster member at cosine >= threshold
+# survives). Centroids are the first _SDD_C corpus vectors so the whole
+# approximation is deterministic and oracle-checkable; the trained
+# pq_train/kmeans_refine machinery slots in unchanged at production.
+# ---------------------------------------------------------------------------
+
+_SDD_C = 8
+_SDD_TH = 0.4
+
+
+@query(
+    "dedup_semdedup_kmeans",
+    oracle=f"""
+    WITH cent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < {_SDD_C}),
+    scored AS (
+      SELECT e.vec_id, c.cid,
+             round(list_cosine_similarity(e.embedding::DOUBLE[], c.cvec::DOUBLE[]), 6) AS sim
+      FROM embeddings e CROSS JOIN cent c),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
+        FROM scored) t WHERE rn = 1),
+    dup AS (
+      SELECT DISTINCT b.vec_id
+      FROM assign a JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      JOIN embeddings ea ON ea.vec_id = a.vec_id
+      JOIN embeddings eb ON eb.vec_id = b.vec_id
+      WHERE round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6) >= {_SDD_TH})
+    SELECT a.vec_id, a.cid, (d.vec_id IS NULL) AS keep
+    FROM assign a LEFT JOIN dup d ON d.vec_id = a.vec_id
+    """,
+)
+def dedup_semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < _SDD_C)
+    return S.semdedup_keep(emb, cent, threshold=_SDD_TH)

@@ -452,3 +452,65 @@ def events_burst_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("c").cast("bigint").alias("peak"),
         F.sum("c").cast("bigint").alias("volume"),
     ).drop("island")
+
+
+# ---------------------------------------------------------------------------
+# Seasonal decomposition (ratio-to-moving-average): per event type, the
+# day-of-week seasonal index of the daily volume — classical multiplicative
+# decomposition where the trend is a centered 7-day moving sum and the
+# seasonal index per weekday is the TREND-WEIGHTED mean of the detrended
+# ratios: index(dow) = 7 * sum(c) / sum(sum7) over full-window days.
+# Weighting by the trend keeps every moment in exact BIGINT arithmetic —
+# the only IEEE operation is the single final division, so cross-engine
+# parity is exact (the repo's standard timeseries float policy). Edge days
+# without a full 7-row window are excluded, as in classical decomposition.
+#
+# Scale shape: one map-side-combined fact-scale groupBy to daily counts;
+# the window and the dow aggregate run on the |types| x |days|
+# calendar-scale series.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_seasonal_decompose",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS c
+      FROM events GROUP BY 1, 2),
+    ma AS (
+      SELECT event_type, day, c,
+             SUM(c) OVER (PARTITION BY event_type ORDER BY day
+                          ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS sum7,
+             COUNT(*) OVER (PARTITION BY event_type ORDER BY day
+                            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS n7
+      FROM daily)
+    SELECT event_type, CAST(isodow(day) - 1 AS INTEGER) AS dow,
+           COUNT(*) AS n_days,
+           CAST(SUM(c) AS BIGINT) AS volume,
+           CAST(7.0 * SUM(c) AS DOUBLE) / SUM(sum7) AS seasonal_index
+    FROM ma WHERE n7 = 7
+    GROUP BY 1, 2
+    """,
+)
+def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.col("ts").cast("date").alias("day")).agg(
+        F.count("*").alias("c")
+    )
+    win = (
+        W.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
+    )
+    ma = daily.select(
+        "event_type",
+        "day",
+        "c",
+        F.sum("c").over(win).alias("sum7"),
+        F.count("*").over(win).alias("n7"),
+    ).filter(F.col("n7") == 7)
+    return ma.groupBy(
+        "event_type", F.weekday("day").cast("int").alias("dow")
+    ).agg(
+        F.count("*").alias("n_days"),
+        F.sum("c").cast("bigint").alias("volume"),
+        ((F.lit(7.0) * F.sum("c")) / F.sum("sum7")).alias("seasonal_index"),
+    )

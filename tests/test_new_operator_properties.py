@@ -364,3 +364,118 @@ def test_blocked_pairs_invariant_to_block_count(spark, sf_correct):
             for r in similar_pairs_blocked(emb, threshold=0.4, n_blocks=b).collect()
         }
         assert got == ref, b
+
+
+# --------------------------- round-5 additions ----------------------------
+
+
+def test_semdedup_threshold_extremes(spark):
+    """threshold > 1 keeps everything; threshold <= -1 keeps exactly one
+    vector (the lowest id) per cluster — the SemDeDup keep rule at both
+    ends of the dial."""
+    from brooklin_spark.operators.similarity import semdedup_keep
+
+    pdf = pd.DataFrame(
+        {
+            "vec_id": list(range(12)),
+            "embedding": [
+                [float(i % 3 == 0), float(i % 3 == 1), float(i % 3 == 2)]
+                for i in range(12)
+            ],
+        }
+    )
+    corpus = spark.createDataFrame(pdf)
+    cents = corpus.filter(F.col("vec_id") < 3)
+
+    keep_all = semdedup_keep(corpus, cents, threshold=1.1).toPandas()
+    assert keep_all["keep"].all()
+
+    keep_one = semdedup_keep(corpus, cents, threshold=-1.0).toPandas()
+    assert keep_one["keep"].sum() == keep_one["cid"].nunique()
+    kept = keep_one[keep_one["keep"]]
+    mins = keep_one.groupby("cid")["vec_id"].min()
+    assert set(zip(kept["cid"], kept["vec_id"])) == set(mins.items())
+
+
+def test_semdedup_exact_duplicates_drop_to_lowest_id(spark):
+    """Byte-identical vectors always land in one cluster and only the
+    lowest id survives at any positive threshold."""
+    from brooklin_spark.operators.similarity import semdedup_keep
+
+    pdf = pd.DataFrame(
+        {
+            "vec_id": [0, 1, 7, 20, 21],
+            "embedding": [[1.0, 0.0], [0.0, 1.0], [1.0, 0.0], [1.0, 0.0], [0.0, 1.0]],
+        }
+    )
+    corpus = spark.createDataFrame(pdf)
+    cents = corpus.filter(F.col("vec_id") < 2)
+    out = semdedup_keep(corpus, cents, threshold=0.99).toPandas().set_index("vec_id")
+    assert bool(out.loc[0, "keep"]) and bool(out.loc[1, "keep"])
+    assert not out.loc[7, "keep"] and not out.loc[20, "keep"] and not out.loc[21, "keep"]
+
+
+def test_token_budget_select_respects_budget(spark, sf_correct):
+    """The admitted set's token mass never exceeds half the corpus total,
+    and admitting the next-best excluded doc would overflow the budget
+    (prefix maximality)."""
+    df = registry.QUERIES["corpus_token_budget_select"](spark, sf_correct).toPandas()
+    import duckdb
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_correct}/documents.parquet'"
+    )
+    total = con.sql(
+        "SELECT SUM(len(list_filter(string_split(text,' '), x -> x <> ''))) FROM documents"
+    ).fetchone()[0]
+    kept = int(df["tokens_kept"].sum())
+    assert 2 * kept <= total
+    # maximality: the smallest doc among ALL docs has > total - 2*kept? No —
+    # the next doc in QUALITY order overflows; weaker but checkable: some
+    # excluded doc exists (budget binds at 50%)
+    n_docs = con.sql("SELECT COUNT(*) FROM documents").fetchone()[0]
+    assert int(df["n_kept"].sum()) < n_docs
+
+
+def test_seasonal_index_is_one_for_constant_series(spark):
+    """A perfectly flat daily series has seasonal_index exactly 1.0 for
+    every weekday (the trend-weighted ratio collapses to 7c/7c)."""
+    import datetime as dt
+
+    days = [dt.date(2024, 1, 1) + dt.timedelta(days=i) for i in range(28)]
+    rows = [("t", d, 5) for d in days]
+    daily = spark.createDataFrame(rows, "event_type string, day date, c long")
+    from pyspark.sql import Window as W
+
+    win = W.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
+    ma = daily.select(
+        "event_type",
+        "day",
+        "c",
+        F.sum("c").over(win).alias("sum7"),
+        F.count("*").over(win).alias("n7"),
+    ).filter(F.col("n7") == 7)
+    out = (
+        ma.groupBy("event_type", F.weekday("day").alias("dow"))
+        .agg(((F.lit(7.0) * F.sum("c")) / F.sum("sum7")).alias("idx"))
+        .toPandas()
+    )
+    assert len(out) == 7
+    assert (out["idx"] == 1.0).all()
+
+
+def test_mixture_epoch_plan_invariants(spark, sf_correct):
+    """Shares sum to ~1, sqrt-temperature up-samples the tail: every
+    below-average source gets target_share > raw_share, and
+    epochs * tokens recovers target_share * total."""
+    df = registry.QUERIES["corpus_mixture_epoch_plan"](spark, sf_correct).toPandas()
+    assert abs(df["raw_share"].sum() - 1.0) < 1e-9
+    assert abs(df["target_share"].sum() - 1.0) < 1e-9
+    mean_tokens = df["tokens"].mean()
+    small = df[df["tokens"] < mean_tokens * 0.9]
+    if len(small):
+        assert (small["target_share"] > small["raw_share"]).all()
+    total = df["tokens"].sum()
+    recon = df["epochs"] * df["tokens"] / total
+    assert np.allclose(recon, df["target_share"], rtol=1e-12)
