@@ -87,6 +87,12 @@ BENCH_QUERIES = [
     "ann_pq_adc_trained_topk",  # trained sub-quantizers + ADC search
     "embedding_quality_probe_eval",  # relational-GD linear head + AUC eval
     "text_perplexity_bucket_filter",  # CCNet LM head/middle/tail filter
+    # round-5 second-session additions
+    "dedup_semdedup_kmeans",    # k-means-bounded semantic dedup (SemDeDup)
+    "corpus_token_budget_select",  # quality-ranked prefix under token budget
+    "corpus_dsir_weights",      # DSIR unigram-LM importance weights
+    "dedup_keep_best_quality",  # quality-argmax survivor per near-dup cluster
+    "text_hybrid_rrf_search",   # BM25 + dense reciprocal-rank fusion
 ]
 
 

@@ -421,3 +421,100 @@ def corpus_mixture_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         target.alias("target_share"),
         (target * F.col("total") / F.col("tokens")).alias("epochs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (Xie et al. 2023, arXiv:2302.03169): score every
+# corpus document by how target-domain-like it is under a smoothed unigram
+# LM ratio — logw(doc) = sum_t tf(t) * [ln p_tgt(t) - ln p_corpus(t)] —
+# the importance-resampling selection rule for "give me web data that
+# looks like Wikipedia". Target here = one source slice (src0); the
+# production flow feeds any reference corpus through the same shape.
+#
+# Float parity: the per-term log ratio is the only libm surface — rounded
+# to 8 (repo policy) and fixed to DECIMAL(18,8); each doc's logw is then
+# an EXACT decimal dot product sum(tf * lr) (fold-order-free), converted
+# to double once at output. The LM denominators are scalar doubles built
+# from exact integer moments, identical in both engines.
+#
+# Scale shape: one tokenize+explode pass (checkpointed — feeds the vocab
+# stats AND the tf table); term stats are one vocab-keyed groupBy; the
+# scoring join is tf-vs-vocab on term (both sides vocab/corpus-scaled, no
+# broadcast hint — AQE picks); the final per-doc reduce is map-side
+# combinable. No corpus-scale collect: the only driver values are three
+# scalars (token totals + vocab size).
+# ---------------------------------------------------------------------------
+
+_DSIR_TGT = "src0"
+_DSIR_A = 0.5  # add-alpha smoothing
+
+
+@query(
+    "corpus_dsir_weights",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+      FROM documents),
+    ts AS (
+      SELECT term, COUNT(*) AS c_all,
+             SUM(CASE WHEN source = '{_DSIR_TGT}' THEN 1 ELSE 0 END) AS c_tgt
+      FROM toks GROUP BY term),
+    tot AS (
+      SELECT SUM(c_all) AS t_all, SUM(c_tgt) AS t_tgt, COUNT(*) AS v FROM ts),
+    lr AS (
+      SELECT term,
+             CAST(round(ln((c_tgt + {_DSIR_A}) / (t.t_tgt + {_DSIR_A} * t.v))
+                        - ln((c_all + {_DSIR_A}) / (t.t_all + {_DSIR_A} * t.v)), 8)
+                  AS DECIMAL(18,8)) AS lr
+      FROM ts CROSS JOIN tot t),
+    tf AS (
+      SELECT doc_id, source, term,
+             CAST(COUNT(*) AS DECIMAL(10,0)) AS tf
+      FROM toks GROUP BY 1, 2, 3)
+    SELECT tf.doc_id, tf.source,
+           CAST(SUM(tf.tf * lr.lr) AS DOUBLE) AS logw,
+           (SUM(tf.tf * lr.lr) > 0) AS selected
+    FROM tf JOIN lr USING (term)
+    GROUP BY 1, 2
+    """,
+)
+def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from brooklin_spark.functions import text as X
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", F.explode(X.tokens()).alias("term")
+    ).localCheckpoint()  # one tokenize pass feeds vocab stats AND tf
+    ts = toks.groupBy("term").agg(
+        F.count("*").alias("c_all"),
+        F.sum((F.col("source") == _DSIR_TGT).cast("long")).alias("c_tgt"),
+    ).localCheckpoint()  # vocab-scale; reused for scalars + scoring join
+    t_all, t_tgt, v = ts.agg(
+        F.sum("c_all"), F.sum("c_tgt"), F.count("*")
+    ).first()
+    den_tgt = float(t_tgt) + _DSIR_A * float(v)
+    den_all = float(t_all) + _DSIR_A * float(v)
+    lr = ts.select(
+        "term",
+        F.round(
+            F.log((F.col("c_tgt") + _DSIR_A) / F.lit(den_tgt))
+            - F.log((F.col("c_all") + _DSIR_A) / F.lit(den_all)),
+            8,
+        )
+        .cast("decimal(18,8)")
+        .alias("lr"),
+    )
+    # tf stays DECIMAL(10,0): bigint*decimal(18,8) would exceed precision
+    # 38 and Spark truncates the scale (1e-6 drift vs the exact product)
+    tf = toks.groupBy("doc_id", "source", "term").agg(
+        F.count("*").cast("decimal(10,0)").alias("tf")
+    )
+    dot = F.sum(F.col("tf") * F.col("lr"))
+    return (
+        tf.join(lr, "term")  # vocab-keyed both sides — no broadcast hint
+        .groupBy("doc_id", "source")
+        .agg(
+            dot.cast("double").alias("logw"),
+            (dot > 0).alias("selected"),
+        )
+    )

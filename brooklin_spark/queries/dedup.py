@@ -1055,3 +1055,93 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_members"),
         F.max("v").cast("bigint").alias("max_member"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality-aware survivor selection: within each near-dup cluster keep the
+# HIGHEST-QUALITY member, not the lowest id — the curation rule real
+# corpus builds use (the near-dup group often spans a clean original and
+# boilerplate-wrapped mirrors; id order is arbitrary, quality is not).
+# Composes the canonical-cluster machinery (shingle Jaccard pairs ->
+# connected components) with the standard quality score; the survivor is
+# argmax(quality, tie -> lowest doc_id) per component.
+#
+# Float discipline: quality is the same fixed IEEE expression tree both
+# engines already hash-match in text_quality_score, so the per-cluster
+# ordering (and therefore the kept set) is engine-exact. Scale shape: the
+# per-component window partitions on component — cluster-sized groups,
+# never corpus-sized; everything upstream is the proven pair/CC path.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_keep_best_quality",
+    oracle=f"""
+    WITH RECURSIVE {G.shingle_cte(3)},
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    cpairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    dup_pairs AS (
+      SELECT doc_a, doc_b FROM cpairs
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE common * 1.0 / (sa.n_sh + sb.n_sh - common) >= 0.7),
+    nodes AS (
+      SELECT DISTINCT id FROM (
+        SELECT doc_a AS id FROM dup_pairs UNION SELECT doc_b FROM dup_pairs)),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM dup_pairs
+      UNION SELECT doc_b, doc_a FROM dup_pairs),
+    reach(id, r) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r),
+    comps AS (SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id),
+    q AS (
+      SELECT doc_id,
+             0.5 * least(len(list_filter(string_split(text, ' '), x -> x <> '')) / 100.0, 1.0)
+               + 0.3 * (CAST(len(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS DOUBLE)
+                        / len(list_filter(string_split(text, ' '), x -> x <> '')))
+               + 0.2 * least(5.0 * len(list_filter(list_filter(string_split(text, ' '), x -> x <> ''),
+                     x -> list_contains(['the','and','of','to','in','is','a'], x)))
+                     / len(list_filter(string_split(text, ' '), x -> x <> '')), 1.0) AS quality
+      FROM documents
+      WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) > 0)
+    SELECT c.doc_id, c.component, q.quality,
+           (ROW_NUMBER() OVER (PARTITION BY c.component
+                               ORDER BY q.quality DESC, c.doc_id ASC) = 1) AS keep
+    FROM comps c JOIN q USING (doc_id)
+    """,
+)
+def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from brooklin_spark.functions import text as X
+
+    docs = table(spark, sf_dir, "documents")
+    sh = (
+        D.shingle_rows_pandas(docs, n=3)
+        .select("id", "n", F.xxhash64("shingle").alias("shingle"))
+        .localCheckpoint()  # see dedup_ngram_jaccard: UDF would run twice
+    )
+    pairs = D.jaccard_pairs_selfjoin(sh, threshold=0.7).select("doc_a", "doc_b")
+    comps = D.connected_components(pairs).select(
+        F.col("id").alias("doc_id"), F.col("comp").alias("component")
+    )
+    n_tok = X.token_count()
+    quality = (
+        0.5 * F.least(n_tok / 100.0, F.lit(1.0))
+        + 0.3 * (X.distinct_token_count().cast("double") / n_tok)
+        + 0.2 * F.least(5.0 * X.stopword_hits(lang="en") / n_tok, F.lit(1.0))
+    )
+    q = docs.filter(n_tok > 0).select("doc_id", quality.alias("quality"))
+    best = W.partitionBy("component").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    return (
+        comps.join(q, "doc_id")
+        .withColumn("keep", F.row_number().over(best) == 1)
+        .select("doc_id", "component", "quality", "keep")
+    )

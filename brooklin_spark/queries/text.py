@@ -1428,6 +1428,40 @@ _BM25_B = 0.75
 _BM25_IN = ", ".join(f"'{t}'" for t in _BM25_TERMS)
 
 
+def _bm25_scored(docs: DataFrame) -> DataFrame:
+    """(doc_id, score, n_terms) for every doc matching any _BM25_TERMS —
+    the scoring core shared by text_bm25_search and the RRF fusion."""
+    # one tokenize+explode pass: the scalar pre-job, the dl table and the
+    # term-frequency table all read the SAME materialized token set
+    toks = docs.select(
+        "doc_id", F.explode(X.tokens()).alias("term")
+    ).localCheckpoint()
+    lens = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    n_docs, avgdl = lens.agg(F.count("*"), F.avg("dl")).first()  # two scalars
+    tf = (
+        toks.filter(F.col("term").isin(*_BM25_TERMS))  # map-side prune
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log(
+        F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + _BM25_K1 * (
+        1 - _BM25_B + _BM25_B * F.col("dl") / F.lit(float(avgdl))
+    )
+    return (
+        # per-term df table: vocab-scaled — no broadcast hint
+        tf.join(df, "term")
+        .join(lens, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(idf * F.col("tf") * (_BM25_K1 + 1) / denom).alias("score"),
+            F.count("*").alias("n_terms"),
+        )
+    )
+
+
 @query(
     "text_bm25_search",
     oracle=f"""
@@ -1462,35 +1496,7 @@ _BM25_IN = ", ".join(f"'{t}'" for t in _BM25_TERMS)
 )
 def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    # one tokenize+explode pass: the scalar pre-job, the dl table and the
-    # term-frequency table all read the SAME materialized token set
-    toks = docs.select(
-        "doc_id", F.explode(X.tokens()).alias("term")
-    ).localCheckpoint()
-    lens = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    n_docs, avgdl = lens.agg(F.count("*"), F.avg("dl")).first()  # two scalars
-    tf = (
-        toks.filter(F.col("term").isin(*_BM25_TERMS))  # map-side prune
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"))
-    )
-    df = tf.groupBy("term").agg(F.count("*").alias("df"))
-    idf = F.log(
-        F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
-    )
-    denom = F.col("tf") + _BM25_K1 * (
-        1 - _BM25_B + _BM25_B * F.col("dl") / F.lit(float(avgdl))
-    )
-    scored = (
-        # per-term df table: vocab-scaled — no broadcast hint
-        tf.join(df, "term")
-        .join(lens, "doc_id")
-        .groupBy("doc_id")
-        .agg(
-            F.sum(idf * F.col("tf") * (_BM25_K1 + 1) / denom).alias("score"),
-            F.count("*").alias("n_terms"),
-        )
-    )
+    scored = _bm25_scored(docs)
     # Global top-20 rides TakeOrderedAndProject; the 20-row rank window is free.
     top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
     rw = W.orderBy(F.desc("score"), F.asc("doc_id"))
@@ -2209,4 +2215,111 @@ def text_hashing_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_term.groupBy("source", bucket.alias("bucket")).agg(
         F.sum("n").alias("tf"),
         F.count("*").cast("bigint").alias("n_terms"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval via reciprocal-rank fusion (Cormack et al. 2009): the
+# sparse BM25 list and a dense cosine list over the SAME corpus are fused
+# as rrf = sum over lists of 1/(60 + rank) — the standard hybrid-search
+# combiner (lexical recall + semantic recall, no score calibration
+# needed). Sparse side reuses the _bm25_scored core; dense side is the
+# brute_force_topk operator (query vector = embedding 0 — stands in for
+# the encoded query text; production swaps in the encoder output). A doc
+# missing from a list contributes 0, ranks are reported with 0 = "not in
+# that list's top-L".
+#
+# Float parity: ranks are engine-exact integers (both underlying
+# orderings already hash-match: BM25 score is a fixed IEEE tree, cosine
+# is rounded to 6 with id tie-break), and the fused score is one
+# division+addition tree over those integers — deterministic in IEEE.
+# Scale: both lists are top-L (TakeOrdered / per-batch local top-k) — the
+# fusion join touches <= 2L rows regardless of corpus size.
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60
+_RRF_L = 50  # per-list depth
+_RRF_OUT = 10
+
+
+@query(
+    "text_hybrid_rrf_search",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOK}) AS term FROM documents),
+    lens AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM lens),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks
+      WHERE term IN ({_BM25_IN}) GROUP BY doc_id, term),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    bscored AS (
+      SELECT tf.doc_id,
+             SUM(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+                 * tf.tf * ({_BM25_K1} + 1)
+                 / (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * lens.dl / s.avgdl))
+             ) AS score
+      FROM tf
+      JOIN df USING (term)
+      JOIN lens USING (doc_id)
+      CROSS JOIN stats s
+      GROUP BY tf.doc_id),
+    sparse AS (
+      SELECT doc_id, rank FROM (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+        FROM bscored) t WHERE rank <= {_RRF_L}),
+    dscored AS (
+      SELECT c.vec_id AS doc_id,
+             round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS sim
+      FROM embeddings q JOIN embeddings c ON q.vec_id = 0 AND c.vec_id <> 0),
+    dense AS (
+      SELECT doc_id, rank FROM (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id ASC) AS rank
+        FROM dscored) t WHERE rank <= {_RRF_L}),
+    fused AS (
+      SELECT COALESCE(s.doc_id, d.doc_id) AS doc_id,
+             COALESCE(s.rank, 0) AS bm25_rank,
+             COALESCE(d.rank, 0) AS dense_rank,
+             COALESCE(1.0 / ({_RRF_K} + s.rank), 0)
+               + COALESCE(1.0 / ({_RRF_K} + d.rank), 0) AS rrf_score
+      FROM sparse s FULL OUTER JOIN dense d ON s.doc_id = d.doc_id)
+    SELECT doc_id, CAST(bm25_rank AS BIGINT) AS bm25_rank,
+           CAST(dense_rank AS BIGINT) AS dense_rank, rrf_score,
+           CAST(ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id ASC) AS BIGINT) AS rank
+    FROM fused
+    QUALIFY rank <= {_RRF_OUT}
+    """,
+)
+def text_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from brooklin_spark.operators import similarity as S
+
+    docs = table(spark, sf_dir, "documents")
+    emb = table(spark, sf_dir, "embeddings")
+    btop = _bm25_scored(docs).orderBy(F.desc("score"), F.asc("doc_id")).limit(_RRF_L)
+    sparse = btop.select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.desc("score"), F.asc("doc_id")))
+        .alias("rank"),
+    )
+    dense = S.brute_force_topk(
+        emb.filter(F.col("vec_id") == 0), emb, k=_RRF_L
+    ).select(F.col("neighbor_id").alias("doc_id"), F.col("rank").cast("int").alias("rank"))
+    s, d = sparse.alias("s"), dense.alias("d")
+    fused = s.join(d, F.col("s.doc_id") == F.col("d.doc_id"), "full_outer").select(
+        F.coalesce(F.col("s.doc_id"), F.col("d.doc_id")).alias("doc_id"),
+        F.coalesce(F.col("s.rank"), F.lit(0)).cast("bigint").alias("bm25_rank"),
+        F.coalesce(F.col("d.rank"), F.lit(0)).cast("bigint").alias("dense_rank"),
+        (
+            F.coalesce(F.lit(1.0) / (_RRF_K + F.col("s.rank")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (_RRF_K + F.col("d.rank")), F.lit(0.0))
+        ).alias("rrf_score"),
+    )
+    # <= 2L fused rows: the global rank window is constant-sized
+    rw = W.orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(rw).cast("bigint"))
+        .filter(F.col("rank") <= _RRF_OUT)
     )

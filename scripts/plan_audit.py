@@ -81,6 +81,7 @@ def main() -> None:
     agg["notes"] = {
         "graph_pagerank_influence": "SortMergeJoin expected: rank x edge joins are large-pair at scale (AQE broadcasts the 16k-row ranks at toy SF); 7 exchanges = 5 inflow aggs + build — the edge table is checkpointed hash-partitioned on src (AQE-off for that one job), so no round re-shuffles it",
         "join_full_outer_nation_wealth": "SortMergeJoin expected: FULL OUTER cannot broadcast",
+        "text_hybrid_rrf_search": "SortMergeJoin expected if present: the fusion join is FULL OUTER (no broadcast support) over two top-L lists — <= 2L=100 rows regardless of corpus size",
         "dedup_apply_keep_canonical": "SortMergeJoin expected: the anti-join drop set scales with the duplicate fraction of the corpus, so it carries no broadcast hint (round-4 policy) and the checkpointed CC side sits outside AQE's re-plan boundary at toy SF — SMJ on doc_id is the correct strategy at scale",
         "udtf_token_positions": "BatchEvalPython expected: Python UDTFs are row-at-a-time by API design; the query exists to pin that extension surface",
         "dedup_incremental_new_vs_base": "SortMergeJoin expected: band rows, candidate pairs, and shingle-array verify sides all scale with the corpus (no broadcast hint per round-4 policy); every join is keyed on the band tuple / doc id",
@@ -91,6 +92,7 @@ def main() -> None:
             "dedup_ngram_jaccard": "posting cap: shingles with df > MAX_POSTING dropped before the self-join (operators/dedup.py jaccard_pairs_selfjoin count-window cap; property-tested)",
             "dedup_pair_similarity_histogram": "same jaccard_pairs_selfjoin posting cap as dedup_ngram_jaccard",
             "dedup_containment_pairs": "same count-window MAX_POSTING cap inline in the query",
+            "dedup_keep_best_quality": "same jaccard_pairs_selfjoin posting cap as dedup_ngram_jaccard (pairs feed CC, then the per-cluster quality argmax)",
             "dedup_minhash_lsh": "band discipline + r5 bucket cap: buckets larger than _LSH_MAX_BUCKET dropped (count window over the join's own shuffle key; giant-cluster unit test)",
             "dedup_simhash": "band discipline + r5 bucket cap (same _LSH_MAX_BUCKET via simhash_pairs_onepass max_bucket); band width bits/bands must be sized to log2(corpus) at scale — both are operator parameters",
             "multimodal_video_near_dup": "r5 df cap: frame hashes with document frequency > _VND_DF_CAP cannot seed candidates (boilerplate hot key eliminated; hot-key unit tests)",

@@ -479,3 +479,46 @@ def test_mixture_epoch_plan_invariants(spark, sf_correct):
     total = df["tokens"].sum()
     recon = df["epochs"] * df["tokens"] / total
     assert np.allclose(recon, df["target_share"], rtol=1e-12)
+
+
+def test_keep_best_quality_argmax_per_component(spark, sf_correct):
+    """Exactly one keeper per component, and it attains the component's
+    max quality (tie -> lowest doc_id)."""
+    df = registry.QUERIES["dedup_keep_best_quality"](spark, sf_correct).toPandas()
+    assert df.groupby("component")["keep"].sum().eq(1).all()
+    for comp, grp in df.groupby("component"):
+        kept = grp[grp["keep"]].iloc[0]
+        best = grp["quality"].max()
+        assert kept["quality"] == best
+        ties = grp[grp["quality"] == best]
+        assert kept["doc_id"] == ties["doc_id"].min()
+
+
+def test_dsir_weights_rank_target_domain_first(spark, sf_correct):
+    """DSIR sanity: the target slice (src0) scores a higher mean log
+    importance weight than the corpus at large, and every weight is
+    finite (smoothing admits unseen terms)."""
+    df = registry.QUERIES["corpus_dsir_weights"](spark, sf_correct).toPandas()
+    assert np.isfinite(df["logw"]).all()
+    tgt = df[df["source"] == "src0"]["logw"].mean()
+    rest = df[df["source"] != "src0"]["logw"].mean()
+    assert tgt > rest
+    assert (df["selected"] == (df["logw"] > 0)).all()
+
+
+def test_rrf_score_consistent_with_ranks(spark, sf_correct):
+    """rrf_score is exactly the sum of 1/(60+rank) over the lists the doc
+    appears in (rank 0 = absent), and output ranks are 1..10 in fused
+    order."""
+    df = (
+        registry.QUERIES["text_hybrid_rrf_search"](spark, sf_correct)
+        .toPandas()
+        .sort_values("rank")
+        .reset_index(drop=True)
+    )
+    assert list(df["rank"]) == list(range(1, len(df) + 1))
+    expect = np.where(df["bm25_rank"] > 0, 1.0 / (60 + df["bm25_rank"]), 0.0) + np.where(
+        df["dense_rank"] > 0, 1.0 / (60 + df["dense_rank"]), 0.0
+    )
+    assert np.allclose(df["rrf_score"], expect, rtol=0, atol=0)
+    assert df["rrf_score"].is_monotonic_decreasing
