@@ -591,3 +591,54 @@ def cdc_schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderkey").cast("bigint").alias("min_key"),
         F.max("o_orderkey").cast("bigint").alias("max_key"),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit over quasi-identifiers: group the corpus by the QI
+# tuple (lang, source, length bucket) and report, per lang, the
+# equivalence-class size distribution — min k, classes below the k=3
+# floor, and the suppression set (docs whose class is too small to
+# release). The standard privacy gate a dataset passes before export;
+# complements the row-level PII redaction (text_pii_redaction) with the
+# distributional re-identification check.
+#
+# Scale shape: one fact-scale map-side-combined groupBy on the QI tuple,
+# then a |classes|-row per-lang aggregate — the same two-level shape as
+# dedup_exact_fingerprint. Exact integer output only.
+# ---------------------------------------------------------------------------
+
+_KANON_K = 3
+_KANON_BUCKET = 100
+
+
+@query(
+    "privacy_k_anonymity_report",
+    oracle=f"""
+    WITH classes AS (
+      SELECT lang, source, n_chars // {_KANON_BUCKET} AS len_bucket,
+             COUNT(*) AS k
+      FROM documents GROUP BY 1, 2, 3)
+    SELECT lang,
+           COUNT(*) AS n_classes,
+           CAST(MIN(k) AS BIGINT) AS min_k,
+           CAST(SUM(CASE WHEN k < {_KANON_K} THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_classes,
+           CAST(SUM(CASE WHEN k < {_KANON_K} THEN k ELSE 0 END) AS BIGINT) AS n_suppressed_docs,
+           CAST(SUM(k) AS BIGINT) AS n_docs
+    FROM classes GROUP BY lang
+    """,
+)
+def privacy_k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    classes = docs.groupBy(
+        "lang",
+        "source",
+        (F.col("n_chars") / _KANON_BUCKET).cast("bigint").alias("len_bucket"),
+    ).agg(F.count("*").alias("k"))
+    small = F.col("k") < _KANON_K
+    return classes.groupBy("lang").agg(
+        F.count("*").alias("n_classes"),
+        F.min("k").cast("bigint").alias("min_k"),
+        F.sum(small.cast("int")).cast("bigint").alias("n_violating_classes"),
+        F.sum(F.when(small, F.col("k")).otherwise(0)).cast("bigint").alias("n_suppressed_docs"),
+        F.sum("k").cast("bigint").alias("n_docs"),
+    )

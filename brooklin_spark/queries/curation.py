@@ -518,3 +518,95 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             (dot > 0).alias("selected"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup-aware effective corpus mass: instead of DROPPING duplicates,
+# down-weight every doc by 1/|its near-dup cluster| so each cluster
+# contributes one doc's worth of sampling mass — the soft-dedup rule used
+# when hard deletion is too aggressive (each near-dup cluster is sampled
+# once in expectation). Docs outside any cluster are their own singleton
+# (weight 1). Reports, per source, raw vs effective docs and tokens: the
+# "effective dataset size" number dedup papers quote.
+#
+# Float discipline: the weight is round(1/k, 9) fixed to DECIMAL(12,9);
+# effective docs = SUM(w) and effective tokens = SUM(n_tokens * w) are
+# exact decimal accumulations (fold-order-free), cast to double once.
+# Scale shape: the proven pair/CC path, one cluster-size groupBy (cluster-
+# scaled), one corpus-keyed join back, one per-source reduce.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_cluster_size_weights",
+    oracle=f"""
+    WITH RECURSIVE {G.shingle_cte(3)},
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    cpairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    dup_pairs AS (
+      SELECT doc_a, doc_b FROM cpairs
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE common * 1.0 / (sa.n_sh + sb.n_sh - common) >= 0.7),
+    nodes AS (
+      SELECT DISTINCT id FROM (
+        SELECT doc_a AS id FROM dup_pairs UNION SELECT doc_b FROM dup_pairs)),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM dup_pairs
+      UNION SELECT doc_b, doc_a FROM dup_pairs),
+    reach(id, r) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r),
+    comps AS (SELECT id AS doc_id, MIN(r) AS comp FROM reach GROUP BY id),
+    member AS (
+      SELECT d.doc_id, d.source,
+             CAST(len(list_filter(string_split(d.text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens,
+             COALESCE(c.comp, d.doc_id) AS comp
+      FROM documents d LEFT JOIN comps c USING (doc_id)),
+    csize AS (SELECT comp, COUNT(*) AS k FROM member GROUP BY comp),
+    weighted AS (
+      SELECT m.doc_id, m.source, m.n_tokens,
+             CAST(round(1.0 / s.k, 9) AS DECIMAL(12,9)) AS w
+      FROM member m JOIN csize s USING (comp))
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(w) AS DOUBLE) AS effective_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_tokens * w) AS DOUBLE) AS effective_tokens
+    FROM weighted GROUP BY source
+    """,
+)
+def dedup_cluster_size_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from brooklin_spark.functions import text as X
+
+    docs = table(spark, sf_dir, "documents")
+    sh = (
+        D.shingle_rows_pandas(docs, n=3)
+        .select("id", "n", F.xxhash64("shingle").alias("shingle"))
+        .localCheckpoint()  # see dedup_ngram_jaccard: UDF would run twice
+    )
+    pairs = D.jaccard_pairs_selfjoin(sh, threshold=0.7).select("doc_a", "doc_b")
+    comps = D.connected_components(pairs).select(
+        F.col("id").alias("doc_id"), F.col("comp")
+    )
+    member = (
+        docs.select(
+            "doc_id", "source", X.token_count().cast("bigint").alias("n_tokens")
+        )
+        .join(comps, "doc_id", "left")
+        .withColumn("comp", F.coalesce("comp", "doc_id"))
+    )
+    csize = member.groupBy("comp").agg(F.count("*").alias("k"))
+    weighted = member.join(csize, "comp").withColumn(
+        "w", F.round(F.lit(1.0) / F.col("k"), 9).cast("decimal(12,9)")
+    )
+    return weighted.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("w").cast("double").alias("effective_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.sum(F.col("n_tokens") * F.col("w")).cast("double").alias("effective_tokens"),
+    )

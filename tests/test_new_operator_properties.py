@@ -522,3 +522,67 @@ def test_rrf_score_consistent_with_ranks(spark, sf_correct):
     )
     assert np.allclose(df["rrf_score"], expect, rtol=0, atol=0)
     assert df["rrf_score"].is_monotonic_decreasing
+
+
+def test_k_anonymity_counts_consistent(spark):
+    """On a constructed corpus with known QI classes the report is exact:
+    class counts, min k, violations, and suppression set."""
+    rows = (
+        [(i, "en", "srcA", 150) for i in range(5)]       # class k=5, safe
+        + [(10, "en", "srcB", 150)]                       # class k=1, violates
+        + [(11, "de", "srcA", 50), (12, "de", "srcA", 50)]  # class k=2, violates
+    )
+    docs = spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, n_chars long"
+    )
+    import brooklin_spark.queries.cdc as C
+
+    classes = docs.groupBy(
+        "lang",
+        "source",
+        (F.col("n_chars") / C._KANON_BUCKET).cast("bigint").alias("len_bucket"),
+    ).agg(F.count("*").alias("k"))
+    small = F.col("k") < C._KANON_K
+    out = (
+        classes.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_classes"),
+            F.min("k").cast("bigint").alias("min_k"),
+            F.sum(small.cast("int")).cast("bigint").alias("n_violating_classes"),
+            F.sum(F.when(small, F.col("k")).otherwise(0))
+            .cast("bigint")
+            .alias("n_suppressed_docs"),
+        )
+        .toPandas()
+        .set_index("lang")
+    )
+    assert out.loc["en", "n_classes"] == 2
+    assert out.loc["en", "min_k"] == 1
+    assert out.loc["en", "n_violating_classes"] == 1
+    assert out.loc["en", "n_suppressed_docs"] == 1
+    assert out.loc["de", "n_violating_classes"] == 1
+    assert out.loc["de", "n_suppressed_docs"] == 2
+
+
+def test_cluster_size_weights_mass_conservation(spark, sf_correct):
+    """Sum of effective docs equals the number of near-dup clusters
+    (each cluster contributes exactly one doc's worth of mass, up to the
+    9-decimal weight rounding), and effective <= raw everywhere."""
+    df = registry.QUERIES["dedup_cluster_size_weights"](spark, sf_correct).toPandas()
+    assert (df["effective_docs"] <= df["n_docs"]).all()
+    assert (df["effective_tokens"] <= df["n_tokens"] + 1e-6).all()
+    # cluster count, recomputed independently from the pair/CC operators
+    from brooklin_spark.io import table as tbl
+    from brooklin_spark.operators import dedup as D
+
+    docs = tbl(spark, sf_correct, "documents")
+    sh = (
+        D.shingle_rows_pandas(docs, n=3)
+        .select("id", "n", F.xxhash64("shingle").alias("shingle"))
+        .localCheckpoint()
+    )
+    pairs = D.jaccard_pairs_selfjoin(sh, threshold=0.7).select("doc_a", "doc_b")
+    comps = D.connected_components(pairs).toPandas()
+    n_docs = docs.count()
+    n_clusters = comps["comp"].nunique() + (n_docs - len(comps))
+    assert abs(df["effective_docs"].sum() - n_clusters) < 1e-3
