@@ -583,9 +583,15 @@ def lsh_candidate_pairs(
     lands in ONE bucket — quadratic pairs. ``max_bucket`` is the posting
     cap for that case: buckets larger than it are dropped (members stay
     discoverable through their other bands unless those are equally hot;
-    the standard LSH recall trade). The cap is a COUNT WINDOW over the
-    same (band_id, key-tuple) the join shuffles on, so it adds no extra
-    exchange. Returns distinct (id_a, id_b), id_a < id_b.
+    the standard LSH recall trade). The cap is enforced as a map-side-
+    combined bucket count reduced to the (normally EMPTY) over-cap hot
+    set, anti-joined back: the banded table itself never shuffles for the
+    cap — a count WINDOW here would force Exchange+Sort of every band row
+    even when the cap never binds (measured 1.3-1.6x on the sf0.1 bench,
+    where AQE broadcasts the candidate join and the window's exchange was
+    the only shuffle). The hot set is bounded by total_rows/cap; no
+    broadcast hint — AQE broadcasts it when it is as tiny as it almost
+    always is. Returns distinct (id_a, id_b), id_a < id_b.
     """
     band_cols = []
     for j in range(bands):
@@ -598,14 +604,14 @@ def lsh_candidate_pairs(
         "id", "b.*"
     )
     if max_bucket is not None:
-        from pyspark.sql import Window as W
-
         keys = ["band_id"] + [f"k{r}" for r in range(rows_per_band)]
-        banded = (
-            banded.withColumn("__c", F.count("*").over(W.partitionBy(*keys)))
-            .filter(F.col("__c") <= max_bucket)
+        hot = (
+            banded.groupBy(*keys)
+            .agg(F.count("*").alias("__c"))
+            .filter(F.col("__c") > max_bucket)
             .drop("__c")
         )
+        banded = banded.join(hot, keys, "left_anti")
     x = banded.alias("x")
     y = banded.alias("y")
     key_eq = functools.reduce(
@@ -778,9 +784,11 @@ def simhash_pairs_onepass(
     signature table twice for the verify joins it replaces. Bucket size is
     corpus/2^(bits/bands) in expectation, so bits/bands must be sized to
     log2(corpus) at scale; ``max_bucket`` drops buckets above the cap
-    (count window over the join's own shuffle key — no extra exchange),
-    trading recall inside over-cap buckets for a hard per-bucket pair
-    bound, same discipline as the LSH/posting caps.
+    (map-side-combined bucket count -> over-cap hot set -> anti-join, the
+    same shape as lsh_candidate_pairs: the band rows never shuffle for
+    the cap and there is no per-row sort), trading recall inside over-cap
+    buckets for a hard per-bucket pair bound, same discipline as the
+    LSH/posting caps.
     """
     if max_distance >= bands:
         raise ValueError("exactness requires max_distance < bands")
@@ -799,15 +807,13 @@ def simhash_pairs_onepass(
         "id", "sig", F.explode(F.array(*band_structs)).alias("b")
     ).select("id", "sig", "b.band_id", "b.band_key")
     if max_bucket is not None:
-        from pyspark.sql import Window as W
-
-        banded = (
-            banded.withColumn(
-                "__c", F.count("*").over(W.partitionBy("band_id", "band_key"))
-            )
-            .filter(F.col("__c") <= max_bucket)
+        hot = (
+            banded.groupBy("band_id", "band_key")
+            .agg(F.count("*").alias("__c"))
+            .filter(F.col("__c") > max_bucket)
             .drop("__c")
         )
+        banded = banded.join(hot, ["band_id", "band_key"], "left_anti")
     x = banded.alias("x")
     y = banded.alias("y")
     dist = F.bit_count(F.col("x.sig").bitwiseXOR(F.col("y.sig"))).cast("int")

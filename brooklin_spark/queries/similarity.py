@@ -1264,19 +1264,30 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # — the dial is CLUSTER COUNT, grown with the corpus so per-cluster
 # quadratic work stays constant — and the output is the per-vector
 # keep/drop manifest (lowest-id cluster member at cosine >= threshold
-# survives). Centroids are the first _SDD_C corpus vectors so the whole
+# survives). Centroids are the first k corpus vectors so the whole
 # approximation is deterministic and oracle-checkable; the trained
 # pq_train/kmeans_refine machinery slots in unchanged at production.
+#
+# The cluster count is CORPUS-ADAPTIVE in both engines: k = max(8,
+# N // _SDD_PER) keeps expected cluster size (and therefore the
+# per-cluster pairwise matmul — the task's scratch memory) CONSTANT as
+# the corpus grows. A fixed k would put N/k ~ N vectors in every cluster
+# and the per-task O((N/k)^2) kernel would OOM exactly like the fixed-B
+# cosine tiling this round's sf10 run caught; the adaptive k is the
+# SemDeDup paper's own discipline (~100k clusters at LAION scale).
 # ---------------------------------------------------------------------------
 
-_SDD_C = 8
+_SDD_MIN_C = 8
+_SDD_PER = 512  # target vectors per cluster
 _SDD_TH = 0.4
 
 
 @query(
     "dedup_semdedup_kmeans",
     oracle=f"""
-    WITH cent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < {_SDD_C}),
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+      WHERE vec_id < (SELECT GREATEST({_SDD_MIN_C}, COUNT(*) // {_SDD_PER}) FROM embeddings)),
     scored AS (
       SELECT e.vec_id, c.cid,
              round(list_cosine_similarity(e.embedding::DOUBLE[], c.cvec::DOUBLE[]), 6) AS sim
@@ -1298,5 +1309,6 @@ _SDD_TH = 0.4
 )
 def dedup_semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
-    cent = emb.filter(F.col("vec_id") < _SDD_C)
+    k = max(_SDD_MIN_C, emb.count() // _SDD_PER)  # one scalar: corpus-adaptive k
+    cent = emb.filter(F.col("vec_id") < k)
     return S.semdedup_keep(emb, cent, threshold=_SDD_TH)

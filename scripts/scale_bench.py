@@ -56,6 +56,12 @@ SCALE_QUERIES = [
     "corpus_e2e_pipeline",
     # the r5 hot-key fix, proven at scale
     "multimodal_video_near_dup",
+    # r5 second-session additions (each cost scales with data)
+    "dedup_semdedup_kmeans",        # corpus-adaptive cluster count
+    "corpus_dsir_weights",          # vocab-keyed LM-ratio scoring
+    "corpus_token_budget_select",   # distrank exact global prefix sum
+    "dedup_cluster_size_weights",   # pair/CC path + corpus-keyed weight join
+    "text_hybrid_rrf_search",       # two top-L funnels + constant fusion
 ]
 
 TABLES = [
