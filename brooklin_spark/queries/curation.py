@@ -340,12 +340,17 @@ def corpus_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         + 0.3 * (X.distinct_token_count().cast("double") / n_tok)
         + 0.2 * F.least(5.0 * X.stopword_hits(lang="en") / n_tok, F.lit(1.0))
     )
+    # materialize the thin scored projection ONCE: repartitionByRange
+    # samples its input before shuffling it, so an un-checkpointed scored
+    # would evaluate the per-doc tokenizer array expressions TWICE over
+    # the full corpus (measured 5.0 -> 88.9 s sf1 -> sf10 before this —
+    # the sample pass + the shuffle pass each re-tokenized 500k docs)
     scored = docs.filter(n_tok > 0).select(
         "doc_id",
         "source",
         n_tok.cast("bigint").alias("n_tokens"),
         quality.alias("quality"),
-    )
+    ).localCheckpoint()
     ranked = global_running_sum(
         scored,
         [F.col("quality").desc(), F.col("doc_id").asc()],
@@ -482,12 +487,21 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     from brooklin_spark.functions import text as X
 
     docs = table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", "source", F.explode(X.tokens()).alias("term")
-    ).localCheckpoint()  # one tokenize pass feeds vocab stats AND tf
-    ts = toks.groupBy("term").agg(
-        F.count("*").alias("c_all"),
-        F.sum((F.col("source") == _DSIR_TGT).cast("long")).alias("c_tgt"),
+    # aggregate straight to tf and DERIVE the vocab stats from it: the
+    # raw exploded token table (corpus-token-scale) is never
+    # materialized — tf is the smallest table that feeds everything
+    # (sum(tf) over terms == raw token counts exactly)
+    tf = (
+        docs.select("doc_id", "source", F.explode(X.tokens()).alias("term"))
+        .groupBy("doc_id", "source", "term")
+        .agg(F.count("*").cast("decimal(10,0)").alias("tf"))
+        .localCheckpoint()  # feeds vocab stats AND the scoring join
+    )
+    ts = tf.groupBy("term").agg(
+        F.sum(F.col("tf").cast("long")).alias("c_all"),
+        F.sum(
+            F.when(F.col("source") == _DSIR_TGT, F.col("tf").cast("long")).otherwise(0)
+        ).alias("c_tgt"),
     ).localCheckpoint()  # vocab-scale; reused for scalars + scoring join
     t_all, t_tgt, v = ts.agg(
         F.sum("c_all"), F.sum("c_tgt"), F.count("*")
@@ -506,9 +520,6 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # tf stays DECIMAL(10,0): bigint*decimal(18,8) would exceed precision
     # 38 and Spark truncates the scale (1e-6 drift vs the exact product)
-    tf = toks.groupBy("doc_id", "source", "term").agg(
-        F.count("*").cast("decimal(10,0)").alias("tf")
-    )
     dot = F.sum(F.col("tf") * F.col("lr"))
     return (
         tf.join(lr, "term")  # vocab-keyed both sides — no broadcast hint

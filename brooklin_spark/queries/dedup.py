@@ -1145,3 +1145,79 @@ def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("keep", F.row_number().over(best) == 1)
         .select("doc_id", "component", "quality", "keep")
     )
+
+
+# ---------------------------------------------------------------------------
+# Triangle census + global clustering coefficient over the part
+# co-purchase graph (same edge rule as label propagation: parts sharing
+# >= 2 distinct orders). Degree-ORIENTED counting — each undirected edge
+# is directed from its (degree, id)-smaller endpoint to the larger, so
+# every triangle is generated by exactly ONE wedge at its smallest-degree
+# corner and out-degrees are bounded by O(sqrt(E)) (the classic bound:
+# a node of out-degree d has d neighbors of degree >= its own, so
+# d^2 <= sum of degrees = 2E). The wedge self-join is therefore capped by
+# the orientation itself — the same hot-key discipline the LSH caps
+# enforce, here falling out of the algorithm (a celebrity node generates
+# NO wedges at its own corner; its triangles are counted at their
+# low-degree corners).
+#
+# Exact integers end-to-end; the clustering coefficient 3T / W (W =
+# sum C(deg,2) — undirected wedges) is the single final IEEE division.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "graph_triangle_census",
+    oracle="""
+    WITH pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM lineitem a
+      JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(DISTINCT a.l_orderkey) >= 2),
+    deg AS (
+      SELECT v, COUNT(*) AS d FROM (
+        SELECT pa AS v FROM pairs UNION ALL SELECT pb AS v FROM pairs)
+      GROUP BY v),
+    oriented AS (
+      SELECT CASE WHEN (da.d, p.pa) < (db.d, p.pb) THEN p.pa ELSE p.pb END AS src,
+             CASE WHEN (da.d, p.pa) < (db.d, p.pb) THEN p.pb ELSE p.pa END AS dst,
+             CASE WHEN (da.d, p.pa) < (db.d, p.pb) THEN db.d ELSE da.d END AS ddeg
+      FROM pairs p
+      JOIN deg da ON da.v = p.pa
+      JOIN deg db ON db.v = p.pb),
+    wedges AS (
+      SELECT o1.dst AS b, o2.dst AS c
+      FROM oriented o1 JOIN oriented o2
+        ON o1.src = o2.src AND (o1.ddeg, o1.dst) < (o2.ddeg, o2.dst)),
+    tri AS (
+      SELECT COUNT(*) AS t FROM wedges w
+      WHERE EXISTS (SELECT 1 FROM oriented o WHERE o.src = w.b AND o.dst = w.c)),
+    stats AS (
+      SELECT COUNT(*) AS n_nodes,
+             CAST(SUM(d) / 2 AS BIGINT) AS n_edges,
+             CAST(SUM(d * (d - 1) / 2) AS BIGINT) AS n_wedges
+      FROM deg)
+    SELECT s.n_nodes, s.n_edges, s.n_wedges,
+           CAST(t.t AS BIGINT) AS n_triangles,
+           CAST(3.0 * t.t AS DOUBLE) / s.n_wedges AS global_clustering
+    FROM stats s CROSS JOIN tri t
+    """,
+)
+def graph_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from brooklin_spark.operators.graph import triangle_census
+
+    li = table(spark, sf_dir, "lineitem")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
+        .agg(F.countDistinct("a.l_orderkey").alias("n_ord"))
+        .filter(F.col("n_ord") >= 2)
+        .select("pa", "pb")
+    )
+    return triangle_census(pairs)

@@ -98,6 +98,7 @@ def main() -> None:
             "multimodal_video_near_dup": "r5 df cap: frame hashes with document frequency > _VND_DF_CAP cannot seed candidates (boilerplate hot key eliminated; hot-key unit tests)",
             "text_tfidf_cosine_pairs": "df cap: terms with df > _TFIDF_MAX_DF dropped from the postings self-join",
             "events_series_correlation": "key is the DAY; per-key group size = |event types| (domain-bounded, not corpus-scaled) — pairs per day are |types|^2, a constant",
+            "graph_triangle_census": "degree orientation IS the cap: wedges join oriented out-edges on src, and out-degree is bounded by O(sqrt(E)) by construction (a node's out-neighbors all have degree >= its own) — the celebrity node generates no wedges at its own corner",
             "not_visible_to_detector": "fuzzy_name_match_pairs' block-key self-join sits behind its r5 lazy localCheckpoint (plan truncates at Scan ExistingRDD); its bound is the block key, covered by its own comment + oracle",
         },
         "single_partition_window_whitelist": {

@@ -62,12 +62,20 @@ SCALE_QUERIES = [
     "corpus_token_budget_select",   # distrank exact global prefix sum
     "dedup_cluster_size_weights",   # pair/CC path + corpus-keyed weight join
     "text_hybrid_rrf_search",       # two top-L funnels + constant fusion
+    "graph_triangle_census",        # degree-oriented wedge join
 ]
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
 ]
+
+# optional comma-separated substring filter, e.g.
+#   SCALE_BENCH_ONLY=semdedup,dsir python scripts/scale_bench.py ...
+_only = os.environ.get("SCALE_BENCH_ONLY")
+if _only:
+    subs = [s.strip() for s in _only.split(",") if s.strip()]
+    SCALE_QUERIES = [q for q in SCALE_QUERIES if any(s in q for s in subs)]
 
 
 def run_spark(sf_dir: str) -> dict:

@@ -586,3 +586,27 @@ def test_cluster_size_weights_mass_conservation(spark, sf_correct):
     n_docs = docs.count()
     n_clusters = comps["comp"].nunique() + (n_docs - len(comps))
     assert abs(df["effective_docs"].sum() - n_clusters) < 1e-3
+
+
+def test_triangle_census_known_graphs(spark):
+    """K4 has 4 triangles and clustering 1.0; C5 has none; a star has
+    wedges but no triangles."""
+    from brooklin_spark.operators.graph import triangle_census
+
+    def census(edges):
+        df = spark.createDataFrame(
+            [(min(a, b), max(a, b)) for a, b in edges], "pa long, pb long"
+        )
+        return triangle_census(df).toPandas().iloc[0]
+
+    k4 = census([(a, b) for a in range(4) for b in range(a + 1, 4)])
+    assert k4["n_nodes"] == 4 and k4["n_edges"] == 6
+    assert k4["n_triangles"] == 4
+    assert k4["global_clustering"] == 1.0
+
+    c5 = census([(i, (i + 1) % 5) for i in range(5)])
+    assert c5["n_triangles"] == 0 and c5["n_wedges"] == 5
+
+    star = census([(0, i) for i in range(1, 8)])
+    assert star["n_triangles"] == 0
+    assert star["n_wedges"] == 7 * 6 // 2
