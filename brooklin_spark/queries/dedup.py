@@ -1221,3 +1221,105 @@ def graph_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("pa", "pb")
     )
     return triangle_census(pairs)
+
+
+# ---------------------------------------------------------------------------
+# Exact set-similarity join via PREFIX FILTERING (PPJoin family, Xiao et
+# al. 2008): the zero-false-negative alternative to the capped LSH paths.
+# Shingles get a global rare-first total order (df asc, shingle asc);
+# each doc exposes only its first p = n - ceil(t*n) + 1 tokens in that
+# order, because two sets with Jaccard >= t MUST share a token inside
+# those prefixes (J >= t implies overlap >= ceil(t * max(|A|,|B|)); if
+# the prefixes were disjoint the overlap could be at most
+# min(n - p) = ceil(t*n) - 1). Candidates sharing a prefix token pass a
+# length filter (10*min >= 7*max — J >= 0.7 is impossible otherwise,
+# exact integer compare) and are verified with the exact array-intersect
+# kernel. Same output contract as dedup_ngram_jaccard; equality of the
+# two pipelines is pinned by a property test.
+#
+# Scale: candidate generation joins only PREFIX rows — the rare-first
+# order makes hot tokens structurally unlikely in prefixes (a stopword
+# shingle has maximal df, so it sorts last and only enters prefixes of
+# near-degenerate docs); there is NO recall-losing cap anywhere.
+# ceil(0.7*n) is computed as (7n+9)//10 so the prefix boundary is
+# engine-exact.
+# ---------------------------------------------------------------------------
+
+_PF_TH = 0.7
+
+
+@query(
+    "dedup_prefix_filter_jaccard",
+    oracle=f"""
+    WITH {G.shingle_cte(3)},
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    df AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle),
+    ordered AS (
+      SELECT s.doc_id, s.shingle, z.n_sh,
+             ROW_NUMBER() OVER (PARTITION BY s.doc_id
+                                ORDER BY df.df ASC, s.shingle ASC) AS rn
+      FROM sh s JOIN df USING (shingle) JOIN sizes z ON z.doc_id = s.doc_id),
+    prefix AS (
+      SELECT doc_id, shingle, n_sh FROM ordered
+      WHERE rn <= n_sh - ((7 * n_sh + 9) // 10) + 1),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM prefix a JOIN prefix b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      WHERE 10 * LEAST(a.n_sh, b.n_sh) >= 7 * GREATEST(a.n_sh, b.n_sh)),
+    common AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS common
+      FROM cand c
+      JOIN sh x ON x.doc_id = c.doc_a
+      JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+      GROUP BY 1, 2)
+    SELECT co.doc_a, co.doc_b,
+           common * 1.0 / (sa.n_sh + sb.n_sh - common) AS jaccard
+    FROM common co
+    JOIN sizes sa ON sa.doc_id = co.doc_a
+    JOIN sizes sb ON sb.doc_id = co.doc_b
+    WHERE common * 1.0 / (sa.n_sh + sb.n_sh - common) >= {_PF_TH}
+    """,
+)
+def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = table(spark, sf_dir, "documents")
+    # one kernel pass materialized once: rows feed df stats, the prefix
+    # window AND (via arrays below) the verify — python subtrees never
+    # canonicalize equal, so without the checkpoint each consumer re-runs
+    # the shingler
+    sh = (
+        D.shingle_rows_pandas(docs, n=3)
+        .select("id", "n", F.xxhash64("shingle").alias("shingle"))
+        .localCheckpoint()
+    )
+    df = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    rn = F.row_number().over(
+        W.partitionBy("id").orderBy(F.col("df").asc(), F.col("shingle").asc())
+    )
+    p = F.col("n") - ((7 * F.col("n") + 9) / 10).cast("bigint") + 1
+    prefix = (
+        sh.join(df, "shingle")  # vocab-keyed, no broadcast hint
+        .withColumn("rn", rn)
+        .filter(F.col("rn") <= p)
+        .select("id", "n", "shingle")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id"))
+            & (
+                10 * F.least(F.col("a.n"), F.col("b.n"))
+                >= 7 * F.greatest(F.col("a.n"), F.col("b.n"))
+            ),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    # exact verify on hashed-shingle arrays rebuilt from the SAME
+    # checkpointed rows (collect_set keeps set semantics; order-free)
+    arr = sh.groupBy(F.col("id")).agg(F.collect_set("shingle").alias("shingles"))
+    return D.jaccard_verify(arr, cand, threshold=_PF_TH)

@@ -93,6 +93,7 @@ def main() -> None:
             "dedup_pair_similarity_histogram": "same jaccard_pairs_selfjoin posting cap as dedup_ngram_jaccard",
             "dedup_containment_pairs": "same count-window MAX_POSTING cap inline in the query",
             "dedup_keep_best_quality": "same jaccard_pairs_selfjoin posting cap as dedup_ngram_jaccard (pairs feed CC, then the per-cluster quality argmax)",
+            "dedup_prefix_filter_jaccard": "prefix filtering IS the bound (PPJoin): only each doc's n - ceil(t*n) + 1 rarest-first tokens join, so hot tokens sort out of prefixes structurally; exact verify after — no recall-losing cap, equivalence with the capped pipeline property-tested",
             "dedup_minhash_lsh": "band discipline + r5 bucket cap: buckets larger than _LSH_MAX_BUCKET dropped (count window over the join's own shuffle key; giant-cluster unit test)",
             "dedup_simhash": "band discipline + r5 bucket cap (same _LSH_MAX_BUCKET via simhash_pairs_onepass max_bucket); band width bits/bands must be sized to log2(corpus) at scale — both are operator parameters",
             "multimodal_video_near_dup": "r5 df cap: frame hashes with document frequency > _VND_DF_CAP cannot seed candidates (boilerplate hot key eliminated; hot-key unit tests)",

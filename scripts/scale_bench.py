@@ -63,6 +63,7 @@ SCALE_QUERIES = [
     "dedup_cluster_size_weights",   # pair/CC path + corpus-keyed weight join
     "text_hybrid_rrf_search",       # two top-L funnels + constant fusion
     "graph_triangle_census",        # degree-oriented wedge join
+    "dedup_prefix_filter_jaccard",  # exact PPJoin prefix-filter join
 ]
 
 TABLES = [

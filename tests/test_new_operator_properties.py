@@ -610,3 +610,15 @@ def test_triangle_census_known_graphs(spark):
     star = census([(0, i) for i in range(1, 8)])
     assert star["n_triangles"] == 0
     assert star["n_wedges"] == 7 * 6 // 2
+
+
+def test_prefix_filter_matches_posting_cap_pipeline(spark, sf_correct):
+    """The exact prefix-filter join and the posting-cap self-join find the
+    IDENTICAL pair set when the cap does not bind (it never does at test
+    SFs) — zero false negatives from the prefix principle."""
+    pf = registry.QUERIES["dedup_prefix_filter_jaccard"](spark, sf_correct).toPandas()
+    ng = registry.QUERIES["dedup_ngram_jaccard"](spark, sf_correct).toPandas()
+    assert set(zip(pf.doc_a, pf.doc_b)) == set(zip(ng.doc_a, ng.doc_b))
+    a = pf.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    b = ng.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    assert np.allclose(a["jaccard"], b["jaccard"], rtol=0, atol=0)
