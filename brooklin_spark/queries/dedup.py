@@ -1299,12 +1299,16 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         W.partitionBy("id").orderBy(F.col("df").asc(), F.col("shingle").asc())
     )
     p = F.col("n") - ((7 * F.col("n") + 9) / 10).cast("bigint") + 1
-    prefix = (
+    # one windowed table feeds BOTH the prefix rows and the verify
+    # arrays: the collect_set groupBy(id) reuses the window's
+    # hashpartitioning(id) — no second shuffle of the shingle table
+    windowed = (
         sh.join(df, "shingle")  # vocab-keyed, no broadcast hint
         .withColumn("rn", rn)
-        .filter(F.col("rn") <= p)
-        .select("id", "n", "shingle")
+        .select("id", "n", "shingle", "rn")
+        .localCheckpoint()
     )
+    prefix = windowed.filter(F.col("rn") <= p).select("id", "n", "shingle")
     a, b = prefix.alias("a"), prefix.alias("b")
     cand = (
         a.join(
@@ -1319,7 +1323,9 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    # exact verify on hashed-shingle arrays rebuilt from the SAME
-    # checkpointed rows (collect_set keeps set semantics; order-free)
-    arr = sh.groupBy(F.col("id")).agg(F.collect_set("shingle").alias("shingles"))
+    # exact verify on hashed-shingle arrays rebuilt from the windowed
+    # rows (collect_set keeps set semantics; order-free)
+    arr = windowed.groupBy(F.col("id")).agg(
+        F.collect_set("shingle").alias("shingles")
+    )
     return D.jaccard_verify(arr, cand, threshold=_PF_TH)
