@@ -87,6 +87,8 @@ def main() -> None:
         "dedup_incremental_new_vs_base": "SortMergeJoin expected: band rows, candidate pairs, and shingle-array verify sides all scale with the corpus (no broadcast hint per round-4 policy); every join is keyed on the band tuple / doc id",
         "dedup_incremental_persisted_index": "SortMergeJoin expected: probe bands join the on-disk base band index and verify joins the base array store — both corpus-scaled (AQE may broadcast the 20% probe side at toy SF)",
         "graph_label_propagation": "SortMergeJoin expected: label x edge joins are large-pair at scale, same class as PageRank's rank x edge rounds; the checkpointed edge table feeds both rounds",
+        "dedup_cluster_size_weights": "SortMergeJoin expected: the cluster-size join back onto the corpus is corpus-scaled on both sides (no broadcast hint per round-4 policy); keyed on comp/doc_id",
+        "graph_triangle_census": "SortMergeJoin expected: degree joins and the wedge/closure joins are edge-scaled on both sides; out-degree after orientation is O(sqrt(E)) so no side is a hot-key risk",
         "self_join_candidate_generator_whitelist": {
             "detector": "equi-joins whose left/right key NAMES coincide plus a same-named `<` tie-break (the LSH/blocking candidate-pair shape — quadratic per key value); every query listed in with_self_join_candidate_generator must be justified here with the cap/band discipline that bounds it (r5 extension; the video-near-dup hot key was the motivating defect)",
             "dedup_ngram_jaccard": "posting cap: shingles with df > MAX_POSTING dropped before the self-join (operators/dedup.py jaccard_pairs_selfjoin count-window cap; property-tested)",
