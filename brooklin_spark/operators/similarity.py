@@ -1031,9 +1031,20 @@ def semdedup_keep(
                 {"vec_id": ids, "cid": pdf["cid"], "keep": [True]}
             )
         mat = _batch_matrix(pdf["vec"])
-        sims = np.round(mat @ mat.T, 6)
-        # dup[i] iff some j with ids[j] < ids[i] has cosine >= threshold
-        dup = ((sims >= threshold) & (ids[None, :] < ids[:, None])).any(axis=1)
+        # dup[i] iff some j with ids[j] < ids[i] has cosine >= threshold.
+        # The similarity matrix is built in <=BLOCK_ROWS row strips so a
+        # skewed centroid assignment (the centroids are just the first k
+        # vectors) cannot allocate an O(c^2) scratch — per-strip scratch
+        # is bounded at BLOCK_ROWS*c floats regardless of cluster size.
+        # The vectors themselves are O(c*dim) per task; that is the
+        # caller's adaptive-k contract (k grows with N so N/k is flat).
+        dup = np.empty(len(ids), dtype=bool)
+        for lo in range(0, len(ids), BLOCK_ROWS):
+            hi = min(lo + BLOCK_ROWS, len(ids))
+            sims = np.round(mat[lo:hi] @ mat.T, 6)
+            dup[lo:hi] = (
+                (sims >= threshold) & (ids[None, :] < ids[lo:hi, None])
+            ).any(axis=1)
         return pd.DataFrame(
             {"vec_id": ids, "cid": pdf["cid"].to_numpy(), "keep": ~dup}
         )

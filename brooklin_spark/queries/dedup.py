@@ -1195,12 +1195,14 @@ def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE EXISTS (SELECT 1 FROM oriented o WHERE o.src = w.b AND o.dst = w.c)),
     stats AS (
       SELECT COUNT(*) AS n_nodes,
-             CAST(SUM(d) / 2 AS BIGINT) AS n_edges,
-             CAST(SUM(d * (d - 1) / 2) AS BIGINT) AS n_wedges
+             COALESCE(CAST(SUM(d) / 2 AS BIGINT), 0) AS n_edges,
+             COALESCE(CAST(SUM(d * (d - 1) / 2) AS BIGINT), 0) AS n_wedges
       FROM deg)
     SELECT s.n_nodes, s.n_edges, s.n_wedges,
            CAST(t.t AS BIGINT) AS n_triangles,
-           CAST(3.0 * t.t AS DOUBLE) / s.n_wedges AS global_clustering
+           CASE WHEN s.n_wedges > 0
+                THEN CAST(3.0 * t.t AS DOUBLE) / s.n_wedges
+                ELSE 0.0 END AS global_clustering
     FROM stats s CROSS JOIN tri t
     """,
 )

@@ -464,6 +464,10 @@ def events_burst_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the only IEEE operation is the single final division, so cross-engine
 # parity is exact (the repo's standard timeseries float policy). Edge days
 # without a full 7-row window are excluded, as in classical decomposition.
+# A 7-ROW window is only a 7-DAY window when the daily series has no gaps,
+# so windows are additionally required to span exactly 6 calendar days
+# (datediff(max_day, min_day) = 6) — a sparse series (an event type with
+# zero-event days) would otherwise silently average across >7 days.
 #
 # Scale shape: one map-side-combined fact-scale groupBy to daily counts;
 # the window and the dow aggregate run on the |types| x |days|
@@ -482,13 +486,17 @@ def events_burst_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM(c) OVER (PARTITION BY event_type ORDER BY day
                           ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS sum7,
              COUNT(*) OVER (PARTITION BY event_type ORDER BY day
-                            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS n7
+                            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS n7,
+             MIN(day) OVER (PARTITION BY event_type ORDER BY day
+                            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS day_lo,
+             MAX(day) OVER (PARTITION BY event_type ORDER BY day
+                            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS day_hi
       FROM daily)
     SELECT event_type, CAST(isodow(day) - 1 AS INTEGER) AS dow,
            COUNT(*) AS n_days,
            CAST(SUM(c) AS BIGINT) AS volume,
            CAST(7.0 * SUM(c) AS DOUBLE) / SUM(sum7) AS seasonal_index
-    FROM ma WHERE n7 = 7
+    FROM ma WHERE n7 = 7 AND day_hi - day_lo = 6
     GROUP BY 1, 2
     """,
 )
@@ -506,7 +514,11 @@ def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c",
         F.sum("c").over(win).alias("sum7"),
         F.count("*").over(win).alias("n7"),
-    ).filter(F.col("n7") == 7)
+        F.min("day").over(win).alias("day_lo"),
+        F.max("day").over(win).alias("day_hi"),
+    ).filter(
+        (F.col("n7") == 7) & (F.datediff("day_hi", "day_lo") == 6)
+    )
     return ma.groupBy(
         "event_type", F.weekday("day").cast("int").alias("dow")
     ).agg(

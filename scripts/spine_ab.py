@@ -54,11 +54,12 @@ def run_variant(name: str, conf: dict[str, str], sf_dir: str, runs: int) -> dict
     from brooklin_spark.session import get_spark
 
     registry.load_all()
+    # stop() clears both the active and the default session in supported
+    # PySpark versions, so the next builder call creates a fresh one —
+    # no private-attribute surgery (ADVICE r5).
     active = SparkSession.getActiveSession()
     if active is not None:
         active.stop()
-        SparkSession._instantiatedSession = None  # noqa: SLF001
-        SparkSession._activeSession = None  # noqa: SLF001
     spark = get_spark(app_name=f"spine-ab-{name}", extra_conf=conf)
     warm = os.environ.get("SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001")
     for q in SPINE:

@@ -611,6 +611,13 @@ def test_triangle_census_known_graphs(spark):
     assert star["n_triangles"] == 0
     assert star["n_wedges"] == 7 * 6 // 2
 
+    # wedge-free graphs (a perfect matching) define clustering = 0, not
+    # NULL — the guarded division (ADVICE r5)
+    matching = census([(0, 1), (2, 3), (4, 5)])
+    assert matching["n_wedges"] == 0
+    assert matching["n_triangles"] == 0
+    assert matching["global_clustering"] == 0.0
+
 
 def test_prefix_filter_matches_posting_cap_pipeline(spark, sf_correct):
     """The exact prefix-filter join and the posting-cap self-join find the
