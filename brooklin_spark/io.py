@@ -35,6 +35,16 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # semantics (matches the timezone-naive DuckDB oracle) and nanos-as-long
     # for the events table (Spark 4 refuses TIMESTAMP(NANOS) otherwise)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # "bucketed:<db>:<fallback_dir>" — the 100 TB layout: facts live as
+    # bucketed catalog tables (shuffle paid once at write time, joins on
+    # the bucket key plan with zero Exchange); tables not in the db fall
+    # back to the plain parquet dir. Same queries, different layout —
+    # scripts/spine_bucketed.py A/Bs the two.
+    if sf_dir.startswith("bucketed:"):
+        _, db, fallback = sf_dir.split(":", 2)
+        if spark.catalog.tableExists(f"{db}.{name}"):
+            return spark.table(f"{db}.{name}")
+        return table(spark, fallback, name)
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))

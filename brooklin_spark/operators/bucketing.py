@@ -28,6 +28,28 @@ def write_bucketed(
     writer.saveAsTable(table_name)
 
 
+def register_bucketed(
+    spark: SparkSession, table_name: str, key: str, n_buckets: int, location: str
+) -> None:
+    """(Re-)register an existing bucketed-table directory in the catalog.
+
+    The default in-memory catalog is session-scoped while the written
+    files persist, so a later session must re-attach them as an EXTERNAL
+    table carrying the same bucket spec — schema comes from the parquet
+    footers (CLUSTERED BY requires an explicit column list); the bucket
+    spec must match what write_bucketed used or the zero-Exchange plan
+    silently turns wrong."""
+    cols = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in spark.read.parquet(location).schema.fields
+    )
+    spark.sql(
+        f"CREATE TABLE {table_name} ({cols}) USING parquet "
+        f"CLUSTERED BY ({key}) SORTED BY ({key}) INTO {n_buckets} BUCKETS "
+        f"LOCATION '{location}'"
+    )
+
+
 def bucketed_join(
     spark: SparkSession, left_table: str, right_table: str, key_left: str, key_right: str
 ) -> DataFrame:

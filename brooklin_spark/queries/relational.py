@@ -114,7 +114,17 @@ def q3_top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # q5: five-way star join through region→nation→customer + supplier co-nation.
 # Scale: region/nation/supplier are small dims → broadcast; the single big
-# shuffle is orders⋈lineitem on the order key.
+# shuffle is orders⋈lineitem on the order key. Join order is dims-first
+# (customer⋈orders, then lineitem): unlike q10, lineitem here is UNFILTERED,
+# so a fact-first order would push the full 24M-row joined stream through a
+# custkey exchange — measured same-session at sf10: plain dims-first 11.1s
+# vs fact-first 16.1s. On the bucketed-orderkey layout fact-first flips to
+# the winner (8.7s vs 10.9s, zero fact Exchange) — that variant lives in
+# scripts/spine_bucketed.py as the layout-tuned plan; the registered form
+# stays the plain-layout winner since the driver's layout is plain parquet.
+# Residual vs DuckDB at sf10 is NOT exchange-bound: bucketed o⋈li+decimal
+# partial agg alone is 4.0s of the 8.7s (exact-decimal revenue policy),
+# the remaining ~4.7s is broadcast-probe join CPU over the 24M-row stream.
 # ---------------------------------------------------------------------------
 
 
@@ -193,6 +203,13 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # q10: returned items by customer — join + agg + top-k with dim re-join.
+# Fact-first join order: orders⋈lineitem runs while both sides still carry
+# their scan partitioning (zero Exchange on the bucketed layout), then
+# customer⋈nation attaches to the joined stream. Unlike q5, lineitem is
+# FILTERED here (returnflag = 'R' keeps ~1/4), so the stream that meets
+# the custkey join is small — measured same-session at sf10: plain
+# fact-first 5.6s vs dims-first 6.4s; bucketed fact-first 2.1s (4 -> 0
+# fact exchanges, 1.6x DuckDB where the r5 dims-first form was 4.7x).
 # ---------------------------------------------------------------------------
 
 
@@ -218,10 +235,10 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
     li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     revenue = dec("l_extendedprice") * one_minus("l_discount")
+    cust = c.join(F.broadcast(n), n.n_nationkey == c.c_nationkey)
     return (
-        c.join(F.broadcast(n), n.n_nationkey == c.c_nationkey)
-        .join(o, o.o_custkey == c.c_custkey)
-        .join(li, li.l_orderkey == o.o_orderkey)
+        o.join(li, li.l_orderkey == o.o_orderkey)
+        .join(cust, o.o_custkey == c.c_custkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(dsum(revenue, "revenue"))
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
