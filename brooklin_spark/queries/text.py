@@ -1430,36 +1430,77 @@ _BM25_IN = ", ".join(f"'{t}'" for t in _BM25_TERMS)
 
 def _bm25_scored(docs: DataFrame) -> DataFrame:
     """(doc_id, score, n_terms) for every doc matching any _BM25_TERMS —
-    the scoring core shared by text_bm25_search and the RRF fusion."""
-    # one tokenize+explode pass: the scalar pre-job, the dl table and the
-    # term-frequency table all read the SAME materialized token set
-    toks = docs.select(
-        "doc_id", F.explode(X.tokens()).alias("term")
-    ).localCheckpoint()
-    lens = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    n_docs, avgdl = lens.agg(F.count("*"), F.avg("dl")).first()  # two scalars
-    tf = (
-        toks.filter(F.col("term").isin(*_BM25_TERMS))  # map-side prune
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"))
+    the scoring core shared by text_bm25_search and the RRF fusion.
+
+    ARRAY-NATIVE, ONE JOB, zero corpus-scale exchange:
+
+    - candidate docs come from a cheap substring prefilter (a strict
+      SUPERSET of token matches — 'sparkle' passes contains but fails the
+      exact token filter), so only ~0.01% of docs pay tokenize+filter;
+      per candidate we keep (doc_id, dl, qt) where qt = the query-term
+      tokens (len<=3 in practice).
+    - the corpus scalars (n_docs, avgdl) and the per-term dfs are NOT
+      driver .first() roundtrips: both are 1-row aggregates attached by
+      broadcast crossJoin (the repo's whitelisted scalar pattern), so the
+      whole retrieval is a single DAG — the corpus size-only scan stage
+      and the candidate stage have no dependency edge and the scheduler
+      overlaps them across the executor cores, where the .first() form
+      serialized three jobs back-to-back (measured at sf10: 3.3 s -> this
+      form; the r4 explode form was 3.8 s standalone and 67 s inside the
+      RRF fusion, whose join re-exchanged the 40M-row token checkpoint
+      three times — here no corpus-scale exchange exists to re-run).
+    - IEEE parity: idf = log(1 + (n_docs - df + .5)/(df + .5)) is the
+      same JVM log/division tree the join form used (scalar columns
+      instead of literals — same doubles), per-doc term sum in fixed
+      term order; parity at round-8 as before."""
+    toks = X.tokens()
+    # corpus scalars (dl > 0 keeps explode-parity: token-less docs never
+    # entered lens); 1 row, broadcast onto the candidates
+    stats = (
+        docs.select(F.size(toks).alias("dl"))
+        .filter(F.col("dl") > 0)
+        .agg(F.count("*").cast("double").alias("n_docs"), F.avg("dl").alias("avgdl"))
     )
-    df = tf.groupBy("term").agg(F.count("*").alias("df"))
-    idf = F.log(
-        F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
-    )
-    denom = F.col("tf") + _BM25_K1 * (
-        1 - _BM25_B + _BM25_B * F.col("dl") / F.lit(float(avgdl))
-    )
-    return (
-        # per-term df table: vocab-scaled — no broadcast hint
-        tf.join(df, "term")
-        .join(lens, "doc_id")
-        .groupBy("doc_id")
-        .agg(
-            F.sum(idf * F.col("tf") * (_BM25_K1 + 1) / denom).alias("score"),
-            F.count("*").alias("n_terms"),
+    anyterm = F.col("text").contains(_BM25_TERMS[0])
+    for t in _BM25_TERMS[1:]:
+        anyterm = anyterm | F.col("text").contains(t)
+    per_doc = (
+        docs.filter(anyterm)
+        .select(
+            "doc_id",
+            F.size(toks).alias("dl"),
+            F.filter(toks, lambda x: x.isin(*_BM25_TERMS)).alias("qt"),
         )
+        .filter(F.size("qt") > 0)
+        .localCheckpoint()  # few-thousand thin rows; read 2x below
     )
+    dfs = per_doc.agg(
+        *[
+            F.sum(F.array_contains("qt", t).cast("long"))
+            .cast("double")
+            .alias(f"df{i}")
+            for i, t in enumerate(_BM25_TERMS)
+        ]
+    )
+    scored = per_doc.crossJoin(F.broadcast(stats)).crossJoin(F.broadcast(dfs))
+
+    def term_score(i: int, term: str):
+        # single-arg lambda: a two-param lambda would receive (elem, idx)
+        tf = F.size(F.filter(F.col("qt"), lambda x: x == F.lit(term)))
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col(f"df{i}") + 0.5) / (F.col(f"df{i}") + 0.5)
+        )
+        denom = tf + _BM25_K1 * (
+            1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")
+        )
+        return F.when(tf > 0, idf * tf * (_BM25_K1 + 1) / denom).otherwise(F.lit(0.0))
+
+    score = term_score(0, _BM25_TERMS[0])
+    for i in range(1, len(_BM25_TERMS)):
+        score = score + term_score(i, _BM25_TERMS[i])  # fixed term-order tree
+    n_terms = sum(F.array_contains("qt", t).cast("long") for t in _BM25_TERMS)
+    return scored.select("doc_id", score.alias("score"), n_terms.alias("n_terms"))
 
 
 @query(
@@ -2295,18 +2336,38 @@ _RRF_OUT = 10
 def text_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from brooklin_spark.operators import similarity as S
 
+    from concurrent.futures import ThreadPoolExecutor
+
     docs = table(spark, sf_dir, "documents")
     emb = table(spark, sf_dir, "embeddings")
-    btop = _bm25_scored(docs).orderBy(F.desc("score"), F.asc("doc_id")).limit(_RRF_L)
-    sparse = btop.select(
-        "doc_id",
-        F.row_number()
-        .over(W.orderBy(F.desc("score"), F.asc("doc_id")))
-        .alias("rank"),
-    )
-    dense = S.brute_force_topk(
-        emb.filter(F.col("vec_id") == 0), emb, k=_RRF_L
-    ).select(F.col("neighbor_id").alias("doc_id"), F.col("rank").cast("int").alias("rank"))
+
+    def sparse_leg():
+        btop = (
+            _bm25_scored(docs).orderBy(F.desc("score"), F.asc("doc_id")).limit(_RRF_L)
+        )
+        return btop.select(
+            "doc_id",
+            F.row_number()
+            .over(W.orderBy(F.desc("score"), F.asc("doc_id")))
+            .alias("rank"),
+        ).localCheckpoint()  # <= L rows: the fusion must never re-run a leg
+
+    def dense_leg():
+        return (
+            S.brute_force_topk(emb.filter(F.col("vec_id") == 0), emb, k=_RRF_L)
+            .select(
+                F.col("neighbor_id").alias("doc_id"),
+                F.col("rank").cast("int").alias("rank"),
+            )
+            .localCheckpoint()  # <= L rows
+        )
+
+    # the two retrieval legs are independent job DAGs over different
+    # tables — submit both and let the scheduler interleave their stages
+    # across the executor cores (wall = max(legs), not sum)
+    with ThreadPoolExecutor(2) as pool:
+        fs, fd = pool.submit(sparse_leg), pool.submit(dense_leg)
+        sparse, dense = fs.result(), fd.result()
     s, d = sparse.alias("s"), dense.alias("d")
     fused = s.join(d, F.col("s.doc_id") == F.col("d.doc_id"), "full_outer").select(
         F.coalesce(F.col("s.doc_id"), F.col("d.doc_id")).alias("doc_id"),
