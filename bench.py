@@ -95,6 +95,9 @@ BENCH_QUERIES = [
     "corpus_dsir_weights",      # DSIR unigram-LM importance weights
     "dedup_keep_best_quality",  # quality-argmax survivor per near-dup cluster
     "text_hybrid_rrf_search",   # BM25 + dense reciprocal-rank fusion
+    # build-once/query-many probes (same oracles as their per-query twins)
+    "text_bm25_search_persisted",
+    "text_hybrid_rrf_search_persisted",
     "dedup_prefix_filter_jaccard",  # exact PPJoin prefix-filter join
     "graph_triangle_census",    # degree-oriented wedge join
 ]

@@ -2368,6 +2368,11 @@ def text_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     with ThreadPoolExecutor(2) as pool:
         fs, fd = pool.submit(sparse_leg), pool.submit(dense_leg)
         sparse, dense = fs.result(), fd.result()
+    return _rrf_fuse(sparse, dense)
+
+
+def _rrf_fuse(sparse: DataFrame, dense: DataFrame) -> DataFrame:
+    """Fuse two <=L-row (doc_id, rank) lists by reciprocal-rank score."""
     s, d = sparse.alias("s"), dense.alias("d")
     fused = s.join(d, F.col("s.doc_id") == F.col("d.doc_id"), "full_outer").select(
         F.coalesce(F.col("s.doc_id"), F.col("d.doc_id")).alias("doc_id"),
@@ -2384,3 +2389,138 @@ def text_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         fused.withColumn("rank", F.row_number().over(rw).cast("bigint"))
         .filter(F.col("rank") <= _RRF_OUT)
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted BM25 inverted index: the build-once / query-many production
+# shape (same pattern as ann_ivf_topk_persisted — persisting the index
+# changes COST, not ANSWERS, so both variants share one oracle). The
+# index is the classic inverted file: per-(term, doc) postings carrying
+# (tf, dl), range-partitioned and sorted by term so a probe's
+# term-IN-list prunes parquet files and row groups via min/max stats —
+# a 3-term query reads a vocabulary-local slice of the index, never the
+# corpus. Stats (n_docs, avgdl) ride a 1-row side file. At 100 TB the
+# index build is the one corpus-scale job (the same tokenize+groupBy the
+# per-query form pays EVERY time), amortized across every query after.
+# Keyed by corpus file identity, like the IVF cache.
+# ---------------------------------------------------------------------------
+
+
+def _bm25_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    import hashlib
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    src = _os.path.join(sf_dir, "documents.parquet")
+    key = hashlib.md5(
+        f"{_os.path.abspath(src)}:{_os.path.getmtime(src)}".encode()
+    ).hexdigest()[:12]
+    idx = _os.path.join(_tempfile.gettempdir(), f"bspark_bm25_idx_{key}")
+    if not _os.path.exists(_os.path.join(idx, "postings", "_SUCCESS")):
+        docs = table(spark, sf_dir, "documents")
+        toks = docs.select("doc_id", F.explode(X.tokens()).alias("term"))
+        lens = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+        tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+        tmp = idx + ".building"
+        _shutil.rmtree(tmp, ignore_errors=True)
+        # checkpoint BEFORE repartitionByRange: the range partitioner
+        # SAMPLES its input first, so an un-materialized join pipeline
+        # would tokenize the corpus twice (the r5 token-budget lesson —
+        # measured 253 s -> ~60 s for this build at sf10)
+        flat = (
+            tf.join(lens, "doc_id")
+            .select("term", "doc_id", "tf", "dl")
+            .localCheckpoint()
+        )
+        (
+            flat.repartitionByRange(32, "term")
+            .sortWithinPartitions("term", "doc_id")
+            .write.mode("overwrite")
+            .parquet(_os.path.join(tmp, "postings"))
+        )
+        lens.agg(
+            F.count("*").cast("double").alias("n_docs"), F.avg("dl").alias("avgdl")
+        ).write.mode("overwrite").parquet(_os.path.join(tmp, "stats"))
+        _shutil.rmtree(idx, ignore_errors=True)
+        _os.rename(tmp, idx)
+    return (
+        spark.read.parquet(_os.path.join(idx, "postings")),
+        spark.read.parquet(_os.path.join(idx, "stats")),
+    )
+
+
+def _bm25_scored_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe-side twin of _bm25_scored: same (doc_id, score, n_terms)
+    contract and the same IEEE expression tree, candidates coming from a
+    term-pruned index scan instead of a corpus pass."""
+    postings, stats = _bm25_index(spark, sf_dir)
+    post = postings.filter(F.col("term").isin(*_BM25_TERMS))
+    dft = post.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    scored = post.join(F.broadcast(dft), "term").crossJoin(F.broadcast(stats))
+    idf = F.log(
+        F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + _BM25_K1 * (
+        1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum(idf * F.col("tf") * (_BM25_K1 + 1) / denom).alias("score"),
+        F.count("*").alias("n_terms"),
+    )
+
+
+from brooklin_spark import registry as _registry  # noqa: E402
+
+
+@query("text_bm25_search_persisted", oracle=_registry.ORACLES["text_bm25_search"])
+def text_bm25_search_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = _bm25_scored_from_index(spark, sf_dir)
+    top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
+    rw = W.orderBy(F.desc("score"), F.asc("doc_id"))
+    return top.select(
+        "doc_id",
+        F.round("score", 8).alias("score"),
+        F.col("n_terms").cast("bigint").alias("n_terms"),
+        F.row_number().over(rw).cast("bigint").alias("rank"),
+    )
+
+
+@query(
+    "text_hybrid_rrf_search_persisted",
+    oracle=_registry.ORACLES["text_hybrid_rrf_search"],
+)
+def text_hybrid_rrf_search_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from concurrent.futures import ThreadPoolExecutor
+
+    from brooklin_spark.operators import similarity as S
+
+    emb = table(spark, sf_dir, "embeddings")
+
+    def sparse_leg():
+        btop = (
+            _bm25_scored_from_index(spark, sf_dir)
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(_RRF_L)
+        )
+        return btop.select(
+            "doc_id",
+            F.row_number()
+            .over(W.orderBy(F.desc("score"), F.asc("doc_id")))
+            .alias("rank"),
+        ).localCheckpoint()
+
+    def dense_leg():
+        return (
+            S.brute_force_topk(emb.filter(F.col("vec_id") == 0), emb, k=_RRF_L)
+            .select(
+                F.col("neighbor_id").alias("doc_id"),
+                F.col("rank").cast("int").alias("rank"),
+            )
+            .localCheckpoint()
+        )
+
+    with ThreadPoolExecutor(2) as pool:
+        fs, fd = pool.submit(sparse_leg), pool.submit(dense_leg)
+        sparse, dense = fs.result(), fd.result()
+    return _rrf_fuse(sparse, dense)

@@ -49,6 +49,12 @@ SHIFTS = {
 }
 
 
+#: optional comma-separated table subset (BENCH_TABLES=lineitem,orders,...)
+#: — the sf100 spot-book only needs the 4 slow-growing families' inputs,
+#: not a full 17 GB corpus
+ONLY = {t for t in os.environ.get("BENCH_TABLES", "").split(",") if t}
+
+
 def main() -> None:
     os.makedirs(DST, exist_ok=True)
     con = duckdb.connect()
@@ -58,6 +64,8 @@ def main() -> None:
         )
         print(t, "copied")
     for t, keys in SHIFTS.items():
+        if ONLY and t not in ONLY:
+            continue
         repl = [f"{k} + i.range * {K} AS {k}" for k in keys]
         if t == "documents":
             repl.append(

@@ -64,6 +64,8 @@ SCALE_QUERIES = [
     "corpus_token_budget_select",   # distrank exact global prefix sum
     "dedup_cluster_size_weights",   # pair/CC path + corpus-keyed weight join
     "text_hybrid_rrf_search",       # two top-L funnels + constant fusion
+    "text_bm25_search_persisted",   # inverted-file probe (build amortized)
+    "text_hybrid_rrf_search_persisted",
     "graph_triangle_census",        # degree-oriented wedge join
     "dedup_prefix_filter_jaccard",  # exact PPJoin prefix-filter join
 ]
