@@ -1,0 +1,95 @@
+"""The bucketed-orderkey fact layout (scripts/spine_bucketed.py's A/B):
+
+- io.table's "bucketed:<db>:<fallback>" scheme serves catalog tables when
+  present and falls back to plain parquet otherwise,
+- registered queries return IDENTICAL results on both layouts,
+- the layout actually removes the fact exchanges: q3's final AQE plan has
+  ZERO hash-partitioning Exchange on bucketed tables (asserted, not
+  claimed — the r6 sf10 book measured 4.4 -> 1.2 s from exactly this).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from brooklin_spark import registry
+from brooklin_spark.io import table
+from brooklin_spark.operators.bucketing import register_bucketed, write_bucketed
+
+registry.load_all()
+
+DB = "spine_test"
+N_BUCKETS = 4
+
+
+@pytest.fixture(scope="module")
+def bucketed_db(spark, sf_smoke):
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {DB}")
+    for name, key in [("orders", "o_orderkey"), ("lineitem", "l_orderkey")]:
+        spark.sql(f"DROP TABLE IF EXISTS {DB}.{name}")
+        df = table(spark, sf_smoke, name).repartition(N_BUCKETS, F.col(key))
+        write_bucketed(df, f"{DB}.{name}", key, N_BUCKETS, sort=True)
+    yield f"bucketed:{DB}:{sf_smoke}"
+    for name in ("orders", "lineitem"):
+        spark.sql(f"DROP TABLE IF EXISTS {DB}.{name}")
+
+
+def _final_plan(df) -> str:
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return plan.split("== Initial Plan ==")[0]
+
+
+@pytest.mark.parametrize(
+    "q", ["q3_top_unshipped_orders", "q5_local_supplier_volume", "q10_returned_items"]
+)
+def test_bucketed_layout_is_result_invisible(spark, sf_smoke, bucketed_db, q):
+    a = registry.QUERIES[q](spark, sf_smoke).toPandas()
+    b = registry.QUERIES[q](spark, bucketed_db).toPandas()
+    cols = sorted(a.columns)
+    a = a[cols].sort_values(cols, ignore_index=True)
+    b = b[cols].sort_values(cols, ignore_index=True)
+    assert a.equals(b)
+
+
+def test_bucketed_q3_plans_zero_exchange(spark, bucketed_db):
+    df = registry.QUERIES["q3_top_unshipped_orders"](spark, bucketed_db)
+    assert "Exchange hashpartitioning" not in _final_plan(df)
+
+
+def test_bucketed_scan_is_used(spark, bucketed_db):
+    # the planner only engages the bucketed scan when an operator
+    # benefits — a bare scan reports it disabled, the orderkey join uses it
+    o = table(spark, bucketed_db, "orders")
+    li = table(spark, bucketed_db, "lineitem")
+    j = o.join(li, o.o_orderkey == li.l_orderkey).groupBy().count()
+    plan = _final_plan(j)
+    assert "Bucketed: true" in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_fallback_serves_plain_parquet(spark, sf_smoke, bucketed_db):
+    # customer is not in the bucketed db — the scheme must fall through
+    a = table(spark, bucketed_db, "customer").count()
+    b = table(spark, sf_smoke, "customer").count()
+    assert a == b
+
+
+def test_register_bucketed_reattaches_location(spark, sf_smoke, bucketed_db):
+    # a new session loses the in-memory catalog but not the files;
+    # register_bucketed re-attaches a directory with the same bucket
+    # spec (here: a second EXTERNAL name over the managed table's files
+    # — dropping the managed entry would delete them)
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    loc = f"{warehouse}/{DB}.db/orders"
+    spark.sql(f"DROP TABLE IF EXISTS {DB}.orders_ext")
+    register_bucketed(spark, f"{DB}.orders_ext", "o_orderkey", N_BUCKETS, loc)
+    df = spark.table(f"{DB}.orders_ext")
+    assert df.count() == table(spark, sf_smoke, "orders").count()
+    li = table(spark, bucketed_db, "lineitem")
+    j = df.join(li, df.o_orderkey == li.l_orderkey).groupBy().count()
+    plan = _final_plan(j)
+    assert "Bucketed: true" in plan
+    assert "Exchange hashpartitioning" not in plan
+    spark.sql(f"DROP TABLE {DB}.orders_ext")
