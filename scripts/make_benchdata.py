@@ -58,6 +58,11 @@ ONLY = {t for t in os.environ.get("BENCH_TABLES", "").split(",") if t}
 def main() -> None:
     os.makedirs(DST, exist_ok=True)
     con = duckdb.connect()
+    # stream the COPY: with insertion order preserved DuckDB buffers the
+    # ENTIRE replicated result before writing (56 GB RSS observed on the
+    # sf100 lineitem — 600M rows); row order inside a bench parquet is
+    # meaningless to every consumer here
+    con.sql("SET preserve_insertion_order = false")
     for t in ["region", "nation"]:
         con.sql(
             f"COPY (SELECT * FROM '{SRC}/{t}.parquet') TO '{DST}/{t}.parquet' (FORMAT parquet)"
