@@ -27,6 +27,10 @@ SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 # Optional substring filter: `driver_sim.py <sf_dir> name1,name2` checks
 # only queries whose name contains one of the given substrings.
 ONLY = sys.argv[2].split(",") if len(sys.argv) > 2 else None
+# Optional sharding for bounded-wall-clock full sweeps:
+# DRIVER_SIM_SHARD=i/n checks every n-th query (sorted order) starting at i.
+_shard = os.environ.get("DRIVER_SIM_SHARD")
+SHARD = tuple(int(x) for x in _shard.split("/")) if _shard else None
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
@@ -79,8 +83,10 @@ def main() -> int:
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     print("entry rows:", len(ent.entry(spark).collect()))
     fails = []
-    for name in sorted(qs):
+    for i, name in enumerate(sorted(qs)):
         if ONLY and not any(s in name for s in ONLY):
+            continue
+        if SHARD and i % SHARD[1] != SHARD[0]:
             continue
         try:
             sdf = normalize(qs[name](spark, SF).toPandas())
