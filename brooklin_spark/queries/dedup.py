@@ -265,6 +265,111 @@ def dedup_canonical_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Leakage-safe train/val/test split (r6): the contamination failure mode
+# of a naive per-doc split is a near-dup PAIR straddling train and test —
+# the eval answer is in the training set. Assignment therefore hashes the
+# near-dup CLUSTER id (connected component canonical; singletons hash
+# their own doc_id, so un-clustered docs get exactly the
+# sample_train_val_test assignment): whole clusters co-assign BY
+# CONSTRUCTION. The straddling_clusters column is the AUDIT — computed
+# from the assignment, not asserted — and must be 0.
+#
+# Scale shape: the proven capped-pair/CC path (corpus-scale work is the
+# shingle self-join, already posting-capped), then a map-only hash assign
+# and one tiny per-split reduce. At 100 TB the cluster table is the small
+# output of dedup, joined back broadcast-or-SMJ by AQE.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_leakage_safe_split",
+    oracle=f"""
+    WITH RECURSIVE {G.shingle_cte(3)},
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    cpairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    dup_pairs AS (
+      SELECT doc_a, doc_b FROM cpairs
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE common * 1.0 / (sa.n_sh + sb.n_sh - common) >= 0.7),
+    nodes AS (
+      SELECT DISTINCT id FROM (
+        SELECT doc_a AS id FROM dup_pairs UNION SELECT doc_b FROM dup_pairs)),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM dup_pairs
+      UNION SELECT doc_b, doc_a FROM dup_pairs),
+    reach(id, r) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r),
+    comp AS (SELECT id AS doc_id, MIN(r) AS comp FROM reach GROUP BY id),
+    assigned AS (
+      SELECT d.doc_id, c.comp,
+             CASE
+               WHEN ascii(substr(md5('split:' || COALESCE(c.comp, d.doc_id)), 1, 1)) % 10 < 8 THEN 'train'
+               WHEN ascii(substr(md5('split:' || COALESCE(c.comp, d.doc_id)), 1, 1)) % 10 = 8 THEN 'val'
+               ELSE 'test' END AS split
+      FROM documents d LEFT JOIN comp c USING (doc_id)),
+    straddle AS (
+      SELECT COUNT(*) AS straddling_clusters FROM (
+        SELECT comp FROM assigned WHERE comp IS NOT NULL
+        GROUP BY comp HAVING COUNT(DISTINCT split) > 1))
+    SELECT a.split, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN a.comp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_docs,
+           CAST(COUNT(DISTINCT a.comp) AS BIGINT) AS n_clusters,
+           s.straddling_clusters
+    FROM assigned a CROSS JOIN straddle s
+    GROUP BY a.split, s.straddling_clusters
+    """,
+)
+def dedup_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    sh = (
+        D.shingle_rows_pandas(docs, n=3)
+        .select("id", "n", F.xxhash64("shingle").alias("shingle"))
+        .localCheckpoint()  # UDF would run on both self-join sides otherwise
+    )
+    pairs = D.jaccard_pairs_selfjoin(sh, threshold=0.7).select("doc_a", "doc_b")
+    comps = D.connected_components(pairs).withColumnRenamed("id", "doc_id")
+    ck = F.coalesce(F.col("comp"), F.col("doc_id"))
+    bucket = (
+        F.ascii(
+            F.substring(F.md5(F.concat(F.lit("split:"), ck.cast("string"))), 1, 1)
+        )
+        % 10
+    )
+    split = F.when(bucket < 8, "train").when(bucket == 8, "val").otherwise("test")
+    assigned = (
+        docs.select("doc_id")
+        .join(comps, "doc_id", "left")
+        .select("doc_id", "comp", split.alias("split"))
+        .localCheckpoint()  # thin (3 cols); feeds the audit AND the reduce
+    )
+    straddle = (
+        assigned.filter(F.col("comp").isNotNull())
+        .groupBy("comp")
+        .agg(F.countDistinct("split").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .agg(F.count("*").alias("straddling_clusters"))
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("comp").isNotNull().cast("long"))
+            .cast("bigint")
+            .alias("n_dup_docs"),
+            F.countDistinct("comp").cast("bigint").alias("n_clusters"),
+        )
+        .crossJoin(F.broadcast(straddle))
+    )
+
+
 @query(
     "dedup_simhash",
     oracle=f"""

