@@ -1312,3 +1312,94 @@ def dedup_semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = max(_SDD_MIN_C, emb.count() // _SDD_PER)  # one scalar: corpus-adaptive k
     cent = emb.filter(F.col("vec_id") < k)
     return S.semdedup_keep(emb, cent, threshold=_SDD_TH)
+
+
+# ---------------------------------------------------------------------------
+# Greedy k-center coreset selection (Gonzalez 1985 farthest-point
+# traversal, the 2-approximation to the k-center objective): pick the
+# min-id vector as the seed, then k-1 times pick the vector FARTHEST from
+# everything selected so far (= smallest max-cosine to the selected set,
+# vec_id tie-break). The diversity-sampling primitive a training pipeline
+# uses to build a small corpus that COVERS embedding space (coreset for
+# labeling budgets, eval-set seeding, cluster-count probes) — the
+# complement of SemDeDup, which removes the redundant end of the same
+# geometry.
+#
+# Scale shape: k-1 passes over the corpus, each a zero-shuffle map (the
+# selected set is <= k vectors folded into the projection as literals —
+# 64*k multiply-adds per row, JVM-side) followed by a TakeOrdered(1).
+# Only k rows ever reach the driver (the same bounded-scalar discipline
+# as the corpus-stat queries). O(k * N * dim) total compute, no shuffle,
+# no UDF. Oracle = the identical traversal unrolled as k-1 CTE rounds.
+#
+# Float parity: sims are round(dot, 6) on unit-norm embeddings — the
+# same convention every cosine op here uses; argmin-with-id-tie-break is
+# engine-exact on the rounded values. min_sim for the seed is NULL (it
+# has no prior centers).
+# ---------------------------------------------------------------------------
+
+_KC_K = 8
+
+
+def _kcenter_oracle(k: int) -> str:
+    rounds = []
+    prev = "c0"
+    out = ["SELECT 0 AS rank, vec_id, CAST(NULL AS DOUBLE) AS min_sim FROM c0"]
+    for r in range(1, k):
+        rounds.append(
+            f"""m{r} AS (
+      SELECT e.vec_id,
+             MAX(round(list_cosine_similarity(e.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6)) AS msim
+      FROM embeddings e JOIN {prev} c ON TRUE
+      WHERE e.vec_id NOT IN (SELECT vec_id FROM {prev})
+      GROUP BY e.vec_id),
+    p{r} AS (SELECT vec_id, msim FROM m{r} ORDER BY msim ASC, vec_id ASC LIMIT 1),
+    c{r} AS (SELECT * FROM {prev}
+             UNION ALL
+             SELECT e.vec_id, e.embedding FROM embeddings e JOIN p{r} USING (vec_id))"""
+        )
+        out.append(f"SELECT {r} AS rank, vec_id, msim AS min_sim FROM p{r}")
+        prev = f"c{r}"
+    return (
+        "WITH c0 AS (SELECT vec_id, embedding FROM embeddings\n"
+        "             WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)),\n    "
+        + ",\n    ".join(rounds)
+        + "\n    SELECT CAST(rank AS BIGINT) AS rank, vec_id, min_sim FROM ("
+        + " UNION ALL ".join(out)
+        + ") ORDER BY rank"
+    )
+
+
+@query("embedding_kcenter_coreset", oracle=_kcenter_oracle(_KC_K))
+def embedding_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def dot_to(vec) -> F.Column:
+        lit = F.array(*[F.lit(float(v)) for v in vec])
+        return F.round(
+            F.aggregate(
+                F.zip_with(F.col("embedding"), lit, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        )
+
+    seed = emb.orderBy(F.asc("vec_id")).limit(1).first()
+    selected = [(int(seed.vec_id), list(seed.embedding))]
+    rows = [(0, int(seed.vec_id), None)]
+    for r in range(1, _KC_K):
+        sims = [dot_to(v) for _, v in selected]
+        msim = F.greatest(*sims) if len(sims) > 1 else sims[0]
+        pick = (
+            emb.filter(~F.col("vec_id").isin([i for i, _ in selected]))
+            .select("vec_id", "embedding", msim.alias("msim"))
+            .orderBy(F.asc("msim"), F.asc("vec_id"))
+            .limit(1)
+            .first()
+        )
+        selected.append((int(pick.vec_id), list(pick.embedding)))
+        rows.append((r, int(pick.vec_id), float(pick.msim)))
+    return spark.createDataFrame(
+        rows, "rank bigint, vec_id bigint, min_sim double"
+    )

@@ -648,3 +648,32 @@ def test_leakage_safe_split_never_straddles(spark, sf_correct):
     from brooklin_spark.io import table as _table
 
     assert out.n_docs.sum() == _table(spark, sf_correct, "documents").count()
+
+
+def test_kcenter_matches_numpy_traversal(spark, sf_correct):
+    """The k-center selection must equal an independent numpy
+    farthest-point traversal (same seed, same round-6 sims, same
+    tie-break) — checked end-to-end, ids AND objective values."""
+    from brooklin_spark.io import table as _table
+
+    out = registry.QUERIES["embedding_kcenter_coreset"](spark, sf_correct).toPandas()
+    emb = _table(spark, sf_correct, "embeddings").select("vec_id", "embedding").toPandas()
+    ids = emb.vec_id.to_numpy()
+    mat = np.stack(emb.embedding.map(np.asarray).to_numpy()).astype(np.float64)
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+    sel = [0]  # min vec_id is first after sort
+    want = [(0, int(ids[0]), None)]
+    for r in range(1, len(out)):
+        sims = np.round(mat @ mat[sel].T, 6).max(axis=1)
+        mask = np.ones(len(ids), bool)
+        mask[sel] = False
+        cand = np.flatnonzero(mask)
+        best = cand[np.lexsort((ids[cand], sims[cand]))[0]]
+        sel.append(int(best))
+        want.append((r, int(ids[best]), float(sims[best])))
+    got = [
+        (int(a), int(b), None if pd.isna(c) else float(c))
+        for a, b, c in out.sort_values("rank").itertuples(index=False)
+    ]
+    assert got == want
