@@ -98,9 +98,9 @@ BENCH_QUERIES = [
     # build-once/query-many probes (same oracles as their per-query twins)
     "text_bm25_search_persisted",
     "text_hybrid_rrf_search_persisted",
-    "dedup_prefix_filter_jaccard",
-    "dedup_leakage_safe_split",
-    "embedding_kcenter_coreset",  # exact PPJoin prefix-filter join
+    "dedup_prefix_filter_jaccard",  # exact PPJoin prefix-filter join
+    "dedup_leakage_safe_split",     # cluster-keyed split, straddle audit
+    "embedding_kcenter_coreset",    # farthest-point diversity selection
     "graph_triangle_census",    # degree-oriented wedge join
 ]
 
