@@ -28,3 +28,31 @@ def checkpoint_partitioned(df: DataFrame) -> DataFrame:
         return df.localCheckpoint()
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
+def spill_bucketed(df: DataFrame, key: str, table_name: str) -> DataFrame:
+    """Columnar DISK materialization that keeps hash partitioning via a
+    bucket spec — the beyond-JVM-memory sibling of checkpoint_partitioned.
+
+    localCheckpoint caches partitions DESERIALIZED (MEMORY_AND_DISK java
+    objects): the r6 sf100 PageRank measured 4.1 GiB per partition x 32
+    for a ~1.5B-row edge table — scratch-disk/heap exhaustion in one JVM.
+    Writing the table bucketed+sorted on the iteration's join key instead
+    stores it as parquet (columnar, ~10x smaller than object form) while
+    the bucketed scan still reports HashPartitioning(key) — every
+    iteration's join reuses it with zero edge-side Exchange, exactly what
+    the partitioned checkpoint bought, minus the cache. Overwrites a
+    FIXED scratch table name per call (warehouse-local; re-runs reclaim
+    the space)."""
+    from pyspark.sql import functions as F
+
+    from brooklin_spark.operators.bucketing import write_bucketed
+
+    spark = df.sparkSession
+    n = spark.sparkContext.defaultParallelism
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    # repartition on the bucket key first: writer bucket hash == Murmur3
+    # repartition hash, so each task holds one bucket -> one sorted file
+    # per bucket -> the scan's outputOrdering survives for SMJ
+    write_bucketed(df.repartition(n, F.col(key)), table_name, key, n, sort=True)
+    return spark.table(table_name)

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from brooklin_spark.checkpoint import checkpoint_partitioned
+from brooklin_spark.checkpoint import checkpoint_partitioned, spill_bucketed
 from brooklin_spark.io import table
 from brooklin_spark.operators import dedup as D
 from brooklin_spark.queries import _sqlgen as G
@@ -826,6 +826,8 @@ def _graph_node_str(col: str):
 
 _PR_D = 0.85
 _PR_ITERS = 5
+#: above this many fact rows the graph tables spill columnar (see below)
+_PR_SPILL_LI_ROWS = 100_000_000
 
 
 def _pr_iter_sql(k: int) -> str:
@@ -875,7 +877,25 @@ def graph_pagerank_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fact tables again. In the doubled graph deg(c)=pairs per customer
     # and deg(s)=pairs per supplier, so degree is two tiny groupBys over
     # pairs — no 2x-edge aggregation, no separate nodes scan.
-    pairs = _graph_pairs(spark, sf_dir).localCheckpoint()
+    # memory-vs-disk materialization switch (r6): localCheckpoint caches
+    # DESERIALIZED partitions — fastest at bench scales, but the sf100
+    # graph (~1.5B distinct pairs) measured 4.1 GiB per partition x 32
+    # and exhausted first scratch disk (48 g heap) then heap (96 g). Past
+    # _PR_SPILL_LI_ROWS fact rows the graph tables spill COLUMNAR instead:
+    # pairs to a plain scratch table, the per-round edge table to a
+    # bucketed-by-src scratch table whose scan keeps HashPartitioning —
+    # same zero-edge-Exchange rounds, no JVM cache (checkpoint.py
+    # spill_bucketed). One JVM's memory is the only thing this switch is
+    # about; on a real cluster the threshold is per-executor and the
+    # bucketed form is simply the durable variant.
+    spill = table(spark, sf_dir, "lineitem").count() > _PR_SPILL_LI_ROWS
+    if spill:
+        _graph_pairs(spark, sf_dir).write.mode("overwrite").saveAsTable(
+            "pr_pairs_scratch"
+        )
+        pairs = spark.table("pr_pairs_scratch")
+    else:
+        pairs = _graph_pairs(spark, sf_dir).localCheckpoint()
     degree = (
         pairs.groupBy(F.col("c_node").alias("node")).agg(F.count("*").alias("deg"))
         .unionAll(
@@ -885,21 +905,27 @@ def graph_pagerank_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     edges = _graph_edges(pairs)
-    # checkpoint the edge table HASH-PARTITIONED ON src (the per-round
-    # join key): LogicalRDD preserves the output partitioning, so every
-    # round's rank x edge join reuses it and only the (node-sized) rank
-    # side moves — round-robin here made each round re-exchange the FULL
-    # edge table (5 big shuffles, visible with broadcast disabled, and
-    # ReuseExchange does not fire across the per-round attribute
-    # re-instances; see brooklin_spark/checkpoint.py for why the plain
-    # checkpoint loses the partitioning under AQE). Skew note: the
-    # per-round join would hash-partition by src anyway, so a heavy node
-    # costs the same either way — this just stops paying it five times.
-    edeg = checkpoint_partitioned(
+    # materialize the edge table HASH-PARTITIONED ON src (the per-round
+    # join key): LogicalRDD (or the bucketed scan) preserves the output
+    # partitioning, so every round's rank x edge join reuses it and only
+    # the (node-sized) rank side moves — round-robin here made each round
+    # re-exchange the FULL edge table (5 big shuffles, visible with
+    # broadcast disabled, and ReuseExchange does not fire across the
+    # per-round attribute re-instances; see brooklin_spark/checkpoint.py
+    # for why the plain checkpoint loses the partitioning under AQE).
+    # Skew note: the per-round join would hash-partition by src anyway,
+    # so a heavy node costs the same either way — this just stops paying
+    # it five times.
+    edeg_df = (
         edges.join(degree, degree.node == edges.src)
         .select("src", "dst", "deg")
-        .repartition(spark.sparkContext.defaultParallelism, F.col("src"))
     )
+    if spill:
+        edeg = spill_bucketed(edeg_df, "src", "pr_edeg_scratch")
+    else:
+        edeg = checkpoint_partitioned(
+            edeg_df.repartition(spark.sparkContext.defaultParallelism, F.col("src"))
+        )
     nodes = degree.select("node")  # one row per node by construction
     n = degree.count()  # scalar graph size (legitimate: one long)
     ranks = nodes.select("node", F.round(F.lit(1.0) / n, 8).alias("rank"))
