@@ -50,9 +50,24 @@ def spill_bucketed(df: DataFrame, key: str, table_name: str) -> DataFrame:
 
     spark = df.sparkSession
     n = spark.sparkContext.defaultParallelism
-    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    drop_scratch_table(spark, table_name)
     # repartition on the bucket key first: writer bucket hash == Murmur3
     # repartition hash, so each task holds one bucket -> one sorted file
     # per bucket -> the scan's outputOrdering survives for SMJ
     write_bucketed(df.repartition(n, F.col(key)), table_name, key, n, sort=True)
     return spark.table(table_name)
+
+
+def drop_scratch_table(spark, table_name: str) -> None:
+    """DROP a scratch table AND its orphaned warehouse directory: the
+    in-memory catalog dies with the session but the managed files don't,
+    and a later session's CREATE fails with LOCATION_ALREADY_EXISTS."""
+    import os
+    import shutil
+
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    loc = os.path.join(warehouse, table_name.split(".")[-1])
+    shutil.rmtree(loc, ignore_errors=True)

@@ -890,9 +890,10 @@ def graph_pagerank_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bucketed form is simply the durable variant.
     spill = table(spark, sf_dir, "lineitem").count() > _PR_SPILL_LI_ROWS
     if spill:
-        _graph_pairs(spark, sf_dir).write.mode("overwrite").saveAsTable(
-            "pr_pairs_scratch"
-        )
+        from brooklin_spark.checkpoint import drop_scratch_table
+
+        drop_scratch_table(spark, "pr_pairs_scratch")
+        _graph_pairs(spark, sf_dir).write.saveAsTable("pr_pairs_scratch")
         pairs = spark.table("pr_pairs_scratch")
     else:
         pairs = _graph_pairs(spark, sf_dir).localCheckpoint()
