@@ -93,3 +93,23 @@ def test_register_bucketed_reattaches_location(spark, sf_smoke, bucketed_db):
     assert "Bucketed: true" in plan
     assert "Exchange hashpartitioning" not in plan
     spark.sql(f"DROP TABLE {DB}.orders_ext")
+
+
+def test_pagerank_spill_path_is_value_identical(spark, sf_smoke):
+    """The beyond-JVM-memory columnar-spill path (pairs scratch table +
+    bucketed-by-src edge table) must produce EXACTLY the in-memory
+    localCheckpoint path's ranks — the switch changes storage, never
+    values (measured identical at sf10; pinned here at smoke SF)."""
+    import brooklin_spark.queries.dedup as dd
+
+    fn = registry.QUERIES["graph_pagerank_influence"]
+    a = fn(spark, sf_smoke).toPandas()
+    prev = dd._PR_SPILL_LI_ROWS
+    dd._PR_SPILL_LI_ROWS = 1  # force the spill path
+    try:
+        b = fn(spark, sf_smoke).toPandas()
+    finally:
+        dd._PR_SPILL_LI_ROWS = prev
+    a = a.sort_values("node", ignore_index=True)
+    b = b.sort_values("node", ignore_index=True)
+    assert a.equals(b) and len(a) > 0
