@@ -61,13 +61,74 @@ def spill_bucketed(df: DataFrame, key: str, table_name: str) -> DataFrame:
 def drop_scratch_table(spark, table_name: str) -> None:
     """DROP a scratch table AND its orphaned warehouse directory: the
     in-memory catalog dies with the session but the managed files don't,
-    and a later session's CREATE fails with LOCATION_ALREADY_EXISTS."""
+    and a later session's CREATE fails with LOCATION_ALREADY_EXISTS.
+
+    The directory is resolved from the CATALOG when the table is still
+    registered (a db-qualified table lives at <warehouse>/<db>.db/<name>,
+    not <warehouse>/<name>); only a fully-orphaned directory (files with
+    no catalog entry) falls back to path construction — which then must
+    account for the owning database the same way."""
     import os
     import shutil
 
-    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    if spark.catalog.tableExists(table_name):
+        from brooklin_spark.operators.bucketing import table_location
+
+        loc = table_location(spark, table_name)
+        spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+        shutil.rmtree(loc, ignore_errors=True)
+        return
     warehouse = spark.conf.get(
         "spark.sql.warehouse.dir", "spark-warehouse"
     ).removeprefix("file:")
-    loc = os.path.join(warehouse, table_name.split(".")[-1])
+    parts = table_name.split(".")
+    db = parts[-2] if len(parts) > 1 else spark.catalog.currentDatabase()
+    name = parts[-1]
+    loc = (
+        os.path.join(warehouse, name)
+        if db == "default"
+        else os.path.join(warehouse, f"{db}.db", name)
+    )
     shutil.rmtree(loc, ignore_errors=True)
+
+
+def scratch_name(base: str, corpus_path: str) -> str:
+    """Collision-safe scratch-table name: <base>_<corpus-key>_<pid>.
+
+    The corpus key (abspath+mtime, same convention as the persisted BM25/
+    IVF index caches) separates back-to-back runs over different data; the
+    pid separates concurrent processes sharing one warehouse (the pytest-
+    alongside-bench case). Orphans from crashed runs are reclaimed by
+    gc_dead_scratch()."""
+    import hashlib
+    import os
+
+    key = hashlib.md5(
+        f"{os.path.abspath(corpus_path)}:{os.path.getmtime(corpus_path)}".encode()
+    ).hexdigest()[:8]
+    return f"{base}_{key}_{os.getpid()}"
+
+
+def gc_dead_scratch(spark, prefix: str) -> None:
+    """Reclaim scratch tables/directories named <prefix>_<key>_<pid> whose
+    owning process is gone (crashed or finished without cleanup). Live
+    pids are never touched, so concurrent runs stay isolated."""
+    import os
+    import re
+    import shutil
+
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    pat = re.compile(rf"^{re.escape(prefix)}_[0-9a-f]+_(\d+)$")
+    candidates = set()
+    if os.path.isdir(warehouse):
+        candidates.update(os.listdir(warehouse))
+    for t in spark.catalog.listTables():
+        candidates.add(t.name)
+    for name in candidates:
+        m = pat.match(name)
+        if not m or os.path.exists(f"/proc/{m.group(1)}"):
+            continue
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(os.path.join(warehouse, name), ignore_errors=True)

@@ -11,21 +11,49 @@ reference's "destination partitions follow source partitions" co-location
 Usage: write_bucketed() both sides with the same (key, n_buckets), then
 join the saved tables — tests/test_plan_quality.py asserts the plan has no
 shuffle. Sorting within buckets additionally removes the join's sort.
+
+The bucket spec is PERSISTED next to the data (``_bucket_spec.json``) and
+re-attachment validates against it: a CREATE TABLE whose CLUSTERED BY /
+INTO n BUCKETS clause disagrees with how the files were actually written
+would produce zero-Exchange plans that silently return wrong join results
+(rows hashed to bucket i under spec A are read as bucket i under spec B).
+register_bucketed therefore refuses to attach a directory whose recorded
+spec doesn't match — wrong-spec re-attachment fails loudly, never wrong.
 """
 
 from __future__ import annotations
 
+import json
+import os
+
 from pyspark.sql import DataFrame, SparkSession
+
+SPEC_FILE = "_bucket_spec.json"
+
+
+def table_location(spark: SparkSession, table_name: str) -> str:
+    """Resolve a table's storage location from the catalog (never guess
+    warehouse-root placement: db-qualified tables live under <db>.db/)."""
+    rows = spark.sql(f"DESCRIBE TABLE EXTENDED {table_name}").collect()
+    for r in rows:
+        if r.col_name == "Location":
+            return r.data_type.removeprefix("file:")
+    raise ValueError(f"no Location row for table {table_name}")
 
 
 def write_bucketed(
     df: DataFrame, table_name: str, key: str, n_buckets: int, sort: bool = True
 ) -> None:
-    """Persist df as a bucketed (and bucket-sorted) managed parquet table."""
+    """Persist df as a bucketed (and bucket-sorted) managed parquet table,
+    recording the bucket spec next to the files for safe re-attachment."""
     writer = df.write.format("parquet").mode("overwrite").bucketBy(n_buckets, key)
     if sort:
         writer = writer.sortBy(key)
     writer.saveAsTable(table_name)
+    spec = {"key": key, "n_buckets": n_buckets, "sorted": sort}
+    loc = table_location(df.sparkSession, table_name)
+    with open(os.path.join(loc, SPEC_FILE), "w") as f:
+        json.dump(spec, f)
 
 
 def register_bucketed(
@@ -36,16 +64,34 @@ def register_bucketed(
     The default in-memory catalog is session-scoped while the written
     files persist, so a later session must re-attach them as an EXTERNAL
     table carrying the same bucket spec — schema comes from the parquet
-    footers (CLUSTERED BY requires an explicit column list); the bucket
-    spec must match what write_bucketed used or the zero-Exchange plan
-    silently turns wrong."""
+    footers (CLUSTERED BY requires an explicit column list). The caller's
+    (key, n_buckets) is VALIDATED against the ``_bucket_spec.json`` the
+    writer recorded; a mismatch (e.g. SPINE_BUCKETS changed between the
+    build and a re-run) raises instead of attaching files under a spec
+    they were not written with."""
+    spec_path = os.path.join(location, SPEC_FILE)
+    if not os.path.exists(spec_path):
+        raise ValueError(
+            f"{location} has no {SPEC_FILE}; refusing to attach a bucket "
+            "spec that cannot be validated — rebuild with write_bucketed()"
+        )
+    with open(spec_path) as f:
+        spec = json.load(f)
+    if spec["key"] != key or spec["n_buckets"] != n_buckets:
+        raise ValueError(
+            f"bucket spec mismatch for {location}: files were written with "
+            f"{spec}, caller requested key={key!r} n_buckets={n_buckets} — "
+            "a mismatched CLUSTERED BY would make zero-Exchange joins "
+            "silently wrong"
+        )
     cols = ", ".join(
         f"{f.name} {f.dataType.simpleString()}"
         for f in spark.read.parquet(location).schema.fields
     )
+    sort_clause = f"SORTED BY ({key}) " if spec.get("sorted", True) else ""
     spark.sql(
         f"CREATE TABLE {table_name} ({cols}) USING parquet "
-        f"CLUSTERED BY ({key}) SORTED BY ({key}) INTO {n_buckets} BUCKETS "
+        f"CLUSTERED BY ({key}) {sort_clause}INTO {n_buckets} BUCKETS "
         f"LOCATION '{location}'"
     )
 

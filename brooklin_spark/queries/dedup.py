@@ -7,6 +7,8 @@ below 0.3 — so 0.7 is robust); the operators themselves are generic
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -829,6 +831,29 @@ _PR_ITERS = 5
 #: above this many fact rows the graph tables spill columnar (see below)
 _PR_SPILL_LI_ROWS = 100_000_000
 
+#: per-corpus fact row counts for the spill switch — read ONCE from the
+#: parquet footers (metadata-only, no Spark job) instead of running a
+#: count() job inside the measured query path on every invocation
+_PR_ROWCOUNT_CACHE: dict[str, int] = {}
+
+
+def _lineitem_rows(spark: SparkSession, sf_dir: str) -> int:
+    if sf_dir not in _PR_ROWCOUNT_CACHE:
+        try:
+            import pyarrow.dataset as _pads
+
+            path = os.path.join(sf_dir, "lineitem.parquet")
+            n = sum(
+                frag.metadata.num_rows
+                for frag in _pads.dataset(path, format="parquet").get_fragments()
+            )
+        except Exception:
+            # non-filesystem layouts (the "bucketed:" scheme) fall back to
+            # a real count — paid once per corpus per process
+            n = table(spark, sf_dir, "lineitem").count()
+        _PR_ROWCOUNT_CACHE[sf_dir] = n
+    return _PR_ROWCOUNT_CACHE[sf_dir]
+
 
 def _pr_iter_sql(k: int) -> str:
     return f"""
@@ -888,13 +913,26 @@ def graph_pagerank_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spill_bucketed). One JVM's memory is the only thing this switch is
     # about; on a real cluster the threshold is per-executor and the
     # bucketed form is simply the durable variant.
-    spill = table(spark, sf_dir, "lineitem").count() > _PR_SPILL_LI_ROWS
+    # switch decision reads the parquet footers (cached per corpus), not a
+    # count() job in the measured path; scratch names fold in the corpus
+    # key + pid (collision-safe across sessions AND concurrent processes —
+    # same keying convention as the persisted BM25/IVF caches), with
+    # dead-pid orphans garbage-collected on entry
+    spill = _lineitem_rows(spark, sf_dir) > _PR_SPILL_LI_ROWS
     if spill:
-        from brooklin_spark.checkpoint import drop_scratch_table
+        from brooklin_spark.checkpoint import (
+            drop_scratch_table,
+            gc_dead_scratch,
+            scratch_name,
+        )
 
-        drop_scratch_table(spark, "pr_pairs_scratch")
-        _graph_pairs(spark, sf_dir).write.saveAsTable("pr_pairs_scratch")
-        pairs = spark.table("pr_pairs_scratch")
+        corpus = os.path.join(sf_dir, "lineitem.parquet")
+        gc_dead_scratch(spark, "pr_pairs_scratch")
+        gc_dead_scratch(spark, "pr_edeg_scratch")
+        pairs_tbl = scratch_name("pr_pairs_scratch", corpus)
+        drop_scratch_table(spark, pairs_tbl)
+        _graph_pairs(spark, sf_dir).write.saveAsTable(pairs_tbl)
+        pairs = spark.table(pairs_tbl)
     else:
         pairs = _graph_pairs(spark, sf_dir).localCheckpoint()
     degree = (
@@ -922,7 +960,7 @@ def graph_pagerank_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst", "deg")
     )
     if spill:
-        edeg = spill_bucketed(edeg_df, "src", "pr_edeg_scratch")
+        edeg = spill_bucketed(edeg_df, "src", scratch_name("pr_edeg_scratch", corpus))
     else:
         edeg = checkpoint_partitioned(
             edeg_df.repartition(spark.sparkContext.defaultParallelism, F.col("src"))

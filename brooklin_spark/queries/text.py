@@ -2422,7 +2422,11 @@ def _bm25_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]
         toks = docs.select("doc_id", F.explode(X.tokens()).alias("term"))
         lens = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
         tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-        tmp = idx + ".building"
+        # pid-suffixed build dir: two concurrent builders of the same
+        # corpus each write their own temp tree (a SHARED temp dir could
+        # interleave rmtree/write/rename and leave the served index with
+        # part files from two builds — silently duplicated postings)
+        tmp = f"{idx}.building.{_os.getpid()}"
         _shutil.rmtree(tmp, ignore_errors=True)
         # checkpoint BEFORE repartitionByRange: the range partitioner
         # SAMPLES its input first, so an un-materialized join pipeline
@@ -2442,8 +2446,16 @@ def _bm25_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]
         lens.agg(
             F.count("*").cast("double").alias("n_docs"), F.avg("dl").alias("avgdl")
         ).write.mode("overwrite").parquet(_os.path.join(tmp, "stats"))
-        _shutil.rmtree(idx, ignore_errors=True)
-        _os.rename(tmp, idx)
+        # atomic publish: a concurrent builder that lost the race keeps
+        # the already-served index and discards its own build
+        try:
+            _os.rename(tmp, idx)
+        except OSError:
+            if _os.path.exists(_os.path.join(idx, "postings", "_SUCCESS")):
+                _shutil.rmtree(tmp, ignore_errors=True)
+            else:
+                _shutil.rmtree(idx, ignore_errors=True)
+                _os.rename(tmp, idx)
     return (
         spark.read.parquet(_os.path.join(idx, "postings")),
         spark.read.parquet(_os.path.join(idx, "stats")),

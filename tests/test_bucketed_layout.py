@@ -95,6 +95,77 @@ def test_register_bucketed_reattaches_location(spark, sf_smoke, bucketed_db):
     spark.sql(f"DROP TABLE {DB}.orders_ext")
 
 
+def test_register_bucketed_rejects_wrong_spec(spark, bucketed_db):
+    # re-attaching files under a bucket spec they were not written with
+    # must fail loudly — a silent mismatch makes zero-Exchange joins wrong
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    loc = f"{warehouse}/{DB}.db/orders"
+    spark.sql(f"DROP TABLE IF EXISTS {DB}.orders_bad")
+    with pytest.raises(ValueError, match="bucket spec mismatch"):
+        register_bucketed(spark, f"{DB}.orders_bad", "o_orderkey", N_BUCKETS * 2, loc)
+    with pytest.raises(ValueError, match="bucket spec mismatch"):
+        register_bucketed(spark, f"{DB}.orders_bad", "o_custkey", N_BUCKETS, loc)
+    assert not spark.catalog.tableExists(f"{DB}.orders_bad")
+
+
+def test_register_bucketed_requires_recorded_spec(spark, tmp_path, sf_smoke):
+    # a directory with no recorded spec cannot be validated -> refuse
+    table(spark, sf_smoke, "orders").write.parquet(str(tmp_path / "plain"))
+    with pytest.raises(ValueError, match="no _bucket_spec.json"):
+        register_bucketed(
+            spark, "never_created", "o_orderkey", N_BUCKETS, str(tmp_path / "plain")
+        )
+
+
+def test_scratch_names_are_collision_safe_and_gc_reclaims(spark, sf_smoke):
+    import os
+
+    from brooklin_spark.checkpoint import gc_dead_scratch, scratch_name
+
+    corpus = os.path.join(sf_smoke, "lineitem.parquet")
+    mine = scratch_name("pr_pairs_scratch", corpus)
+    assert mine.endswith(f"_{os.getpid()}")
+    # same corpus + same process -> stable; different corpus -> different
+    assert mine == scratch_name("pr_pairs_scratch", corpus)
+    other = scratch_name(
+        "pr_pairs_scratch", os.path.join(sf_smoke, "orders.parquet")
+    )
+    assert other != mine
+    # a dead-pid orphan is reclaimed, the live-pid table survives
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    dead = "pr_pairs_scratch_deadbeef_999999999"
+    os.makedirs(os.path.join(warehouse, dead), exist_ok=True)
+    spark.range(1).write.mode("overwrite").saveAsTable(mine)
+    gc_dead_scratch(spark, "pr_pairs_scratch")
+    assert not os.path.exists(os.path.join(warehouse, dead))
+    assert spark.catalog.tableExists(mine)
+    from brooklin_spark.checkpoint import drop_scratch_table
+
+    drop_scratch_table(spark, mine)
+    assert not spark.catalog.tableExists(mine)
+
+
+def test_drop_scratch_table_resolves_db_qualified_location(spark):
+    # the managed location of a db-qualified table is <wh>/<db>.db/<name>,
+    # not <wh>/<name> — drop must remove the real directory so a later
+    # CREATE cannot fail with LOCATION_ALREADY_EXISTS
+    import os
+
+    from brooklin_spark.checkpoint import drop_scratch_table
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS scratch_db_test")
+    spark.range(3).write.mode("overwrite").saveAsTable("scratch_db_test.t1")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    loc = os.path.join(warehouse, "scratch_db_test.db", "t1")
+    assert os.path.isdir(loc)
+    drop_scratch_table(spark, "scratch_db_test.t1")
+    assert not os.path.isdir(loc)
+    # orphan fallback: files with no catalog entry, db-qualified name
+    os.makedirs(loc, exist_ok=True)
+    drop_scratch_table(spark, "scratch_db_test.t1")
+    assert not os.path.isdir(loc)
+
+
 def test_pagerank_spill_path_is_value_identical(spark, sf_smoke):
     """The beyond-JVM-memory columnar-spill path (pairs scratch table +
     bucketed-by-src edge table) must produce EXACTLY the in-memory
