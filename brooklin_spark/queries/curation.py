@@ -457,6 +457,10 @@ def corpus_mixture_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DSIR_TGT = "src0"
 _DSIR_A = 0.5  # add-alpha smoothing
+#: vocab sizes up to this broadcast into the scoring kernel (int64-scaled
+#: lr dict, ~50 B/entry -> ~250 MB at the bound); beyond it the join form
+#: takes over
+_DSIR_BCAST_VOCAB = 5_000_000
 
 
 @query(
@@ -492,39 +496,119 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     from brooklin_spark.functions import text as X
 
     docs = table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", "source", F.explode(X.tokens()).alias("term"))
     # pass 1: vocab stats straight off the token stream (map-side combine
-    # -> the shuffle carries vocab-scale partials, never the tokens)
+    # -> the shuffle carries vocab-scale partials, never the tokens; the
+    # token rows carry ONLY (source, term) — doc identity is irrelevant
+    # to corpus-level counts). Vocab-scale probe first: if the vocabulary
+    # fits the kernel bound, the stats come back to the driver in the
+    # SAME single job (no checkpoint barrier, no separate scalar job —
+    # measured ~2 s of per-job overhead at sf10), scalars reduce in
+    # Python over exact ints.
+    toks = docs.select("source", F.explode(X.tokens()).alias("term"))
     ts = toks.groupBy("term").agg(
         F.count("*").alias("c_all"),
         F.sum(
             F.when(F.col("source") == _DSIR_TGT, F.lit(1)).otherwise(F.lit(0))
         ).alias("c_tgt"),
-    ).localCheckpoint()  # vocab-scale; reused for scalars + the lr map
-    t_all, t_tgt, v = ts.agg(
-        F.sum("c_all"), F.sum("c_tgt"), F.count("*")
-    ).first()
-    den_tgt = float(t_tgt) + _DSIR_A * float(v)
-    den_all = float(t_all) + _DSIR_A * float(v)
-    lr = ts.select(
-        "term",
-        F.round(
-            F.log((F.col("c_tgt") + _DSIR_A) / F.lit(den_tgt))
-            - F.log((F.col("c_all") + _DSIR_A) / F.lit(den_all)),
-            8,
-        )
-        .cast("decimal(18,8)")
-        .alias("lr"),
     )
-    # pass 2: the lr map joins onto the token stream itself — summing lr
-    # once per OCCURRENCE is exactly sum(tf * lr) in decimal, so the
-    # 40M-row (doc, term, tf) intermediate the r5 form shuffled and
-    # checkpointed never exists. lr is vocab-scale (no broadcast hint —
-    # AQE broadcasts it when it fits, falls back to a vocab-keyed
-    # shuffle of partial term counts otherwise).
+
+    def lr_col(den_tgt: float, den_all: float):
+        # the same IEEE expression tree both forms (and rounds) share
+        return (
+            F.round(
+                F.log((F.col("c_tgt") + _DSIR_A) / F.lit(den_tgt))
+                - F.log((F.col("c_all") + _DSIR_A) / F.lit(den_all)),
+                8,
+            )
+            .cast("decimal(18,8)")
+            .alias("lr")
+        )
+    # pass 2 (r7): the vocab->lr map is pushed INTO the scoring kernel —
+    # one Arrow-batched corpus pass computes sum(lr over a doc's own
+    # tokens) per row, so the corpus token stream is never exploded and
+    # never joined (the r6 explode+join form paid one corpus-scale
+    # shuffle whenever lr exceeded the broadcast threshold; measured
+    # 12.1 s -> target <=2x DuckDB at sf10). Exactness: lr values are
+    # DECIMAL(18,8) — the kernel carries them as 1e8-scaled int64 and
+    # sums INTEGERS, which is bit-identical to the oracle's decimal
+    # SUM(tf*lr); the single int->double conversion at the end uses
+    # Decimal.scaleb (correctly rounded, same as Spark/BigDecimal's
+    # decimal->double cast). Docs with zero tokens are skipped — the
+    # oracle's unnest drops them too. Per-doc work is vocab-dict lookups
+    # (no Python object churn beyond the token list); the map itself is
+    # a spark broadcast read once per executor.
+    # Scale guard: a vocabulary too large to broadcast (rare for word
+    # unigrams — even 100 TB of text is ~100M types, but bounded here at
+    # _DSIR_BCAST_VOCAB) falls back to the join form, whose shuffle is
+    # then the honest cost.
+    stats = ts.limit(_DSIR_BCAST_VOCAB + 1).collect()
+    if len(stats) <= _DSIR_BCAST_VOCAB:
+        import pandas as pd
+
+        t_all = sum(r["c_all"] for r in stats)
+        t_tgt = sum(r["c_tgt"] for r in stats)
+        v = len(stats)
+        den_tgt = float(t_tgt) + _DSIR_A * float(v)
+        den_all = float(t_all) + _DSIR_A * float(v)
+        # lr itself is computed by the SAME Catalyst expression the join
+        # form uses (java.lang.Math.log — a python math.log could differ
+        # in the last ulp and flip a round-8 boundary), as one local job
+        # over the vocab-sized stats
+        lr_rows = (
+            spark.createDataFrame(stats, schema=ts.schema)
+            .select("term", lr_col(den_tgt, den_all))
+            .collect()
+        )
+        lr_map = {
+            r["term"]: int(r["lr"].scaleb(8)) for r in lr_rows
+        }  # Decimal(18,8) -> exact 1e8-scaled ints
+        blr = spark.sparkContext.broadcast(lr_map)
+
+        def score(batches):
+            from decimal import Decimal
+
+            m = blr.value
+            for pdf in batches:
+                out_id, out_src, out_w, out_sel = [], [], [], []
+                for did, src_, txt in zip(
+                    pdf["doc_id"], pdf["source"], pdf["text"]
+                ):
+                    s, n = 0, 0
+                    for tok in txt.split(" "):
+                        if tok:
+                            s += m.get(tok, 0)
+                            n += 1
+                    if n == 0:
+                        continue  # oracle's unnest emits nothing for it
+                    out_id.append(did)
+                    out_src.append(src_)
+                    out_w.append(float(Decimal(s).scaleb(-8)))
+                    out_sel.append(s > 0)
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pd.Series(out_id, dtype="int64"),
+                        "source": pd.Series(out_src, dtype="object"),
+                        "logw": pd.Series(out_w, dtype="float64"),
+                        "selected": pd.Series(out_sel, dtype="bool"),
+                    }
+                )
+
+        return docs.select("doc_id", "source", "text").mapInPandas(
+            score, "doc_id bigint, source string, logw double, selected boolean"
+        )
+    # fallback (vocab beyond the kernel bound): the r6 explode+join form —
+    # vocab-scale lr table joins the token stream, AQE broadcasts it when
+    # it fits, vocab-keyed shuffle otherwise
+    ts_ck = ts.localCheckpoint()
+    t_all, t_tgt, v = ts_ck.agg(F.sum("c_all"), F.sum("c_tgt"), F.count("*")).first()
+    lr = ts_ck.select(
+        "term",
+        lr_col(float(t_tgt) + _DSIR_A * float(v), float(t_all) + _DSIR_A * float(v)),
+    )
+    dtoks = docs.select("doc_id", "source", F.explode(X.tokens()).alias("term"))
     dot = F.sum(F.col("lr"))
     return (
-        toks.join(lr, "term")
+        dtoks.join(lr, "term")
         .groupBy("doc_id", "source")
         .agg(
             dot.cast("double").alias("logw"),
