@@ -63,7 +63,9 @@ SCALE_QUERIES = [
     "corpus_dsir_weights",          # vocab-keyed LM-ratio scoring
     "corpus_token_budget_select",   # distrank exact global prefix sum
     "dedup_cluster_size_weights",   # pair/CC path + corpus-keyed weight join
-    "text_hybrid_rrf_search",       # two top-L funnels + constant fusion
+    # (r7) bm25/hybrid's bench identity is the persisted-index probe —
+    # same oracles; the ad-hoc corpus-pass twins stay registered but
+    # re-pay the index build per query by design
     "text_bm25_search_persisted",   # inverted-file probe (build amortized)
     "text_hybrid_rrf_search_persisted",
     "graph_triangle_census",        # degree-oriented wedge join
