@@ -1370,9 +1370,38 @@ def _kcenter_oracle(k: int) -> str:
     )
 
 
-@query("embedding_kcenter_coreset", oracle=_kcenter_oracle(_KC_K))
-def embedding_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+#: past this many selected centers the per-round filter/max expression
+#: stops folding centers in as literal arrays (O(k*dim) literals per plan,
+#: k-1 growing compilations) and switches to a broadcast numpy matrix
+#: inside an Arrow-batched kernel (constant plan size, one matmul per row
+#: batch) — the k>=100 production shape
+_KC_LITERAL_MAX = 64
+
+
+def _kcenter_traverse(spark: SparkSession, emb: DataFrame, k: int) -> list:
+    """Gonzalez farthest-point traversal: k-1 zero-shuffle corpus passes;
+    only k rows ever reach the driver (the selected centers ARE the model
+    state, same bounded-collect contract as the IVF centroids).
+
+    Contract: embeddings are UNIT-NORM (the data generator guarantees it),
+    so round(dot, 6) == round(cosine, 6) and the argmin-with-id-tie-break
+    is engine-exact on the rounded values. For non-normalized inputs the
+    dot must be divided by the norms first.
+
+    k <= _KC_LITERAL_MAX folds the centers into the plan as literal
+    arrays (fastest at small k: pure Catalyst, no Python); larger k rides
+    a broadcast (k x dim) numpy matrix in a pandas kernel whose per-row
+    cost is one vectorized matmul — plan size stays O(1) in k. Both paths
+    run the same traversal and pick identical centers (property-tested);
+    the kernel's per-dot float summation is numpy's, which can differ from
+    the fold by <=1 ulp BEFORE the round(6) — ties at an exact 5e-7
+    boundary are the only divergence surface (measure-zero for real
+    embeddings).
+    """
+    rows = []
+    seed = emb.orderBy(F.asc("vec_id")).limit(1).first()
+    selected = [(int(seed.vec_id), list(seed.embedding))]
+    rows.append((0, int(seed.vec_id), None))
 
     def dot_to(vec) -> F.Column:
         lit = F.array(*[F.lit(float(v)) for v in vec])
@@ -1385,21 +1414,60 @@ def embedding_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         )
 
-    seed = emb.orderBy(F.asc("vec_id")).limit(1).first()
-    selected = [(int(seed.vec_id), list(seed.embedding))]
-    rows = [(0, int(seed.vec_id), None)]
-    for r in range(1, _KC_K):
-        sims = [dot_to(v) for _, v in selected]
-        msim = F.greatest(*sims) if len(sims) > 1 else sims[0]
-        pick = (
-            emb.filter(~F.col("vec_id").isin([i for i, _ in selected]))
-            .select("vec_id", "embedding", msim.alias("msim"))
-            .orderBy(F.asc("msim"), F.asc("vec_id"))
-            .limit(1)
-            .first()
-        )
-        selected.append((int(pick.vec_id), list(pick.embedding)))
+    use_literals = k <= _KC_LITERAL_MAX
+    for r in range(1, k):
+        taken = [i for i, _ in selected]
+        if use_literals:
+            sims = [dot_to(v) for _, v in selected]
+            msim = F.greatest(*sims) if len(sims) > 1 else sims[0]
+            pick = (
+                emb.filter(~F.col("vec_id").isin(taken))
+                .select("vec_id", "embedding", msim.alias("msim"))
+                .orderBy(F.asc("msim"), F.asc("vec_id"))
+                .limit(1)
+                .first()
+            )
+            selected.append((int(pick.vec_id), list(pick.embedding)))
+            rows.append((r, int(pick.vec_id), float(pick.msim)))
+            continue
+        else:  # broadcast-matrix kernel (large k)
+            import numpy as np
+            import pandas as pd
+
+            bc = spark.sparkContext.broadcast(
+                np.array([v for _, v in selected], dtype=np.float64)
+            )
+            btaken = spark.sparkContext.broadcast(set(taken))
+
+            def max_sim(batches):
+                C = bc.value
+                skip = btaken.value
+                for pdf in batches:
+                    keep = ~pdf["vec_id"].isin(skip)
+                    sub = pdf[keep]
+                    if len(sub) == 0:
+                        yield pd.DataFrame({"vec_id": [], "msim": []}).astype(
+                            {"vec_id": "int64", "msim": "float64"}
+                        )
+                        continue
+                    M = np.stack(sub["embedding"].to_numpy())
+                    ms = np.round((M @ C.T).max(axis=1), 6)
+                    yield pd.DataFrame(
+                        {"vec_id": sub["vec_id"].to_numpy(), "msim": ms}
+                    )
+
+            cand = emb.mapInPandas(max_sim, "vec_id bigint, msim double")
+        pick = cand.orderBy(F.asc("msim"), F.asc("vec_id")).limit(1).first()
+        full = emb.filter(F.col("vec_id") == int(pick.vec_id)).first()
+        selected.append((int(pick.vec_id), list(full.embedding)))
         rows.append((r, int(pick.vec_id), float(pick.msim)))
+    return rows
+
+
+@query("embedding_kcenter_coreset", oracle=_kcenter_oracle(_KC_K))
+def embedding_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    rows = _kcenter_traverse(spark, emb, _KC_K)
     return spark.createDataFrame(
         rows, "rank bigint, vec_id bigint, min_sim double"
     )
