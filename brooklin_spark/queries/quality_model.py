@@ -354,3 +354,84 @@ def text_perplexity_bucket_filter(spark: SparkSession, sf_dir: str) -> DataFrame
             F.round(F.max("ce"), 6).alias("max_ce"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov drift statistic between the target source's
+# token-count distribution and the rest of the corpus — the distribution-
+# shift monitor a training pipeline runs on every new data batch (crawl
+# snapshot vs previous, candidate source vs reference mix). KS = max over x
+# of |CDF_tgt(x) - CDF_rest(x)|.
+#
+# Shape: one corpus scan reduces to a per-distinct-token-count table (the
+# groupBy shuffle carries |support| rows, not docs), then the two CDFs are
+# a cumulative window over that SUPPORT-SIZED aggregate — the window is
+# single-partition by construction but its input is bounded by the number
+# of distinct document lengths (hundreds), the same |days|-calendar
+# justification as the gap-fill queries. Totals ride a broadcast 1-row
+# cross join. Ratio parity: BIGINT/BIGINT division is one correctly-
+# rounded IEEE op in both engines; |a-b| and round(.,8) are exact on the
+# results.
+# ---------------------------------------------------------------------------
+
+_KS_TGT = "src0"
+
+
+@query(
+    "quality_ks_drift",
+    oracle=f"""
+    WITH d AS (
+      SELECT len(list_filter(string_split(text, ' '), x -> x <> '')) AS x,
+             CASE WHEN source = '{_KS_TGT}' THEN 1 ELSE 0 END AS is_t
+      FROM documents),
+    g AS (
+      SELECT x, CAST(SUM(is_t) AS BIGINT) AS ct,
+             CAST(COUNT(*) - SUM(is_t) AS BIGINT) AS cr
+      FROM d GROUP BY x),
+    c AS (
+      SELECT x,
+             CAST(SUM(ct) OVER (ORDER BY x) AS BIGINT) AS ct_cum,
+             CAST(SUM(cr) OVER (ORDER BY x) AS BIGINT) AS cr_cum
+      FROM g),
+    t AS (SELECT CAST(SUM(ct) AS BIGINT) AS tt, CAST(SUM(cr) AS BIGINT) AS tr FROM g)
+    SELECT CAST(x AS BIGINT) AS at_value,
+           round(abs(CAST(ct_cum AS DOUBLE) / tt - CAST(cr_cum AS DOUBLE) / tr), 8) AS ks_stat,
+           tt AS n_tgt, tr AS n_rest
+    FROM c, t
+    ORDER BY ks_stat DESC, at_value ASC LIMIT 1
+    """,
+)
+def quality_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = table(spark, sf_dir, "documents")
+    d = docs.select(
+        X.token_count().alias("x"),
+        F.when(F.col("source") == _KS_TGT, F.lit(1)).otherwise(F.lit(0)).alias("is_t"),
+    )
+    g = d.groupBy("x").agg(
+        F.sum("is_t").alias("ct"),
+        (F.count("*") - F.sum("is_t")).alias("cr"),
+    )
+    # support-sized cumulative window (|distinct token counts| rows —
+    # bounded like the calendar windows, see module comment)
+    cw = W.orderBy("x").rangeBetween(W.unboundedPreceding, W.currentRow)
+    c = g.select(
+        F.col("x").cast("bigint").alias("at_value"),
+        F.sum("ct").over(cw).alias("ct_cum"),
+        F.sum("cr").over(cw).alias("cr_cum"),
+    )
+    t = F.broadcast(g.agg(F.sum("ct").alias("tt"), F.sum("cr").alias("tr")))
+    scored = c.crossJoin(t).select(
+        "at_value",
+        F.round(
+            F.abs(
+                F.col("ct_cum").cast("double") / F.col("tt")
+                - F.col("cr_cum").cast("double") / F.col("tr")
+            ),
+            8,
+        ).alias("ks_stat"),
+        F.col("tt").alias("n_tgt"),
+        F.col("tr").alias("n_rest"),
+    )
+    return scored.orderBy(F.desc("ks_stat"), F.asc("at_value")).limit(1)

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from brooklin_spark.functions import text as X
 from brooklin_spark.io import table
 from brooklin_spark.operators.distrank import global_row_number
+from brooklin_spark.queries import _sqlgen as G
 from brooklin_spark.registry import query
 
 _TOK = "list_filter(string_split(text, ' '), x -> x <> '')"
@@ -2536,3 +2537,110 @@ def text_hybrid_rrf_search_persisted(spark: SparkSession, sf_dir: str) -> DataFr
         fs, fd = pool.submit(sparse_leg), pool.submit(dense_leg)
         sparse, dense = fs.result(), fd.result()
     return _rrf_fuse(sparse, dense)
+
+
+# ---------------------------------------------------------------------------
+# RAG passage chunking: split each document into overlapping fixed-size
+# token windows (size 32, stride 24 -> 8-token overlap) — the retrieval-
+# corpus preparation step between cleaning and embedding. Map-only: the
+# token array is built once per row, chunk starts come from F.sequence and
+# posexplode, each chunk is an F.slice of the SAME array — no shuffle, no
+# UDF, scales as a pure scan at 100 TB (chunk count ~= tokens/stride).
+# Docs with zero tokens produce no chunks (the oracle's range() is empty).
+# ---------------------------------------------------------------------------
+
+_CHUNK_W = 32
+_CHUNK_S = 24
+
+
+@query(
+    "text_passage_chunks",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, {_TOK} AS w FROM documents),
+    ch AS (
+      SELECT doc_id,
+             CAST(s // {_CHUNK_S} AS BIGINT) AS chunk_idx,
+             CAST(s AS BIGINT) AS start_tok,
+             list_slice(w, s + 1, least(s + {_CHUNK_W}, len(w))) AS cw
+      FROM tok, UNNEST(range(0, len(w), {_CHUNK_S})) AS t(s))
+    SELECT doc_id, chunk_idx, start_tok,
+           CAST(len(cw) AS BIGINT) AS n_tok,
+           array_to_string(cw, ' ') AS chunk_text
+    FROM ch
+    """,
+)
+def text_passage_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", X.tokens().alias("w")).filter(F.size("w") >= 1)
+    starts = F.sequence(F.lit(0), F.size("w") - 1, F.lit(_CHUNK_S))
+    ch = d.select(
+        "doc_id", "w", F.explode(starts).alias("s")
+    ).select(
+        "doc_id",
+        (F.col("s") / _CHUNK_S).cast("bigint").alias("chunk_idx"),
+        F.col("s").cast("bigint").alias("start_tok"),
+        F.slice(F.col("w"), F.col("s") + 1, F.lit(_CHUNK_W)).alias("cw"),
+    )
+    return ch.select(
+        "doc_id",
+        "chunk_idx",
+        "start_tok",
+        F.size("cw").cast("bigint").alias("n_tok"),
+        F.array_join("cw", " ").alias("chunk_text"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-gram novelty profile: per document, the share of its distinct trigram
+# shingles appearing for the FIRST time in doc_id order — the corpus-
+# diversity/memorization metric curation pipelines track as data grows
+# (a falling novelty curve means new data is re-treading old n-grams).
+# Shape: the proven shingle kernel, one groupBy(shingle) min(doc_id)
+# (corpus-scale shuffle with map-side combine), one join back on shingle,
+# one per-doc reduce — no self-join, no pair table, linear in corpus size.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_ngram_novelty",
+    oracle=f"""
+    WITH {{shingles}},
+    first AS (
+      SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY shingle),
+    per AS (
+      SELECT sh.doc_id,
+             COUNT(*) AS n_shingles,
+             CAST(SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+      FROM sh JOIN first f USING (shingle)
+      GROUP BY sh.doc_id)
+    SELECT doc_id, n_shingles, n_novel,
+           round(CAST(n_novel AS DOUBLE) / n_shingles, 8) AS novelty_ratio
+    FROM per
+    """.format(shingles=G.shingle_cte(3).strip().lstrip()),
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from brooklin_spark.operators import dedup as D
+
+    docs = table(spark, sf_dir, "documents")
+    # distinct (doc_id, shingle) rows via the per-doc array_distinct kernel
+    sh = D.word_shingles(docs, n=3).withColumnRenamed("id", "doc_id")
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    per = (
+        sh.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_shingles",
+        "n_novel",
+        F.round(F.col("n_novel").cast("double") / F.col("n_shingles"), 8).alias(
+            "novelty_ratio"
+        ),
+    )
