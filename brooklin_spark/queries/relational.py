@@ -13,7 +13,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from brooklin_spark.functions.exact import DEC, dec, dsum, one_minus, one_plus
+from brooklin_spark.functions.exact import (
+    DEC,
+    c4sum,
+    cents,
+    dec,
+    dsum,
+    one_minus,
+    one_plus,
+)
 from brooklin_spark.io import table
 from brooklin_spark.registry import query
 
@@ -125,6 +133,18 @@ def q3_top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Residual vs DuckDB at sf10 is NOT exchange-bound: bucketed o⋈li+decimal
 # partial agg alone is 4.0s of the 8.7s (exact-decimal revenue policy),
 # the remaining ~4.7s is broadcast-probe join CPU over the 24M-row stream.
+# r7 levers on that residual (scripts/spine_fastsum.py, all variants
+# bit-identical to the decimal form):
+# - pre-join partial aggregation CANNOT shrink this stream: (l_orderkey,
+#   l_suppkey) is ~unique in the corpus (598,807 distinct of 600,000 rows
+#   at sf0.1) — the verdict's suggested rewrite was measured pointless
+#   before timing and recorded as a data fact;
+# - integer-cents revenue (functions/exact.py cents/c4sum): the per-row
+#   BigDecimal multiply becomes a long multiply, partial sums per
+#   (n_name, partition) stay long — overflow-safe at any corpus size
+#   because partials are bounded by PARTITION size (~10M rows x <=1.05e9
+#   per row = 1e16 << 2^63) — and only the 25-nation final touches
+#   decimal. Measured sf10 bucketed 8.9 -> 7.5 s, plain 12.2 -> 11.8 s.
 # ---------------------------------------------------------------------------
 
 
@@ -151,10 +171,11 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")
     )
-    li = table(spark, sf_dir, "lineitem")
+    li = table(spark, sf_dir, "lineitem").withColumn(
+        "rev_c4", cents("l_extendedprice") * (100 - cents("l_discount"))
+    )
     s = table(spark, sf_dir, "supplier")
-    revenue = dec("l_extendedprice") * one_minus("l_discount")
-    return (
+    part = (
         F.broadcast(r)
         .join(n, n.n_regionkey == r.r_regionkey)
         .join(c, c.c_nationkey == n.n_nationkey)
@@ -164,8 +185,13 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(s),
             (s.s_suppkey == li.l_suppkey) & (s.s_nationkey == n.n_nationkey),
         )
-        .groupBy("n_name")
-        .agg(dsum(revenue, "revenue"), F.count("*").alias("n_items"))
+        # phase 1: long partials per (nation, partition) — bounded by
+        # partition size, so int64 can never overflow at any corpus scale
+        .groupBy("n_name", F.spark_partition_id().alias("_p"))
+        .agg(F.sum("rev_c4").alias("s_c4"), F.count("*").alias("c"))
+    )
+    return part.groupBy("n_name").agg(
+        c4sum(F.col("s_c4"), "revenue"), F.sum("c").alias("n_items")
     )
 
 
@@ -210,6 +236,14 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the custkey join is small — measured same-session at sf10: plain
 # fact-first 5.6s vs dims-first 6.4s; bucketed fact-first 2.1s (4 -> 0
 # fact exchanges, 1.6x DuckDB where the r5 dims-first form was 4.7x).
+# r7 (scripts/spine_fastsum.py, bit-identical): revenue partials are
+# pre-aggregated PER ORDERKEY before the orders join — ~1.8x stream
+# shrink (110,598 surviving orders for 200,025 'R' rows at sf0.1), free
+# of any new exchange on the bucketed layout (HashPartitioning(
+# l_orderkey) satisfies the groupBy's clustering) — and money rides the
+# integer-cents path (functions/exact.py): per-orderkey long partials
+# are bounded by lines-per-order, the per-customer final is decimal.
+# Measured sf10: plain 7.2 -> 5.2 s, bucketed 3.2 -> 2.2 s.
 # ---------------------------------------------------------------------------
 
 
@@ -234,13 +268,16 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = table(spark, sf_dir, "nation")
     o = table(spark, sf_dir, "orders")
     li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
-    revenue = dec("l_extendedprice") * one_minus("l_discount")
+    rev_c4 = cents("l_extendedprice") * (100 - cents("l_discount"))
+    # per-orderkey exact long partials BEFORE the joins (zero-exchange on
+    # a bucketed-orderkey scan; lines-per-order bounds the long sum)
+    li_agg = li.groupBy("l_orderkey").agg(F.sum(rev_c4).alias("s_c4"))
     cust = c.join(F.broadcast(n), n.n_nationkey == c.c_nationkey)
     return (
-        o.join(li, li.l_orderkey == o.o_orderkey)
+        o.join(li_agg, li_agg.l_orderkey == o.o_orderkey)
         .join(cust, o.o_custkey == c.c_custkey)
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(dsum(revenue, "revenue"))
+        .agg(c4sum(F.col("s_c4"), "revenue"))
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )

@@ -46,7 +46,11 @@ from pyspark.sql import functions as F  # noqa: E402
 
 
 def cents(col: str, scale: int = 100) -> "F.Column":
-    return F.round(F.col(col) * scale, 0).cast("long")
+    # primitive round-half-up: F.round(double) routes through BigDecimal
+    # per row (the exact cost this path exists to remove); money doubles
+    # carry <=2 decimals so x*100 sits within ~1e-9 of an integer and
+    # floor(x*100 + 0.5) is exact — all long/double codegen primitives
+    return (F.col(col) * scale + F.lit(0.5)).cast("long")
 
 
 def q5_variant(spark, sf_dir, fact_first: bool, int_cents: bool):
@@ -155,8 +159,22 @@ def main() -> None:
     spark = get_spark(app_name="spine-fastsum")
     db = "spine_" + os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
     marker = f"bucketed:{db}:{sf_dir}"
-    if not spark.catalog.databaseExists(db):
-        raise SystemExit(f"run scripts/spine_bucketed.py {sf_dir} first (db {db})")
+    # the in-memory catalog is session-scoped; re-attach the bucketed files
+    # spine_bucketed.py wrote (spec validated against _bucket_spec.json)
+    from brooklin_spark.operators.bucketing import register_bucketed
+
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    n_buckets = int(os.environ.get("SPINE_BUCKETS", "32"))
+    for name, key in [("orders", "o_orderkey"), ("lineitem", "l_orderkey")]:
+        if spark.catalog.tableExists(f"{db}.{name}"):
+            continue
+        loc = os.path.join(warehouse, f"{db}.db", name)
+        if not os.path.isdir(loc):
+            raise SystemExit(f"run scripts/spine_bucketed.py {sf_dir} first (db {db})")
+        register_bucketed(spark, f"{db}.{name}", key, n_buckets, loc)
 
     variants = {
         "q5_dims_decimal": lambda d: q5_variant(spark, d, False, False),
