@@ -50,22 +50,73 @@ from brooklin_spark.registry import query
     """,
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r7: the integer-cents path (functions/exact.py) — the four decimal
+    # product sums (precision >18: BigDecimal per row) become long
+    # multiplies; per-(group, partition) long partials are overflow-safe
+    # (charge_c6 <= 1.05e11 per row x ~10M rows/partition = 1e18 < 2^63,
+    # and ANSI mode makes any breach loud, not silent); the final 4-group
+    # aggregate converts exactly via decimal. Bit-identical to the dsum
+    # form at sf0.1 AND sf10 (asserted before adoption); 4.9 -> 1.3 s at
+    # sf10.
     li = table(spark, sf_dir, "lineitem")
-    disc_price = dec("l_extendedprice") * one_minus("l_discount")
-    charge = disc_price * one_plus("l_tax")
-    return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            dsum(dec("l_quantity"), "sum_qty"),
-            dsum(dec("l_extendedprice"), "sum_base_price"),
-            dsum(disc_price, "sum_disc_price"),
-            dsum(charge, "sum_charge"),
-            (F.sum(dec("l_quantity")).cast("double") / F.count("*")).alias("avg_qty"),
-            (F.sum(dec("l_extendedprice")).cast("double") / F.count("*")).alias("avg_price"),
-            (F.sum(dec("l_discount")).cast("double") / F.count("*")).alias("avg_disc"),
-            F.count("*").alias("count_order"),
+    ep_c2, disc_c2, tax_c2 = (
+        cents("l_extendedprice"),
+        cents("l_discount"),
+        cents("l_tax"),
+    )
+    rows = li.filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    ).select(
+        "l_returnflag",
+        "l_linestatus",
+        cents("l_quantity").alias("q_c2"),
+        ep_c2.alias("e_c2"),
+        disc_c2.alias("d_c2"),
+        (ep_c2 * (100 - disc_c2)).alias("dp_c4"),
+        (ep_c2 * (100 - disc_c2) * (100 + tax_c2)).alias("ch_c6"),
+    )
+    part = rows.groupBy(
+        "l_returnflag", "l_linestatus", F.spark_partition_id().alias("_p")
+    ).agg(
+        F.sum("q_c2").alias("sq"),
+        F.sum("e_c2").alias("se"),
+        F.sum("d_c2").alias("sd"),
+        F.sum("dp_c4").alias("sdp"),
+        F.sum("ch_c6").alias("sch"),
+        F.count("*").alias("c"),
+    )
+
+    def cnsum(col: str, scale: int, alias: str):
+        return (
+            (F.sum(F.col(col).cast("decimal(38,0)")) / F.lit(scale))
+            .cast("double")
+            .alias(alias)
         )
+
+    def cndec(col: str):  # exact decimal total (for the avg numerators)
+        return F.sum(F.col(col).cast("decimal(38,0)"))
+
+    g = part.groupBy("l_returnflag", "l_linestatus").agg(
+        cnsum("sq", 100, "sum_qty"),
+        cnsum("se", 100, "sum_base_price"),
+        cnsum("sdp", 10000, "sum_disc_price"),
+        cnsum("sch", 1000000, "sum_charge"),
+        (cndec("sq") / F.lit(100)).alias("_sqd"),
+        (cndec("se") / F.lit(100)).alias("_sed"),
+        (cndec("sd") / F.lit(100)).alias("_sdd"),
+        F.sum("c").alias("count_order"),
+    )
+    return g.select(
+        "l_returnflag",
+        "l_linestatus",
+        "sum_qty",
+        "sum_base_price",
+        "sum_disc_price",
+        "sum_charge",
+        (F.col("_sqd").cast("double") / F.col("count_order")).alias("avg_qty"),
+        (F.col("_sed").cast("double") / F.col("count_order")).alias("avg_price"),
+        (F.col("_sdd").cast("double") / F.col("count_order")).alias("avg_disc"),
+        "count_order",
     )
 
 
