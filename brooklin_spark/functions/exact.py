@@ -12,6 +12,17 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+__all__ = [
+    "DEC",
+    "dec",
+    "one_minus",
+    "one_plus",
+    "dsum",
+    "cents",
+    "c4_to_double",
+    "c4sum",
+]
+
 DEC = "decimal(12,2)"
 
 
@@ -53,6 +64,17 @@ def cents(col, scale: int = 100) -> Column:
     truncating cast — recovers it exactly (1e-9 << 0.5 margin)."""
     c = F.col(col) if isinstance(col, str) else col
     return (c * scale + F.lit(0.5)).cast("long")
+
+
+def c4_to_double(total_col: Column, alias: str, scale: int = 10000) -> Column:
+    """Convert an ALREADY-SUMMED 1e4-scaled long total to double, exactly
+    (decimal division, one correctly-rounded decimal->double cast). For
+    groups whose long sum is bounded by construction (per-order line
+    counts, per-partition partials) — the conversion runs once per GROUP,
+    never per row."""
+    return (
+        (total_col.cast("decimal(38,0)") / F.lit(scale)).cast("double").alias(alias)
+    )
 
 
 def c4sum(partial_col: Column, alias: str) -> Column:

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from brooklin_spark.functions.exact import (
     DEC,
+    c4_to_double,
     c4sum,
     cents,
     dec,
@@ -154,19 +155,25 @@ def q3_top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1998-07-01").cast("timestamp")
     )
-    revenue = dec("l_extendedprice") * one_minus("l_discount")
+    # integer-cents (see q1/q5): per-ORDER groups bound the long sum by
+    # lines-per-order. The top-k sort runs on the LONG total directly —
+    # revenue = s_c4/1e4 is strictly monotonic (ties included), so the
+    # ordering is identical and only the 10 surviving rows ever touch
+    # decimal (a per-group conversion measured SLOWER than the decimal
+    # policy at sf10: 1M divisions for 10 kept rows).
+    rev_c4 = cents("l_extendedprice") * (100 - cents("l_discount"))
     return (
         cust.join(orders, cust.c_custkey == orders.o_custkey)
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("o_orderkey", "o_orderdate")
-        .agg(dsum(revenue, "revenue"))
+        .agg(F.sum(rev_c4).alias("s_c4"))
+        .orderBy(F.desc("s_c4"), F.asc("o_orderkey"))
+        .limit(10)
         .select(
             "o_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
-            "revenue",
+            c4_to_double(F.col("s_c4"), "revenue"),
         )
-        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
-        .limit(10)
     )
 
 
@@ -262,6 +269,9 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # integer-cents: ep_c2 * disc_c2 <= ~5e7 per row, so even a 100 TB
+    # global long total sits ~30x under 2^63 (and ANSI would make a
+    # breach loud); one decimal conversion on the single output row
     li = table(spark, sf_dir, "lineitem")
     return (
         li.filter(
@@ -272,7 +282,9 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            dsum(dec("l_extendedprice") * dec("l_discount"), "revenue"),
+            c4_to_double(
+                F.sum(cents("l_extendedprice") * cents("l_discount")), "revenue"
+            ),
             F.count("*").alias("n_items"),
         )
     )
@@ -324,13 +336,17 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a bucketed-orderkey scan; lines-per-order bounds the long sum)
     li_agg = li.groupBy("l_orderkey").agg(F.sum(rev_c4).alias("s_c4"))
     cust = c.join(F.broadcast(n), n.n_nationkey == c.c_nationkey)
+    # per-customer totals stay long (orders-per-customer is bounded, not
+    # corpus-scaled); the top-k sorts on the long total — monotonic with
+    # revenue, ties included — and only 20 rows touch decimal
     return (
         o.join(li_agg, li_agg.l_orderkey == o.o_orderkey)
         .join(cust, o.o_custkey == c.c_custkey)
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(c4sum(F.col("s_c4"), "revenue"))
-        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .agg(F.sum("s_c4").alias("t_c4"))
+        .orderBy(F.desc("t_c4"), F.asc("c_custkey"))
         .limit(20)
+        .select("c_custkey", "c_name", "n_name", c4_to_double(F.col("t_c4"), "revenue"))
     )
 
 
@@ -355,11 +371,16 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 def join_broadcast_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     p = table(spark, sf_dir, "part").filter(F.col("p_size") >= 20)
-    revenue = dec("l_extendedprice") * one_minus("l_discount")
-    return (
+    # integer-cents, two-phase (brand groups are corpus-scaled): long
+    # partials per (brand, partition), decimal at the brand-count final
+    rev_c4 = cents("l_extendedprice") * (100 - cents("l_discount"))
+    part = (
         li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
-        .groupBy("p_brand")
-        .agg(dsum(revenue, "revenue"), F.count("*").alias("n_items"))
+        .groupBy("p_brand", F.spark_partition_id().alias("_p"))
+        .agg(F.sum(rev_c4).alias("s_c4"), F.count("*").alias("c"))
+    )
+    return part.groupBy("p_brand").agg(
+        c4sum(F.col("s_c4"), "revenue"), F.sum("c").alias("n_items")
     )
 
 

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from brooklin_spark.functions.exact import dec, dsum, one_minus
+from brooklin_spark.functions.exact import c4sum, cents, dec, dsum, one_minus
 from brooklin_spark.io import table
 from brooklin_spark.operators import layout as _layout
 from brooklin_spark.registry import query
@@ -60,8 +60,21 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(sn), F.col("sn_key") == s.s_nationkey)
         .join(F.broadcast(cn), F.col("cn_key") == c.c_nationkey)
         .filter(pair)
-        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("bigint").alias("l_year"))
-        .agg(dsum(dec("l_extendedprice") * one_minus("l_discount"), "revenue"))
+        # integer-cents two-phase (functions/exact.py): long partials per
+        # (group, partition), decimal only at the 2x|years| final
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+            F.spark_partition_id().alias("_p"),
+        )
+        .agg(
+            F.sum(cents("l_extendedprice") * (100 - cents("l_discount"))).alias(
+                "s_c4"
+            )
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(c4sum(F.col("s_c4"), "revenue"))
     )
 
 
@@ -504,9 +517,14 @@ def join_salted_skew_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataF
     )
     s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     j = salted_join(li, s, "l_suppkey", "s_suppkey", salt_buckets=16)
-    return j.groupBy("s_nationkey").agg(
-        dsum(dec("l_extendedprice") * one_minus("l_discount"), "revenue"),
-        F.count("*").alias("n_items"),
+    # integer-cents two-phase: long partials per (nation, partition),
+    # decimal only at the 25-nation final
+    part = j.groupBy("s_nationkey", F.spark_partition_id().alias("_p")).agg(
+        F.sum(cents("l_extendedprice") * (100 - cents("l_discount"))).alias("s_c4"),
+        F.count("*").alias("c"),
+    )
+    return part.groupBy("s_nationkey").agg(
+        c4sum(F.col("s_c4"), "revenue"), F.sum("c").alias("n_items")
     )
 
 
