@@ -108,7 +108,6 @@ BENCH_QUERIES = [
     "embedding_kcenter_coreset",    # farthest-point diversity selection
     "graph_triangle_census",    # degree-oriented wedge join
     # round-7 additions
-    "text_passage_chunks",      # RAG overlapping-window chunking (map-only)
     "text_ngram_novelty",       # first-occurrence n-gram novelty profile
     "quality_ks_drift",         # two-sample KS distribution-shift monitor
 ]

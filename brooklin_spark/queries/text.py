@@ -2540,58 +2540,6 @@ def text_hybrid_rrf_search_persisted(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 # ---------------------------------------------------------------------------
-# RAG passage chunking: split each document into overlapping fixed-size
-# token windows (size 32, stride 24 -> 8-token overlap) — the retrieval-
-# corpus preparation step between cleaning and embedding. Map-only: the
-# token array is built once per row, chunk starts come from F.sequence and
-# posexplode, each chunk is an F.slice of the SAME array — no shuffle, no
-# UDF, scales as a pure scan at 100 TB (chunk count ~= tokens/stride).
-# Docs with zero tokens produce no chunks (the oracle's range() is empty).
-# ---------------------------------------------------------------------------
-
-_CHUNK_W = 32
-_CHUNK_S = 24
-
-
-@query(
-    "text_passage_chunks",
-    oracle=f"""
-    WITH tok AS (
-      SELECT doc_id, {_TOK} AS w FROM documents),
-    ch AS (
-      SELECT doc_id,
-             CAST(s // {_CHUNK_S} AS BIGINT) AS chunk_idx,
-             CAST(s AS BIGINT) AS start_tok,
-             list_slice(w, s + 1, least(s + {_CHUNK_W}, len(w))) AS cw
-      FROM tok, UNNEST(range(0, len(w), {_CHUNK_S})) AS t(s))
-    SELECT doc_id, chunk_idx, start_tok,
-           CAST(len(cw) AS BIGINT) AS n_tok,
-           array_to_string(cw, ' ') AS chunk_text
-    FROM ch
-    """,
-)
-def text_passage_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
-    d = docs.select("doc_id", X.tokens().alias("w")).filter(F.size("w") >= 1)
-    starts = F.sequence(F.lit(0), F.size("w") - 1, F.lit(_CHUNK_S))
-    ch = d.select(
-        "doc_id", "w", F.explode(starts).alias("s")
-    ).select(
-        "doc_id",
-        (F.col("s") / _CHUNK_S).cast("bigint").alias("chunk_idx"),
-        F.col("s").cast("bigint").alias("start_tok"),
-        F.slice(F.col("w"), F.col("s") + 1, F.lit(_CHUNK_W)).alias("cw"),
-    )
-    return ch.select(
-        "doc_id",
-        "chunk_idx",
-        "start_tok",
-        F.size("cw").cast("bigint").alias("n_tok"),
-        F.array_join("cw", " ").alias("chunk_text"),
-    )
-
-
-# ---------------------------------------------------------------------------
 # N-gram novelty profile: per document, the share of its distinct trigram
 # shingles appearing for the FIRST time in doc_id order — the corpus-
 # diversity/memorization metric curation pipelines track as data grows
