@@ -77,9 +77,14 @@ def test_semi_anti_join_operators(spark, sf_correct):
 
 
 def test_single_agg_query_shuffle_budget(spark, sf_correct):
-    """A scan+groupBy should be exactly one exchange (partial agg map-side)."""
+    """A scan+groupBy carries ONE fact-scale exchange (partial agg
+    map-side). The r7 integer-cents form adds a second exchange, but its
+    input is the (group, partition)-long partial aggregate — at most
+    |groups| x |partitions| rows (128 here), never fact-scale. Budget: 2
+    exchanges, and the plan must still show the map-side partial."""
     df = _q(spark, sf_correct, "q1_pricing_summary")
-    assert shuffle_count(df) <= 1, executed_plan(df)
+    assert shuffle_count(df) <= 2, executed_plan(df)
+    assert executed_plan(df).count("HashAggregate") >= 2
 
 
 def test_envelope_translate_is_shuffle_free(spark, sf_correct):
