@@ -175,6 +175,74 @@ def brute_force_topk(
     )
 
 
+def hard_negative_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Exact top-k hardest negatives per query: the highest-cosine corpus
+    vectors whose LABEL DIFFERS from the query's (contrastive-training
+    negative mining — the near-misses that teach the margin the most).
+
+    Same plan shape as brute_force_topk: the (small-by-contract) query
+    matrix + labels close over a mapInPandas kernel, the corpus streams
+    through ONE batch×queries matmul per Arrow batch with the same-label
+    columns masked out, each batch emits only its local top-k per query,
+    and the global window ranks O(k · partitions · queries) triples. The
+    corpus never shuffles.
+    """
+    from pyspark.sql import Window as W
+
+    rows = queries.select(id_col, vec_col, label_col).collect()
+    q_ids = np.array([r[0] for r in rows], dtype=np.int64)
+    qm = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    q_labels = np.array([r[2] for r in rows], dtype=np.int64)
+    order = np.argsort(q_ids)
+    q_ids, qm, q_labels = q_ids[order], qm[order], q_labels[order]
+    norms = np.linalg.norm(qm, axis=1)
+    norms[norms == 0] = 1.0
+    qm = qm / norms[:, None]
+
+    def op(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            labels = pdf[label_col].to_numpy(dtype=np.int64)
+            score = -np.round(_batch_matrix(pdf[vec_col]) @ qm.T, 6)
+            out: dict[str, list] = {
+                "query_id": [],
+                "query_label": [],
+                "neighbor_id": [],
+                "neighbor_label": [],
+                "sim": [],
+            }
+            for j, qid in enumerate(q_ids):
+                mask = np.flatnonzero((ids != qid) & (labels != q_labels[j]))
+                top = mask[np.lexsort((ids[mask], score[mask, j]))][:k]
+                out["query_id"].extend([qid] * len(top))
+                out["query_label"].extend([q_labels[j]] * len(top))
+                out["neighbor_id"].extend(ids[top].tolist())
+                out["neighbor_label"].extend(labels[top].tolist())
+                out["sim"].extend((-score[top, j]).tolist())
+            yield pd.DataFrame(out)
+
+    scored = corpus.select(id_col, vec_col, label_col).mapInPandas(
+        op,
+        schema=(
+            "query_id bigint, query_label bigint, neighbor_id bigint,"
+            " neighbor_label bigint, sim double"
+        ),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).filter(F.col("rank") <= k)
+
+
 def similar_pairs(
     corpus: DataFrame,
     threshold: float,

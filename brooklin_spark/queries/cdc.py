@@ -642,3 +642,60 @@ def privacy_k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(small, F.col("k")).otherwise(0)).cast("bigint").alias("n_suppressed_docs"),
         F.sum("k").cast("bigint").alias("n_docs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Differentially-private release counts: per-(lang, source) document counts
+# with Laplace(sensitivity/epsilon) noise via the inverse CDF,
+# noise = -b·sign(u)·ln(1−2|u|). The uniform u is DERIVED DETERMINISTICALLY
+# from md5(lang|source) so the release is reproducible and oracle-checkable —
+# a production release swaps the hash for a real RNG but keeps every other
+# line. Sensitivity is 1 (one document moves one cell count by one);
+# epsilon 0.5 per release. One corpus scan + a |lang×source|-cell groupBy;
+# the noise arithmetic is cell-scale. The true_count column exists for the
+# correctness harness — a real release drops it.
+# ---------------------------------------------------------------------------
+
+_DP_EPSILON = 0.5
+_DP_SCALE = 1.0 / _DP_EPSILON  # Laplace b = sensitivity / epsilon
+
+
+@query(
+    "privacy_dp_noisy_counts",
+    oracle=f"""
+    WITH cells AS (
+      SELECT lang, source, COUNT(*) AS true_count
+      FROM documents GROUP BY lang, source),
+    seeded AS (
+      SELECT lang, source, true_count,
+             ((('0x' || substr(md5(lang || '|' || source), 1, 8))::BIGINT % 999)
+              - 499) / 1000.0 AS u
+      FROM cells)
+    SELECT lang, source, true_count,
+           {_DP_EPSILON} AS epsilon,
+           round(true_count
+                 + -{_DP_SCALE} * (CASE WHEN u >= 0 THEN 1.0 ELSE -1.0 END)
+                   * ln(1.0 - 2.0 * abs(u)), 6) AS noisy_count
+    FROM seeded
+    """,
+)
+def privacy_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(
+        F.count("*").alias("true_count")
+    )
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws("|", F.col("lang"), F.col("source"))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    u = ((h % 999) - 499) / F.lit(1000.0)
+    sign = F.when(u >= 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+    noise = F.lit(-_DP_SCALE) * sign * F.log(F.lit(1.0) - 2.0 * F.abs(u))
+    return cells.select(
+        "lang",
+        "source",
+        "true_count",
+        F.lit(_DP_EPSILON).alias("epsilon"),
+        F.round(F.col("true_count") + noise, 6).alias("noisy_count"),
+    )

@@ -707,3 +707,240 @@ def dedup_cluster_size_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").cast("bigint").alias("n_tokens"),
         F.sum(F.col("n_tokens") * F.col("w")).cast("double").alias("effective_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source frequency cap (RefinedWeb-style domain capping): no source may
+# contribute more than `cap` documents, with the kept set chosen
+# DETERMINISTICALLY (smallest Knuth-hash of doc_id first, so re-runs and
+# both engines agree). cap is corpus-derived — total/(2·|sources|) — never a
+# frozen literal. Scale shape: per-source rank via the distributed
+# global_row_number over the total order (source, hv, doc_id) minus a
+# broadcast per-source min-rank offset — a naive partitionBy(source) window
+# would put one source's full slice (corpus/|sources| rows — TBs at the
+# target scale) in ONE task; the range-partitioned rank spreads every source
+# across buckets. Two corpus-scale exchanges total (range repartition +
+# final groupBy).
+# ---------------------------------------------------------------------------
+
+_SRC_CAP_MULT = 2654435761  # Knuth multiplicative hash, exact in int64
+
+from brooklin_spark.functions import text as _X  # noqa: E402
+
+_STOP_EN = "[" + ", ".join(f"'{w}'" for w in _X.STOPWORDS["en"]) + "]"
+
+
+@query(
+    "corpus_source_cap",
+    oracle=f"""
+    WITH h AS (
+      SELECT source, doc_id, n_chars,
+             (doc_id * {_SRC_CAP_MULT}) % 4294967296 AS hv
+      FROM documents),
+    r AS (
+      SELECT source, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY hv, doc_id) AS lrk
+      FROM h),
+    c AS (
+      SELECT greatest(1, COUNT(*) // (2 * COUNT(DISTINCT source))) AS cap
+      FROM documents)
+    SELECT source,
+           COUNT(*) AS n_docs,
+           MAX(cap) AS cap,
+           CAST(SUM(CASE WHEN lrk <= cap THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN lrk > cap THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           CAST(SUM(CASE WHEN lrk <= cap THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+    FROM r CROSS JOIN c GROUP BY source
+    """,
+)
+def corpus_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from brooklin_spark.operators.distrank import global_row_number
+
+    docs = table(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        "n_chars",
+        ((F.col("doc_id") * F.lit(_SRC_CAP_MULT)) % F.lit(4294967296)).alias("hv"),
+    )
+    ranked = global_row_number(
+        docs, [F.col("source"), F.col("hv"), F.col("doc_id")], out="rk"
+    )
+    # |sources| rows: per-source rank offset + corpus totals for the cap
+    offs = ranked.groupBy("source").agg(
+        F.min("rk").alias("mn"), F.count("*").alias("src_docs")
+    ).localCheckpoint()
+    tot = offs.agg(
+        F.greatest(
+            F.lit(1),
+            F.floor(F.sum("src_docs") / (2 * F.count("*"))),
+        ).cast("bigint").alias("cap")
+    )
+    joined = (
+        ranked.join(F.broadcast(offs.select("source", "mn")), "source")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("lrk", F.col("rk") - F.col("mn") + 1)
+    )
+    kept = F.col("lrk") <= F.col("cap")
+    return joined.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.max("cap").alias("cap"),
+        F.sum(F.when(kept, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        F.sum(F.when(kept, 0).otherwise(1)).cast("bigint").alias("n_dropped"),
+        F.sum(F.when(kept, F.col("n_chars")).otherwise(0))
+        .cast("bigint")
+        .alias("kept_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Curriculum buckets: exact global NTILE(4) over (quality DESC, doc_id) —
+# stage 1 is the cleanest quarter of the corpus, stage 4 the noisiest; a
+# curriculum schedule feeds them in order. Quality reuses
+# text_quality_score's composite bit-for-bit; the per-stage average rides an
+# integer micro-scaled sum (floor(q·1e6+0.5) of bit-identical doubles) so
+# cross-engine equality survives float fold order. The ntile itself is the
+# distributed distrank kernel — no single-partition window.
+# ---------------------------------------------------------------------------
+
+_CURR_STAGES = 4
+
+
+@query(
+    "corpus_curriculum_buckets",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens,
+             len(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS n_distinct,
+             len(list_filter(list_filter(string_split(text, ' '), x -> x <> ''),
+                 x -> list_contains({_STOP_EN}, x))) AS stop_hits
+      FROM documents),
+    q AS (
+      SELECT doc_id, n_tokens,
+             0.5 * least(n_tokens / 100.0, 1.0)
+               + 0.3 * (CAST(n_distinct AS DOUBLE) / n_tokens)
+               + 0.2 * least(5.0 * stop_hits / n_tokens, 1.0) AS quality
+      FROM d WHERE n_tokens > 0),
+    t AS (
+      SELECT doc_id, n_tokens, quality,
+             NTILE({_CURR_STAGES}) OVER (ORDER BY quality DESC, doc_id) AS stage
+      FROM q)
+    SELECT CAST(stage AS BIGINT) AS stage,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(CAST(floor(quality * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+             AS quality_micro_sum
+    FROM t GROUP BY stage
+    """,
+)
+def corpus_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from brooklin_spark.functions import text as X
+    from brooklin_spark.operators.distrank import global_ntile
+
+    docs = table(spark, sf_dir, "documents")
+    n_tok = X.token_count()
+    n_dis = X.distinct_token_count()
+    stop = X.stopword_hits(lang="en")
+    quality = (
+        0.5 * F.least(n_tok / 100.0, F.lit(1.0))
+        + 0.3 * (n_dis.cast("double") / n_tok)
+        + 0.2 * F.least(5.0 * stop / n_tok, F.lit(1.0))
+    )
+    q = docs.filter(n_tok > 0).select(
+        "doc_id", n_tok.cast("long").alias("n_tokens"), quality.alias("quality")
+    )
+    tiled = global_ntile(
+        q, _CURR_STAGES, [F.desc("quality"), F.asc("doc_id")], out="stage"
+    )
+    return tiled.groupBy("stage").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.sum(F.floor(F.col("quality") * 1000000 + 0.5).cast("bigint"))
+        .cast("bigint")
+        .alias("quality_micro_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source syndication overlap: sources sharing leading-span content
+# fingerprints (md5 of the first 4 tokens — the cheap "same article, mirrored
+# domain" signal), scored by Jaccard over each pair's fingerprint sets. The
+# per-fingerprint source set is BOUNDED by |sources| (a domain-scale
+# constant), so collect_set never grows with the corpus and the pair
+# expansion is at most C(|sources|, 2) per fingerprint — no corpus-scale
+# self-join anywhere; the only fact-scale exchanges are the distinct and the
+# fingerprint groupBy.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "curation_source_overlap",
+    oracle="""
+    WITH fp AS (
+      SELECT DISTINCT source,
+             md5(array_to_string(
+               (list_filter(string_split(text, ' '), x -> x <> ''))[1:4], ' ')) AS h
+      FROM documents),
+    tot AS (SELECT source, COUNT(*) AS t FROM fp GROUP BY source),
+    pc AS (
+      SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS shared_fps
+      FROM fp a JOIN fp b ON a.h = b.h AND a.source < b.source
+      GROUP BY a.source, b.source)
+    SELECT src_a, src_b, shared_fps,
+           ta.t AS fps_a, tb.t AS fps_b,
+           CAST(shared_fps AS DOUBLE) / (ta.t + tb.t - shared_fps) AS jaccard
+    FROM pc
+    JOIN tot ta ON ta.source = pc.src_a
+    JOIN tot tb ON tb.source = pc.src_b
+    """,
+)
+def curation_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from brooklin_spark.functions import text as X
+
+    docs = table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "source",
+        F.md5(F.array_join(F.slice(X.tokens(), 1, 4), " ")).alias("h"),
+    ).distinct()
+    # per-fingerprint source sets: bounded by |sources|, never corpus-scale
+    sets = (
+        fp.groupBy("h")
+        .agg(F.sort_array(F.collect_set("source")).alias("ss"))
+        .filter(F.size("ss") >= 2)
+    )
+    pairs = sets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ss, (a, i) ->"
+                " transform(slice(ss, i + 2, size(ss)),"
+                " b -> struct(a AS src_a, b AS src_b))))"
+            )
+        ).alias("p")
+    ).select("p.src_a", "p.src_b")
+    pc = pairs.groupBy("src_a", "src_b").agg(
+        F.count("*").alias("shared_fps")
+    )
+    tot = fp.groupBy("source").agg(F.count("*").alias("t"))
+    return (
+        pc.join(
+            F.broadcast(tot.withColumnRenamed("source", "src_a")
+                        .withColumnRenamed("t", "fps_a")),
+            "src_a",
+        )
+        .join(
+            F.broadcast(tot.withColumnRenamed("source", "src_b")
+                        .withColumnRenamed("t", "fps_b")),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "shared_fps",
+            "fps_a",
+            "fps_b",
+            (
+                F.col("shared_fps").cast("double")
+                / (F.col("fps_a") + F.col("fps_b") - F.col("shared_fps"))
+            ).alias("jaccard"),
+        )
+    )

@@ -1471,3 +1471,37 @@ def embedding_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "rank bigint, vec_id bigint, min_sim double"
     )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining (contrastive training data prep): for each query
+# vector, the top-k highest-cosine corpus vectors with a DIFFERENT label —
+# the near-misses that define the decision margin. Deterministic queries
+# (vec_id < 8), exact scoring, so the whole mining run is oracle-checkable.
+# ---------------------------------------------------------------------------
+
+_HN_Q = 8
+_HN_K = 3
+
+
+@query(
+    "ann_hard_negative_mining",
+    oracle=f"""
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, CAST(q.label AS BIGINT) AS query_label,
+             c.vec_id AS neighbor_id, CAST(c.label AS BIGINT) AS neighbor_label,
+             round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS sim
+      FROM embeddings q JOIN embeddings c
+        ON q.vec_id < {_HN_Q} AND c.vec_id <> q.vec_id AND c.label <> q.label),
+    ranked AS (
+      SELECT query_id, query_label, neighbor_id, neighbor_label, sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+      FROM scored)
+    SELECT query_id, query_label, neighbor_id, neighbor_label, sim, rank
+    FROM ranked WHERE rank <= {_HN_K}
+    """,
+)
+def ann_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _HN_Q)
+    return S.hard_negative_topk(queries, emb, k=_HN_K)

@@ -2592,3 +2592,131 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             "novelty_ratio"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility per language: subwords-per-word and chars-per-subword
+# from exact integer sums — the standard tokenizer-evaluation report a
+# pretraining pipeline runs before committing to a vocabulary (high fertility
+# on a language means the tokenizer fragments it and the model pays more
+# sequence positions per sentence). One scan, one |langs|-row groupBy with
+# map-side partial aggregation; every ratio is a double of two exact bigint
+# sums, so cross-engine equality is exact.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_tokenizer_fertility",
+    oracle=f"""
+    WITH d AS (
+      SELECT lang,
+             len({_TOK}) AS words,
+             len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS subwords,
+             length(text) AS chars
+      FROM documents)
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(words) AS BIGINT) AS total_words,
+           CAST(SUM(subwords) AS BIGINT) AS total_subwords,
+           CAST(SUM(subwords) AS DOUBLE) / SUM(words) AS fertility,
+           CAST(SUM(chars) AS DOUBLE) / SUM(subwords) AS chars_per_subword
+    FROM d GROUP BY lang
+    """,
+)
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    d = docs.select(
+        "lang",
+        X.token_count().cast("long").alias("words"),
+        X.bpe_ish_token_count().cast("long").alias("subwords"),
+        F.length("text").cast("long").alias("chars"),
+    )
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("words").cast("bigint").alias("total_words"),
+        F.sum("subwords").cast("bigint").alias("total_subwords"),
+        (F.sum("subwords").cast("double") / F.sum("words")).alias("fertility"),
+        (F.sum("chars").cast("double") / F.sum("subwords")).alias(
+            "chars_per_subword"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wilson-lower-bound source ranking: rank sources by the fraction of their
+# documents passing the quality gate, scored with the Wilson score interval's
+# lower bound at z=1.96 so a source with 3/3 passing does NOT outrank one
+# with 180/200 (small samples get pulled toward 0.5). The confidence-aware
+# twin of a naive pass-rate ranking — the shape a curation pipeline uses to
+# decide which domains to crawl deeper. One scan + |sources|-row groupBy;
+# the pass flag reuses text_quality_score's composite exactly, and the
+# Wilson arithmetic is written in the same operation order in both engines
+# (sqrt is IEEE-correctly-rounded, so the doubles match bit-for-bit).
+# ---------------------------------------------------------------------------
+
+_WILSON_Z = 1.96
+_WILSON_QUALITY_GATE = 0.45
+
+
+@query(
+    "quality_wilson_source_ranking",
+    oracle=f"""
+    WITH d AS (
+      SELECT source,
+             len({_TOK}) AS n_tokens,
+             len(list_distinct({_TOK})) AS n_distinct,
+             len(list_filter({_TOK}, x -> list_contains({_STOP['en']}, x))) AS stop_hits
+      FROM documents),
+    scored AS (
+      SELECT source,
+             CASE WHEN 0.5 * least(n_tokens / 100.0, 1.0)
+                     + 0.3 * (CAST(n_distinct AS DOUBLE) / n_tokens)
+                     + 0.2 * least(5.0 * stop_hits / n_tokens, 1.0)
+                     >= {_WILSON_QUALITY_GATE} THEN 1 ELSE 0 END AS pass
+      FROM d WHERE n_tokens > 0),
+    agg AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(pass) AS BIGINT) AS n_pass,
+             CAST(SUM(pass) AS DOUBLE) / COUNT(*) AS p
+      FROM scored GROUP BY source)
+    SELECT source, n_docs, n_pass, p AS pass_rate,
+           round((p + {_WILSON_Z} * {_WILSON_Z} / (2.0 * n_docs)
+                  - {_WILSON_Z} * sqrt((p * (1.0 - p)
+                      + {_WILSON_Z} * {_WILSON_Z} / (4.0 * n_docs)) / n_docs))
+                 / (1.0 + {_WILSON_Z} * {_WILSON_Z} / n_docs), 6) AS wilson_lb
+    FROM agg
+    """,
+)
+def quality_wilson_source_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    n_tok = X.token_count()
+    n_dis = X.distinct_token_count()
+    stop = X.stopword_hits(lang="en")
+    quality = (
+        0.5 * F.least(n_tok / 100.0, F.lit(1.0))
+        + 0.3 * (n_dis.cast("double") / n_tok)
+        + 0.2 * F.least(5.0 * stop / n_tok, F.lit(1.0))
+    )
+    scored = docs.filter(n_tok > 0).select(
+        "source",
+        F.when(quality >= _WILSON_QUALITY_GATE, 1).otherwise(0).alias("pass"),
+    )
+    agg = scored.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("pass").cast("bigint").alias("n_pass"),
+        (F.sum("pass").cast("double") / F.count("*")).alias("p"),
+    )
+    z = _WILSON_Z
+    n = F.col("n_docs")
+    p = F.col("p")
+    wilson = (
+        p + z * z / (2.0 * n)
+        - z * F.sqrt((p * (1.0 - p) + z * z / (4.0 * n)) / n)
+    ) / (1.0 + z * z / n)
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_pass",
+        p.alias("pass_rate"),
+        F.round(wilson, 6).alias("wilson_lb"),
+    )

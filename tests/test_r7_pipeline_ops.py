@@ -1,0 +1,115 @@
+"""Property tests for the round-7 pipeline operators: source capping,
+hard-negative mining, curriculum tiling, Wilson ranking, syndication
+overlap, DP noise. Each checks an invariant the DuckDB oracle can't
+express (determinism across runs, numpy ground truth, DP noise bounds)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from brooklin_spark import registry
+
+registry.load_all()
+
+
+def test_source_cap_exact_per_source(spark, sf_correct):
+    """n_kept must be exactly min(cap, n_docs) per source — the grouped
+    distributed rank can't over- or under-select — and the split must
+    partition each source."""
+    rows = registry.QUERIES["corpus_source_cap"](spark, sf_correct).collect()
+    assert rows
+    for r in rows:
+        assert r.n_kept == min(r.cap, r.n_docs), r
+        assert r.n_kept + r.n_dropped == r.n_docs, r
+
+
+def test_source_cap_deterministic(spark, sf_correct):
+    """Two independent runs pick the identical kept set (hash-ranked, no
+    RNG): per-source kept_chars — a content-sensitive checksum of WHICH
+    docs were kept — must match run-to-run."""
+    q = registry.QUERIES["corpus_source_cap"]
+    a = {r.source: r.kept_chars for r in q(spark, sf_correct).collect()}
+    b = {r.source: r.kept_chars for r in q(spark, sf_correct).collect()}
+    assert a == b
+
+
+def test_hard_negatives_match_numpy(spark, sf_correct):
+    """The mined negatives must equal a numpy brute-force run: labels
+    always differ from the query's, and each rank-1 sim is the true max
+    over the label-mismatched corpus."""
+    import pandas as pd
+
+    out = registry.QUERIES["ann_hard_negative_mining"](
+        spark, sf_correct
+    ).toPandas()
+    emb = pd.read_parquet(f"{sf_correct}/embeddings.parquet")
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in emb.embedding])
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    ids = emb.vec_id.to_numpy()
+    labels = emb.label.to_numpy()
+    assert (out.query_label != out.neighbor_label).all()
+    for qid in out.query_id.unique():
+        qrow = np.flatnonzero(ids == qid)[0]
+        sims = np.round(mat @ mat[qrow], 6)
+        mask = (labels != labels[qrow]) & (ids != qid)
+        best = sims[mask].max()
+        got = out[(out.query_id == qid) & (out["rank"] == 1)].sim.iloc[0]
+        assert got == best, (qid, got, best)
+
+
+def test_curriculum_stages_balanced(spark, sf_correct):
+    """NTILE semantics: stage sizes differ by at most 1 and cover every
+    scored doc exactly once."""
+    rows = registry.QUERIES["corpus_curriculum_buckets"](
+        spark, sf_correct
+    ).collect()
+    sizes = [r.n_docs for r in rows]
+    assert len(rows) == 4
+    assert max(sizes) - min(sizes) <= 1
+    # quality is monotone across stages: stage 1 is the cleanest quarter
+    by_stage = sorted(rows, key=lambda r: r.stage)
+    avg = [r.quality_micro_sum / r.n_docs for r in by_stage]
+    assert all(a >= b for a, b in zip(avg, avg[1:])), avg
+
+
+def test_wilson_lb_below_rate_and_bounded(spark, sf_correct):
+    rows = registry.QUERIES["quality_wilson_source_ranking"](
+        spark, sf_correct
+    ).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.wilson_lb <= r.pass_rate <= 1.0, r
+        # independent scalar recompute (same closed form)
+        z, n, p = 1.96, r.n_docs, r.pass_rate
+        lb = (
+            p + z * z / (2 * n) - z * math.sqrt((p * (1 - p) + z * z / (4 * n)) / n)
+        ) / (1 + z * z / n)
+        assert abs(r.wilson_lb - lb) < 1e-6, r
+
+
+def test_source_overlap_jaccard_bounds(spark, sf_correct):
+    rows = registry.QUERIES["curation_source_overlap"](
+        spark, sf_correct
+    ).collect()
+    assert rows, "testdata has cross-source prefix collisions by construction"
+    for r in rows:
+        assert r.shared_fps >= 1
+        assert r.shared_fps <= min(r.fps_a, r.fps_b), r
+        assert 0.0 < r.jaccard <= 1.0, r
+        assert r.src_a < r.src_b, r
+
+
+def test_dp_noise_bounded_and_centered(spark, sf_correct):
+    """Deterministic-uniform Laplace: |noise| <= b*ln(1000/2) (u is capped
+    at 499/1000), and the noise must actually perturb most cells."""
+    rows = registry.QUERIES["privacy_dp_noisy_counts"](
+        spark, sf_correct
+    ).collect()
+    b = 2.0
+    bound = b * math.log(500.0) + 1e-9
+    noises = [r.noisy_count - r.true_count for r in rows]
+    assert all(abs(x) <= bound for x in noises), max(noises)
+    assert sum(1 for x in noises if x != 0) > len(noises) * 0.9
