@@ -110,6 +110,13 @@ BENCH_QUERIES = [
     # round-7 additions
     "text_ngram_novelty",       # first-occurrence n-gram novelty profile
     "quality_ks_drift",         # two-sample KS distribution-shift monitor
+    # round-7 second-session additions
+    "corpus_source_cap",        # RefinedWeb-style per-source frequency cap
+    "ann_hard_negative_mining",  # label-mismatch top-k for contrastive prep
+    "corpus_curriculum_buckets",  # exact global quality NTILE stages
+    "curation_source_overlap",  # cross-source syndication Jaccard
+    "quality_wilson_source_ranking",  # confidence-aware source ranking
+    "text_tokenizer_fertility",  # regex-segmentation tokenizer eval scan
 ]
 
 
