@@ -849,6 +849,10 @@ def corpus_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = docs.filter(n_tok > 0).select(
         "doc_id", n_tok.cast("long").alias("n_tokens"), quality.alias("quality")
     )
+    # repartitionByRange SAMPLES its input before shuffling it — without a
+    # checkpoint the three quality HOF passes run over the corpus twice
+    # (the distrank-caller discipline, cf. analytics.py rfm)
+    q = q.localCheckpoint(eager=False)
     tiled = global_ntile(
         q, _CURR_STAGES, [F.desc("quality"), F.asc("doc_id")], out="stage"
     )
