@@ -960,3 +960,77 @@ def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_k_exact(e, "user_id", k=_HH_K).select(
         F.col("key").alias("user_id"), "cnt"
     )
+
+
+# ---------------------------------------------------------------------------
+# Linear multi-touch attribution: each purchase's value is split equally
+# across the user's view/click touches in the preceding 30 minutes — the
+# multi-touch sibling of asof_purchase_to_last_click (last-touch). Money
+# rides integer micro-cents with an explicit floor-division policy
+# (cents·1e6·k_type DIV k_total per purchase — both engines integer-exact;
+# int64 headroom: cents≤1e6, ·1e6·k_type≤1e3 leaves ~1e3 margin), so the
+# cross-engine hash survives float fold order. Plan: one user-keyed
+# shuffle for the band join (per-user 30-min windows bound the pair
+# fan-out by user activity, the same justification as the as-of family),
+# then purchase-keyed and type-keyed aggregates.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_attribution_linear",
+    oracle="""
+    WITH p AS (
+      SELECT event_id AS pid, user_id, ts,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'),
+    t AS (
+      SELECT user_id, ts, event_type AS touch_type
+      FROM events WHERE event_type IN ('view', 'click')),
+    pairs AS (
+      SELECT p.pid, p.cents, t.touch_type
+      FROM p JOIN t ON p.user_id = t.user_id
+       AND t.ts <= p.ts AND t.ts >= p.ts - INTERVAL 30 MINUTE),
+    per AS (
+      SELECT pid, cents, touch_type, COUNT(*) AS k_type
+      FROM pairs GROUP BY pid, cents, touch_type),
+    tot AS (SELECT pid, SUM(k_type) AS k_total FROM per GROUP BY pid)
+    SELECT touch_type,
+           CAST(SUM(k_type) AS BIGINT) AS n_touch_pairs,
+           CAST(COUNT(DISTINCT per.pid) AS BIGINT) AS n_purchases,
+           CAST(SUM((per.cents * 1000000 * k_type) // tot.k_total) AS BIGINT)
+             AS attributed_micro
+    FROM per JOIN tot USING (pid)
+    GROUP BY touch_type
+    """,
+)
+def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    t = ev.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_type").alias("touch_type"),
+    )
+    pairs = p.join(
+        t,
+        (F.col("p_user") == F.col("t_user"))
+        & (F.col("t_ts") <= F.col("p_ts"))
+        & (F.col("t_ts") >= F.expr("p_ts - INTERVAL 30 MINUTES")),
+    ).select("pid", "cents", "touch_type")
+    per = pairs.groupBy("pid", "cents", "touch_type").agg(
+        F.count("*").alias("k_type")
+    )
+    tot = per.groupBy("pid").agg(F.sum("k_type").alias("k_total"))
+    joined = per.join(tot, "pid")
+    return joined.groupBy("touch_type").agg(
+        F.sum("k_type").cast("bigint").alias("n_touch_pairs"),
+        F.countDistinct("pid").cast("bigint").alias("n_purchases"),
+        F.sum(F.expr("(cents * 1000000 * k_type) DIV k_total"))
+        .cast("bigint")
+        .alias("attributed_micro"),
+    )

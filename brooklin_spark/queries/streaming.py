@@ -859,3 +859,70 @@ def streaming_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(term), 8).alias("psi"),
         (F.sum(term) > 0.1).alias("drifted"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming per-source admission quota: the stateful twin of
+# corpus_source_cap — a fixed per-key quota enforced IN ARRIVAL ORDER as
+# documents stream in (per-tenant rate limiting / ingestion quotas; the
+# flow-control-by-key sibling of the reference's maxRecords flow control,
+# SURVEY §2.8). State is ONE counter per source — O(keys), unbounded-input
+# safe. The documents table replays as 5 id-ordered micro-batches, so
+# "first-arrived" is exactly "smallest doc_id" and the whole admission
+# sequence is oracle-checkable: admitted == the first `cap` doc_ids per
+# source. Each admitted row is emitted exactly once (in its admitting
+# batch) with its admission rank.
+# ---------------------------------------------------------------------------
+
+_SQ_CAP = 15
+
+
+@query(
+    "streaming_source_quota",
+    oracle=f"""
+    SELECT doc_id, source, rn AS quota_rank
+    FROM (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents) t
+    WHERE rn <= {_SQ_CAP}
+    """,
+)
+def streaming_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    split_dir = _split_documents_for_stream(sf_dir)
+    schema = spark.read.parquet(split_dir).schema
+    s = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(split_dir)
+        .select("doc_id", "source")
+    )
+
+    def admit(key: tuple, pdfs, state: GroupState):
+        (seen,) = state.get if state.exists else (0,)
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values("doc_id", ignore_index=True)
+        room = max(0, _SQ_CAP - seen)
+        take = batch.iloc[:room]
+        out = pd.DataFrame(
+            {
+                "doc_id": take["doc_id"],
+                "source": key[0],
+                "quota_rank": (seen + 1 + take.index).astype("int64"),
+            }
+        )
+        state.update((seen + len(batch),))
+        yield out
+
+    out = s.groupBy("source").applyInPandasWithState(
+        admit,
+        outputStructType="doc_id bigint, source string, quota_rank bigint",
+        stateStructType="seen bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return run_to_completion(out, mode="update")

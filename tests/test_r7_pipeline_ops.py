@@ -113,3 +113,46 @@ def test_dp_noise_bounded_and_centered(spark, sf_correct):
     noises = [r.noisy_count - r.true_count for r in rows]
     assert all(abs(x) <= bound for x in noises), max(noises)
     assert sum(1 for x in noises if x != 0) > len(noises) * 0.9
+
+
+def test_streaming_quota_is_first_arrivals(spark, sf_correct):
+    """The drained admissions must be exactly the smallest _SQ_CAP doc_ids
+    per source with contiguous ranks 1..cap — arrival order is doc_id
+    order by the split's construction."""
+    import pandas as pd
+
+    out = registry.QUERIES["streaming_source_quota"](spark, sf_correct).toPandas()
+    docs = pd.read_parquet(f"{sf_correct}/documents.parquet")[["doc_id", "source"]]
+    for src, grp in out.groupby("source"):
+        want = docs[docs.source == src].doc_id.nsmallest(15).tolist()
+        got = grp.sort_values("quota_rank")
+        assert got.doc_id.tolist() == want, src
+        assert got.quota_rank.tolist() == list(range(1, len(want) + 1)), src
+
+
+def test_attribution_conserves_value(spark, sf_correct):
+    """Attributed micro-cents never exceed the touched purchases' total
+    value (floor division only loses), and every touch type gets a
+    nonnegative share."""
+    import pandas as pd
+
+    out = registry.QUERIES["events_attribution_linear"](
+        spark, sf_correct
+    ).toPandas()
+    assert set(out.touch_type) == {"view", "click"}
+    assert (out.attributed_micro >= 0).all()
+    ev = pd.read_parquet(f"{sf_correct}/events.parquet")
+    p = ev[ev.event_type == "purchase"].copy()
+    p["cents"] = (p.value * 100).round().astype("int64")
+    t = ev[ev.event_type.isin(["view", "click"])]
+    merged = p.merge(t, on="user_id", suffixes=("_p", "_t"))
+    win = merged[
+        (merged.ts_t <= merged.ts_p)
+        & (merged.ts_t >= merged.ts_p - pd.Timedelta(minutes=30))
+    ]
+    touched = win.event_id_p.unique()
+    total_micro = p[p.event_id.isin(touched)].cents.sum() * 1_000_000
+    got = out.attributed_micro.sum()
+    assert got <= total_micro
+    # floor loss per purchase is < k_total micro-units — tiny
+    assert got >= total_micro - len(touched) * 1000 * 1_000_000
