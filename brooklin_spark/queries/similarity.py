@@ -1505,3 +1505,105 @@ def ann_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < _HN_Q)
     return S.hard_negative_topk(queries, emb, k=_HN_K)
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka (MRL) funnel retrieval: stage 1 shortlists top-C neighbors by
+# cosine on the FIRST 16 dims only (the cheap prefix an MRL-trained encoder
+# makes meaningful), stage 2 reranks the shortlist by exact full-dim cosine.
+# The production two-stage ANN pattern for adaptive-dimension embeddings —
+# and the approximation (including its misses vs full brute force) is fully
+# deterministic, so the funnel itself is oracle-checked. ONE corpus pass:
+# the kernel emits prefix AND full scores for its local shortlist, so the
+# rerank never rescans or joins the corpus; the global windows rank
+# O(C · partitions · queries) rows.
+# ---------------------------------------------------------------------------
+
+_MRLF_Q = 8     # queries = vec_id < 8
+_MRLF_DIMS = 16
+_MRLF_C = 20    # stage-1 shortlist
+_MRLF_K = 5     # final top-k
+
+
+@query(
+    "ann_mrl_funnel_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < {_MRLF_Q}),
+    scored AS (
+      SELECT q.qid, c.vec_id AS nid,
+             round(list_cosine_similarity((q.qv[1:{_MRLF_DIMS}])::DOUBLE[],
+                                          (c.embedding[1:{_MRLF_DIMS}])::DOUBLE[]), 6) AS psim,
+             round(list_cosine_similarity(q.qv::DOUBLE[], c.embedding::DOUBLE[]), 6) AS fsim
+      FROM q JOIN embeddings c ON c.vec_id <> q.qid),
+    c1 AS (
+      SELECT qid, nid, psim, fsim,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY psim DESC, nid ASC) AS prk
+      FROM scored),
+    c2 AS (
+      SELECT qid, nid, fsim,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY fsim DESC, nid ASC) AS rank
+      FROM c1 WHERE prk <= {_MRLF_C})
+    SELECT qid AS query_id, nid AS neighbor_id, fsim AS sim, rank
+    FROM c2 WHERE rank <= {_MRLF_K}
+    """,
+)
+def ann_mrl_funnel_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window as W
+
+    emb = table(spark, sf_dir, "embeddings")
+    rows = (
+        emb.filter(F.col("vec_id") < _MRLF_Q)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    q_ids = np.array([r[0] for r in rows], dtype=np.int64)
+    qm = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    order = np.argsort(q_ids)
+    q_ids, qm = q_ids[order], qm[order]
+
+    def unit(m):
+        n = np.linalg.norm(m, axis=1)
+        n[n == 0] = 1.0
+        return m / n[:, None]
+
+    qfull = unit(qm)
+    qpre = unit(qm[:, :_MRLF_DIMS])
+
+    def op(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            m = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            mfull = unit(m)
+            mpre = unit(m[:, :_MRLF_DIMS])
+            ps = np.round(mpre @ qpre.T, 6)
+            fs = np.round(mfull @ qfull.T, 6)
+            out = {"query_id": [], "neighbor_id": [], "psim": [], "sim": []}
+            for j, qid in enumerate(q_ids):
+                mask = np.flatnonzero(ids != qid)
+                top = mask[np.lexsort((ids[mask], -ps[mask, j]))][:_MRLF_C]
+                out["query_id"].extend([qid] * len(top))
+                out["neighbor_id"].extend(ids[top].tolist())
+                out["psim"].extend(ps[top, j].tolist())
+                out["sim"].extend(fs[top, j].tolist())
+            yield pd.DataFrame(out)
+
+    scored = emb.select("vec_id", "embedding").mapInPandas(
+        op,
+        schema="query_id bigint, neighbor_id bigint, psim double, sim double",
+    )
+    w1 = W.partitionBy("query_id").orderBy(F.desc("psim"), F.asc("neighbor_id"))
+    shortlist = scored.withColumn("prk", F.row_number().over(w1)).filter(
+        F.col("prk") <= _MRLF_C
+    )
+    w2 = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        shortlist.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rank") <= _MRLF_K)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )

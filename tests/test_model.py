@@ -131,3 +131,29 @@ def test_task_count_estimator():
     heavy = [PartitionThroughput(f"t-{i}", bytes_in_kb_per_sec=500) for i in range(100)]
     assert estimate_task_count(heavy) == 14
     assert estimate_task_count(heavy, max_tasks=8) == 8
+
+
+def test_advise_bucket_count_matches_measured_rule():
+    """The r7 sf10/sf100 measurements: ~1.4 GB at sf10 must land on a
+    count whose bucket files are tens of MB (32 was measured right);
+    ~14 GB at sf100 must NOT stay at 32 (430 MB buckets inverted q5) —
+    the rule lands at 256, the measured fix."""
+    from brooklin_spark.planning import advise_bucket_count
+
+    sf10 = advise_bucket_count(int(1.4e9), cluster_cores=32)
+    assert sf10 == 32, sf10
+    sf100 = advise_bucket_count(int(14e9), cluster_cores=32)
+    assert sf100 == 256, sf100
+    # parallelism floor: tiny table on a big cluster still gets >= cores
+    assert advise_bucket_count(10_000_000, cluster_cores=128) == 128
+    # power-of-two invariant
+    n = advise_bucket_count(int(5e12), cluster_cores=1000)
+    assert n & (n - 1) == 0 and n >= 1000
+
+
+def test_advise_shuffle_partitions_full_waves():
+    from brooklin_spark.planning import advise_shuffle_partitions
+
+    assert advise_shuffle_partitions(0, 32) == 32
+    n = advise_shuffle_partitions(int(100e9), 32)
+    assert n % 32 == 0 and n >= 100e9 / (128 * 1024 * 1024)
