@@ -81,6 +81,7 @@ def main() -> None:
     agg["notes"] = {
         "graph_pagerank_influence": "SortMergeJoin expected: rank x edge joins are large-pair at scale (AQE broadcasts the 16k-row ranks at toy SF); 7 exchanges = 5 inflow aggs + build — the edge table is checkpointed hash-partitioned on src (AQE-off for that one job), so no round re-shuffles it",
         "join_full_outer_nation_wealth": "SortMergeJoin expected: FULL OUTER cannot broadcast",
+        "events_attribution_linear": "SortMergeJoin expected: the purchase x touch band join is user-keyed with BOTH sides event-scaled (no broadcast hint per round-4 policy); per-user pair fan-out is bounded by 30-minute activity, the same contract as the as-of family",
         "text_hybrid_rrf_search": "SortMergeJoin expected if present: the fusion join is FULL OUTER (no broadcast support) over two top-L lists — <= 2L=100 rows regardless of corpus size",
         "dedup_apply_keep_canonical": "SortMergeJoin expected: the anti-join drop set scales with the duplicate fraction of the corpus, so it carries no broadcast hint (round-4 policy) and the checkpointed CC side sits outside AQE's re-plan boundary at toy SF — SMJ on doc_id is the correct strategy at scale",
         "udtf_token_positions": "BatchEvalPython expected: Python UDTFs are row-at-a-time by API design; the query exists to pin that extension surface",
