@@ -54,6 +54,9 @@ PICKS = [
     ("text_hybrid_rrf_search", "RRF fusion: two top-L lists (TakeOrdered / per-batch local top-k), full-outer join over <= 2L rows"),
     ("dedup_prefix_filter_jaccard", "PPJoin prefix filter: rare-first per-doc prefix window, prefix-only candidate join, exact array-intersect verify — no recall cap"),
     ("graph_triangle_census", "degree-oriented wedge join: out-degree bounded O(sqrt(E)) by orientation, semi-join closure, scalar census row"),
+    # round-7 second-session additions
+    ("corpus_source_cap", "per-source cap via grouped distributed rank: range repartition over (source, hash), broadcast per-source min-rank offsets — no partitionBy(source) skew window"),
+    ("ann_mrl_funnel_topk", "MRL funnel: ONE corpus kernel pass emits prefix AND full scores for its local shortlist; two bounded windows rank O(C·partitions·queries) rows — rerank never rescans"),
 ]
 
 
