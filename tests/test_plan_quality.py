@@ -758,3 +758,37 @@ def test_self_join_candidate_generator_detector(spark, sf_correct):
     # tie-break: silent (lookups are not pair generators)
     lk = _q(spark, sf_correct, "dedup_decontamination_flags")
     assert not self_join_candidate_generators(lk)
+
+
+# ------------------------------------------------- round-7 second-session shapes
+
+
+def test_source_cap_no_per_source_window(spark, sf_correct):
+    """The per-source cap must ride the distributed grouped rank: no
+    window partitioned on `source` (a 20-value key would put corpus/20
+    rows in one task) — the only windows are distrank's bounded
+    carry-in-offset windows."""
+    import re
+
+    plan = executed_plan(_q(spark, sf_correct, "corpus_source_cap"))
+    # any Window whose partition spec names `source` is the skew shape
+    for frag in re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
+        assert "source" not in frag, plan
+
+
+def test_mrl_funnel_single_corpus_pass(spark, sf_correct):
+    """The funnel's rerank must NOT rescan or join the corpus: one
+    FlatMapGroups/mapInPandas scan, no Join anywhere, and only the
+    window exchanges after it."""
+    import re
+
+    plan = executed_plan(_q(spark, sf_correct, "ann_mrl_funnel_topk"))
+    assert "Join" not in plan, plan
+    # formatted explain prints each node twice (tree + details): count
+    # distinct scan node ids, not substring occurrences
+    assert len(set(re.findall(r"\((\d+)\) Scan parquet", plan))) == 1, plan
+
+
+def test_hard_negatives_corpus_not_joined(spark, sf_correct):
+    plan = executed_plan(_q(spark, sf_correct, "ann_hard_negative_mining"))
+    assert "Join" not in plan, plan
