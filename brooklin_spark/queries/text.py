@@ -2720,3 +2720,123 @@ def quality_wilson_source_ranking(spark: SparkSession, sf_dir: str) -> DataFrame
         p.alias("pass_rate"),
         F.round(wilson, 6).alias("wilson_lb"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental BM25 index refresh — the index-lifecycle shape production
+# retrieval runs daily: the PERSISTED base index (80% of the corpus,
+# doc_id % 5 != 0) is read as-is, only the 20% delta batch tokenizes, and
+# the probe unions base postings with delta postings under EXACTLY merged
+# stats (bigint n_docs/sum_dl add exactly; one division reproduces the
+# full-corpus AVG(dl) bit-for-bit). Work per refresh is O(delta), never
+# O(corpus); the answer provably equals a from-scratch build — the oracle
+# IS the full-corpus BM25. Same build-once/atomic-publish discipline as
+# _bm25_index, cached under its own key.
+# ---------------------------------------------------------------------------
+
+_BMIR_MOD = 5  # delta = doc_id % 5 == 0 (~20% of the corpus)
+
+
+def _bm25_base_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    import hashlib
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    src = _os.path.join(sf_dir, "documents.parquet")
+    key = hashlib.md5(
+        f"{_os.path.abspath(src)}:{_os.path.getmtime(src)}:base{_BMIR_MOD}".encode()
+    ).hexdigest()[:12]
+    idx = _os.path.join(_tempfile.gettempdir(), f"bspark_bm25_base_{key}")
+    if not _os.path.exists(_os.path.join(idx, "postings", "_SUCCESS")):
+        docs = table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % _BMIR_MOD != 0
+        )
+        toks = docs.select("doc_id", F.explode(X.tokens()).alias("term"))
+        lens = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+        tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+        tmp = f"{idx}.building.{_os.getpid()}"
+        _shutil.rmtree(tmp, ignore_errors=True)
+        flat = (
+            tf.join(lens, "doc_id")
+            .select("term", "doc_id", "tf", "dl")
+            .localCheckpoint()
+        )
+        (
+            flat.repartitionByRange(32, "term")
+            .sortWithinPartitions("term", "doc_id")
+            .write.mode("overwrite")
+            .parquet(_os.path.join(tmp, "postings"))
+        )
+        # EXACT integer stats (not a pre-divided avg): increments must add
+        # without float error, so the merged avgdl is one division over
+        # exact sums — bit-identical to a full-corpus AVG(dl)
+        lens.agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("dl").cast("bigint").alias("sum_dl"),
+        ).write.mode("overwrite").parquet(_os.path.join(tmp, "stats"))
+        try:
+            _os.rename(tmp, idx)
+        except OSError:
+            if _os.path.exists(_os.path.join(idx, "postings", "_SUCCESS")):
+                _shutil.rmtree(tmp, ignore_errors=True)
+            else:
+                _shutil.rmtree(idx, ignore_errors=True)
+                _os.rename(tmp, idx)
+    return (
+        spark.read.parquet(_os.path.join(idx, "postings")),
+        spark.read.parquet(_os.path.join(idx, "stats")),
+    )
+
+
+@query("text_bm25_index_refresh", oracle=_registry.ORACLES["text_bm25_search"])
+def text_bm25_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base_post, base_stats = _bm25_base_index(spark, sf_dir)
+
+    # O(delta): only the new batch tokenizes on a refresh
+    delta = table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % _BMIR_MOD == 0
+    )
+    toks = delta.select("doc_id", F.explode(X.tokens()).alias("term"))
+    lens = toks.groupBy("doc_id").agg(F.count("*").alias("dl")).localCheckpoint()
+    tf = toks.filter(F.col("term").isin(*_BM25_TERMS)).groupBy(
+        "doc_id", "term"
+    ).agg(F.count("*").alias("tf"))
+    delta_post = tf.join(lens, "doc_id").select("term", "doc_id", "tf", "dl")
+    delta_stats = lens.agg(
+        F.count("*").cast("bigint").alias("d_n"),
+        F.sum("dl").cast("bigint").alias("d_sum"),
+    )
+    stats = (
+        base_stats.crossJoin(F.broadcast(delta_stats))
+        .select(
+            (F.col("n_docs") + F.col("d_n")).cast("double").alias("n_docs"),
+            (
+                (F.col("sum_dl") + F.col("d_sum")).cast("double")
+                / (F.col("n_docs") + F.col("d_n")).cast("double")
+            ).alias("avgdl"),
+        )
+    )
+    post = base_post.filter(F.col("term").isin(*_BM25_TERMS)).unionByName(
+        delta_post
+    )
+    dft = post.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    scored = post.join(F.broadcast(dft), "term").crossJoin(F.broadcast(stats))
+    idf = F.log(
+        F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + _BM25_K1 * (
+        1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    scored = scored.groupBy("doc_id").agg(
+        F.sum(idf * F.col("tf") * (_BM25_K1 + 1) / denom).alias("score"),
+        F.count("*").alias("n_terms"),
+    )
+    top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
+    rw = W.orderBy(F.desc("score"), F.asc("doc_id"))
+    return top.select(
+        "doc_id",
+        F.round("score", 8).alias("score"),
+        F.col("n_terms").cast("bigint").alias("n_terms"),
+        F.row_number().over(rw).cast("bigint").alias("rank"),
+    )

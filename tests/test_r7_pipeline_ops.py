@@ -156,3 +156,24 @@ def test_attribution_conserves_value(spark, sf_correct):
     assert got <= total_micro
     # floor loss per purchase is < k_total micro-units — tiny
     assert got >= total_micro - len(touched) * 1000 * 1_000_000
+
+
+def test_bm25_refresh_reuses_base_index(spark, sf_correct, tmp_path):
+    """Steady-state refresh must NOT rebuild the base index: the second
+    invocation finds the persisted base (same cache key) and only the
+    delta tokenizes. We assert the cache directory is created once and
+    its mtime does not change across a re-run — and that results are
+    identical."""
+    import glob
+    import os
+    import tempfile
+
+    q = registry.QUERIES["text_bm25_index_refresh"]
+    a = sorted(map(tuple, q(spark, sf_correct).collect()))
+    dirs = glob.glob(os.path.join(tempfile.gettempdir(), "bspark_bm25_base_*"))
+    assert dirs, "base index was not persisted"
+    mtimes = {d: os.path.getmtime(d) for d in dirs}
+    b = sorted(map(tuple, q(spark, sf_correct).collect()))
+    assert a == b
+    for d, m in mtimes.items():
+        assert os.path.getmtime(d) == m, "base index was rebuilt on refresh"
