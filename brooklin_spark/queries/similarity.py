@@ -470,11 +470,19 @@ def _ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not _os.path.exists(_os.path.join(idx, "_SUCCESS")):
         emb = table(spark, sf_dir, "embeddings")
         cent = emb.filter(F.col("vec_id") < _IVF_C)
-        tmp = idx + ".building"
+        # pid-suffixed build dir + atomic publish (same race discipline as
+        # _bm25_index: a shared temp dir could interleave two builders)
+        tmp = f"{idx}.building.{_os.getpid()}"
         _shutil.rmtree(tmp, ignore_errors=True)
         S.ivf_assign(emb, cent).write.mode("overwrite").parquet(tmp)
-        _shutil.rmtree(idx, ignore_errors=True)
-        _os.rename(tmp, idx)
+        try:
+            _os.rename(tmp, idx)
+        except OSError:
+            if _os.path.exists(_os.path.join(idx, "_SUCCESS")):
+                _shutil.rmtree(tmp, ignore_errors=True)
+            else:
+                _shutil.rmtree(idx, ignore_errors=True)
+                _os.rename(tmp, idx)
     return spark.read.parquet(idx)
 
 
@@ -1606,4 +1614,59 @@ def ann_mrl_funnel_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         shortlist.withColumn("rank", F.row_number().over(w2).cast("long"))
         .filter(F.col("rank") <= _MRLF_K)
         .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental IVF index refresh — the ANN twin of text_bm25_index_refresh:
+# the persisted base inverted file (80% of vectors, vec_id % 5 != 0) is
+# read as-is; only the delta batch pays the assignment matmul (O(delta),
+# shuffle-free); the probe unions base and delta assignments. Per-vector
+# assignments are independent given fixed centroids, so the union is
+# provably the full index — the oracle IS ann_ivf_topk's from-scratch SQL.
+# ---------------------------------------------------------------------------
+
+_IVFR_MOD = 5
+
+
+def _ivf_base_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    src = _os.path.join(sf_dir, "embeddings.parquet")
+    key = hashlib.md5(
+        f"{_os.path.abspath(src)}:{_os.path.getmtime(src)}:{_IVF_C}:base{_IVFR_MOD}".encode()
+    ).hexdigest()[:12]
+    idx = _os.path.join(_tempfile.gettempdir(), f"bspark_ivf_base_{key}")
+    if not _os.path.exists(_os.path.join(idx, "_SUCCESS")):
+        emb = table(spark, sf_dir, "embeddings")
+        cent = emb.filter(F.col("vec_id") < _IVF_C)
+        base = emb.filter(F.col("vec_id") % _IVFR_MOD != 0)
+        tmp = f"{idx}.building.{_os.getpid()}"
+        _shutil.rmtree(tmp, ignore_errors=True)
+        S.ivf_assign(base, cent).write.mode("overwrite").parquet(tmp)
+        try:
+            _os.rename(tmp, idx)
+        except OSError:
+            if _os.path.exists(_os.path.join(idx, "_SUCCESS")):
+                _shutil.rmtree(tmp, ignore_errors=True)
+            else:
+                _shutil.rmtree(idx, ignore_errors=True)
+                _os.rename(tmp, idx)
+    return spark.read.parquet(idx)
+
+
+@query("ann_ivf_index_refresh", oracle=_registry.ORACLES["ann_ivf_topk"])
+def ann_ivf_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < _IVF_C)
+    delta = emb.filter(F.col("vec_id") % _IVFR_MOD == 0)
+    assign = _ivf_base_index(spark, sf_dir).unionByName(
+        S.ivf_assign(delta, cent)
+    )
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.ivf_topk(
+        queries, emb, cent, k=_IVF_K, nprobe=_IVF_NPROBE, assign=assign
     )
