@@ -117,6 +117,10 @@ BENCH_QUERIES = [
     "curation_source_overlap",  # cross-source syndication Jaccard
     "quality_wilson_source_ranking",  # confidence-aware source ranking
     "text_tokenizer_fertility",  # regex-segmentation tokenizer eval scan
+    # index lifecycle: steady-state refresh cost (base build amortized by
+    # the warmup pass; the one-time build costs live in BASELINE.md)
+    "text_bm25_index_refresh",
+    "ann_ivf_index_refresh",
 ]
 
 

@@ -177,3 +177,21 @@ def test_bm25_refresh_reuses_base_index(spark, sf_correct, tmp_path):
     assert a == b
     for d, m in mtimes.items():
         assert os.path.getmtime(d) == m, "base index was rebuilt on refresh"
+
+
+def test_ivf_refresh_reuses_base_index(spark, sf_correct):
+    """Same contract as the BM25 twin: re-running the refresh must not
+    rebuild the persisted base inverted file, and results are stable."""
+    import glob
+    import os
+    import tempfile
+
+    q = registry.QUERIES["ann_ivf_index_refresh"]
+    a = sorted(map(tuple, q(spark, sf_correct).collect()))
+    dirs = glob.glob(os.path.join(tempfile.gettempdir(), "bspark_ivf_base_*"))
+    assert dirs, "base inverted file was not persisted"
+    mtimes = {d: os.path.getmtime(d) for d in dirs}
+    b = sorted(map(tuple, q(spark, sf_correct).collect()))
+    assert a == b
+    for d, m in mtimes.items():
+        assert os.path.getmtime(d) == m, "base index was rebuilt on refresh"
