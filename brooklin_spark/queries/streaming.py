@@ -926,3 +926,121 @@ def streaming_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return run_to_completion(out, mode="update")
+
+
+# ---------------------------------------------------------------------------
+# Streaming BM25 index ingest — the third leg of the retrieval index
+# lifecycle (batch build `_bm25_index`, incremental refresh
+# `text_bm25_index_refresh`, and THIS: postings maintained as documents
+# arrive). Per micro-batch: tokenize ONLY the batch, append its (term,
+# doc_id, tf, dl) postings to a durable term-partitioned store and one
+# exact-integer stats row (n_docs, sum_dl) per epoch — written bytes are
+# bounded by the batch, never by corpus history (the minhash-ingest store
+# discipline), and epoch-keyed overwrite keeps at-least-once foreachBatch
+# idempotent. The drain probes the accumulated store under summed stats;
+# integer sums make the final avgdl bit-identical to a from-scratch
+# build, so the oracle IS the full-corpus BM25.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "streaming_bm25_index_ingest",
+    oracle=None,  # set below: shares text_bm25_search's full-corpus oracle
+)
+def streaming_bm25_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from brooklin_spark.functions import text as X
+    from brooklin_spark.queries.text import (
+        _BM25_B,
+        _BM25_K1,
+        _BM25_TERMS,
+    )
+
+    split_dir = _split_documents_for_stream(sf_dir)
+    schema = spark.read.parquet(split_dir).schema
+    work = tempfile.mkdtemp(prefix="bspark_bm25_ingest_")
+    post_store = os.path.join(work, "postings")
+    stats_store = os.path.join(work, "stats")
+    ckpt = os.path.join(work, "ckpt")
+
+    def step(batch_df: DataFrame, _epoch: int) -> None:
+        toks = batch_df.select("doc_id", F.explode(X.tokens()).alias("term"))
+        lens = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+        tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+        flat = (
+            tf.join(lens, "doc_id")
+            .select("term", "doc_id", "tf", "dl")
+            .localCheckpoint()  # feeds postings AND would re-tokenize twice
+        )
+        # epoch-keyed overwrite: a re-executed batch replaces its own
+        # directory instead of double-appending postings
+        flat.write.mode("overwrite").parquet(
+            os.path.join(post_store, f"epoch={_epoch}")
+        )
+        flat.select("doc_id", "dl").distinct().agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("dl").cast("bigint").alias("sum_dl"),
+        ).write.mode("overwrite").parquet(
+            os.path.join(stats_store, f"epoch={_epoch}")
+        )
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(split_dir)
+        .writeStream.foreachBatch(step)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        post = spark.read.parquet(post_store).filter(
+            F.col("term").isin(*_BM25_TERMS)
+        )
+        stats = (
+            spark.read.parquet(stats_store)
+            .agg(
+                F.sum("n_docs").cast("double").alias("n_docs"),
+                (
+                    F.sum("sum_dl").cast("double")
+                    / F.sum("n_docs").cast("double")
+                ).alias("avgdl"),
+            )
+        )
+        dft = post.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+        scored = post.join(F.broadcast(dft), "term").crossJoin(
+            F.broadcast(stats)
+        )
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        )
+        denom = F.col("tf") + _BM25_K1 * (
+            1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")
+        )
+        scored = scored.groupBy("doc_id").agg(
+            F.sum(idf * F.col("tf") * (_BM25_K1 + 1) / denom).alias("score"),
+            F.count("*").alias("n_terms"),
+        )
+        top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
+        rw = W.orderBy(F.desc("score"), F.asc("doc_id"))
+        out = top.select(
+            "doc_id",
+            F.round("score", 8).alias("score"),
+            F.col("n_terms").cast("bigint").alias("n_terms"),
+            F.row_number().over(rw).cast("bigint").alias("rank"),
+        ).localCheckpoint(eager=True)
+    finally:
+        q.stop()
+        shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+# share the full-corpus oracle: the ingest must equal a from-scratch build
+# (import text first — load_all() imports streaming before text, so the
+# donor oracle isn't registered yet at this module's import time)
+from brooklin_spark import registry as _reg  # noqa: E402
+from brooklin_spark.queries import text as _text_queries  # noqa: E402,F401
+
+_reg.ORACLES["streaming_bm25_index_ingest"] = _reg.ORACLES["text_bm25_search"]
