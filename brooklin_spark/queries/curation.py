@@ -948,3 +948,58 @@ def curation_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Apply-side of the source cap (report/apply pair, same convention as
+# dedup_canonical_clusters / dedup_apply_keep_canonical): the kept
+# documents themselves, ready to feed the next pipeline stage. Same
+# grouped distributed rank as corpus_source_cap — the report and the
+# apply provably agree because they share the rank construction.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "corpus_source_cap_apply",
+    oracle=f"""
+    WITH h AS (
+      SELECT source, doc_id, n_chars,
+             (doc_id * {_SRC_CAP_MULT}) % 4294967296 AS hv
+      FROM documents),
+    r AS (
+      SELECT source, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY hv, doc_id) AS lrk
+      FROM h),
+    c AS (
+      SELECT greatest(1, COUNT(*) // (2 * COUNT(DISTINCT source))) AS cap
+      FROM documents)
+    SELECT doc_id, source, CAST(lrk AS BIGINT) AS keep_rank
+    FROM r CROSS JOIN c WHERE lrk <= cap
+    """,
+)
+def corpus_source_cap_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from brooklin_spark.operators.distrank import global_row_number
+
+    docs = table(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        ((F.col("doc_id") * F.lit(_SRC_CAP_MULT)) % F.lit(4294967296)).alias("hv"),
+    )
+    ranked = global_row_number(
+        docs, [F.col("source"), F.col("hv"), F.col("doc_id")], out="rk"
+    )
+    offs = ranked.groupBy("source").agg(
+        F.min("rk").alias("mn"), F.count("*").alias("src_docs")
+    ).localCheckpoint()
+    tot = offs.agg(
+        F.greatest(
+            F.lit(1), F.floor(F.sum("src_docs") / (2 * F.count("*")))
+        ).cast("bigint").alias("cap")
+    )
+    return (
+        ranked.join(F.broadcast(offs.select("source", "mn")), "source")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("keep_rank", (F.col("rk") - F.col("mn") + 1).cast("bigint"))
+        .filter(F.col("keep_rank") <= F.col("cap"))
+        .select("doc_id", "source", "keep_rank")
+    )

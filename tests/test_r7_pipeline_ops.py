@@ -195,3 +195,63 @@ def test_ivf_refresh_reuses_base_index(spark, sf_correct):
     assert a == b
     for d, m in mtimes.items():
         assert os.path.getmtime(d) == m, "base index was rebuilt on refresh"
+
+
+def test_source_cap_report_and_apply_agree(spark, sf_correct):
+    """The report's n_kept must equal the apply-side's actual kept rows
+    per source — the pair shares the rank construction, so disagreement
+    means a nondeterministic rank."""
+    rep = {
+        r.source: r.n_kept
+        for r in registry.QUERIES["corpus_source_cap"](spark, sf_correct).collect()
+    }
+    out = registry.QUERIES["corpus_source_cap_apply"](
+        spark, sf_correct
+    ).toPandas()
+    got = out.groupby("source").doc_id.count().to_dict()
+    assert got == {k: v for k, v in rep.items() if v > 0}
+    # ranks are contiguous 1..n_kept within each source
+    for src, grp in out.groupby("source"):
+        assert sorted(grp.keep_rank) == list(range(1, len(grp) + 1)), src
+
+
+def test_grouped_rank_matches_pandas(spark):
+    """The grouped distributed rank (global_row_number over (key, ord)
+    minus broadcast per-key min) must equal pandas' groupby rank on
+    random frames — including skewed key distributions and ties broken
+    by the id column."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from brooklin_spark.operators.distrank import global_row_number
+
+    rng = __import__("numpy").random.default_rng(7)
+    n = 5000
+    pdf = pd.DataFrame(
+        {
+            "k": rng.choice(["a", "b", "c", "skew"], p=[0.1, 0.1, 0.1, 0.7], size=n),
+            "v": rng.integers(0, 50, size=n),  # heavy ties
+            "id": range(n),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    ranked = global_row_number(
+        df, [F.col("k"), F.col("v"), F.col("id")], out="rk", buckets=8
+    )
+    offs = ranked.groupBy("k").agg(F.min("rk").alias("mn"))
+    got = (
+        ranked.join(F.broadcast(offs), "k")
+        .withColumn("lrk", F.col("rk") - F.col("mn") + 1)
+        .select("id", "lrk")
+        .toPandas()
+        .set_index("id")
+        .lrk.sort_index()
+    )
+    want = (
+        pdf.sort_values(["k", "v", "id"])
+        .groupby("k")
+        .cumcount()
+        .add(1)
+        .sort_index()
+    )
+    assert (got.values == want.values).all()
