@@ -2840,3 +2840,58 @@ def text_bm25_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_terms").cast("bigint").alias("n_terms"),
         F.row_number().over(rw).cast("bigint").alias("rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Positional phrase search: exact phrase matching ("table hash" as adjacent
+# tokens) via POSITIONAL postings — the retrieval feature a tf-only index
+# (BM25) cannot answer. Plan shape: the corpus tokenizes once with
+# positions, the two phrase terms filter BEFORE any join (the postings of
+# two terms, not the corpus), and adjacency is an equi-join on
+# (doc_id, pos + 1) — keyed, never positional-window. Per-doc occurrence
+# counts rank the hits; ties break on doc_id.
+# ---------------------------------------------------------------------------
+
+_PHRASE = ("table", "hash")
+
+
+@query(
+    "text_phrase_search_positional",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      FROM documents),
+    hits AS (
+      SELECT doc_id, COUNT(*) AS n_hits
+      FROM tok, UNNEST(generate_series(1, len(w) - 1)) t(i)
+      WHERE w[i] = '{_PHRASE[0]}' AND w[i + 1] = '{_PHRASE[1]}'
+      GROUP BY doc_id),
+    ranked AS (
+      SELECT doc_id, n_hits,
+             ROW_NUMBER() OVER (ORDER BY n_hits DESC, doc_id ASC) AS rank
+      FROM hits)
+    SELECT doc_id, CAST(n_hits AS BIGINT) AS n_hits, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 20
+    """,
+)
+def text_phrase_search_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    pos = docs.select(
+        "doc_id", F.posexplode(X.tokens()).alias("pos", "term")
+    ).filter(F.col("term").isin(*_PHRASE))
+    a = pos.filter(F.col("term") == _PHRASE[0]).select(
+        "doc_id", F.col("pos").alias("pa")
+    )
+    b = pos.filter(F.col("term") == _PHRASE[1]).select(
+        "doc_id", (F.col("pos") - 1).alias("pa")
+    )
+    hits = a.join(b, ["doc_id", "pa"]).groupBy("doc_id").agg(
+        F.count("*").alias("n_hits")
+    )
+    top = hits.orderBy(F.desc("n_hits"), F.asc("doc_id")).limit(20)
+    rw = W.orderBy(F.desc("n_hits"), F.asc("doc_id"))
+    return top.select(
+        "doc_id",
+        F.col("n_hits").cast("bigint").alias("n_hits"),
+        F.row_number().over(rw).cast("bigint").alias("rank"),
+    )
