@@ -902,10 +902,14 @@ def curation_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from brooklin_spark.functions import text as X
 
     docs = table(spark, sf_dir, "documents")
+    # NO pre-distinct: collect_set dedups (source) per fingerprint and
+    # countDistinct dedups per source, so the corpus-scale distinct
+    # exchange is pure overhead (removed: one less corpus shuffle;
+    # value-identical, A/B'd at sf10)
     fp = docs.select(
         "source",
         F.md5(F.array_join(F.slice(X.tokens(), 1, 4), " ")).alias("h"),
-    ).distinct()
+    )
     # per-fingerprint source sets: bounded by |sources|, never corpus-scale
     sets = (
         fp.groupBy("h")
@@ -924,7 +928,7 @@ def curation_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     pc = pairs.groupBy("src_a", "src_b").agg(
         F.count("*").alias("shared_fps")
     )
-    tot = fp.groupBy("source").agg(F.count("*").alias("t"))
+    tot = fp.groupBy("source").agg(F.countDistinct("h").alias("t"))
     return (
         pc.join(
             F.broadcast(tot.withColumnRenamed("source", "src_a")
