@@ -63,3 +63,47 @@ def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
     """Register temp views so queries can be written in Spark SQL."""
     for n in names or TABLES:
         table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+def atomic_publish(tmp: str, idx: str, success_rel: str = "_SUCCESS") -> None:
+    """Publish a freshly-built index directory ``tmp`` at serving path ``idx``.
+
+    Concurrency contract: any number of concurrent builders may call this
+    with DISTINCT ``tmp`` dirs (pid-suffixed); exactly one complete build
+    ends up served at ``idx``, losers discard their own build, and no
+    builder ever removes a directory another builder just published.
+    The key discipline: a dir is only rmtree'd after the caller WON an
+    exclusive ``os.rename`` of it to a private trash path — rename is
+    atomic, so two losers cannot both "clear" the same incomplete index
+    (the race the old copy-pasted rmtree-then-rename block had).
+
+    ``success_rel`` is the path (relative to the index root) whose
+    existence marks a COMPLETE index — Spark writes it during the parquet
+    job, before publish, so any successfully-renamed dir already has it.
+    """
+    import shutil
+
+    def _complete(d: str) -> bool:
+        return os.path.exists(os.path.join(d, success_rel))
+
+    for _ in range(16):
+        try:
+            os.rename(tmp, idx)  # atomic when idx is absent
+            return
+        except OSError:
+            pass
+        if _complete(idx):
+            # a complete index is already served — we lost the race; keep
+            # serving it and drop our own build
+            shutil.rmtree(tmp, ignore_errors=True)
+            return
+        # idx exists but is incomplete (a crashed pre-publish build from an
+        # older code path): claim it exclusively before deleting
+        trash = f"{idx}.trash.{os.getpid()}"
+        try:
+            os.rename(idx, trash)
+        except OSError:
+            continue  # another builder is clearing or publishing — retry
+        shutil.rmtree(trash, ignore_errors=True)
+    shutil.rmtree(tmp, ignore_errors=True)
+    raise RuntimeError(f"atomic_publish: could not publish {idx}")

@@ -1030,7 +1030,15 @@ def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("touch_type").agg(
         F.sum("k_type").cast("bigint").alias("n_touch_pairs"),
         F.countDistinct("pid").cast("bigint").alias("n_purchases"),
-        F.sum(F.expr("(cents * 1000000 * k_type) DIV k_total"))
+        # exact FLOOR division (matches DuckDB's `//` even for negative
+        # cents, e.g. refund rows): subtract the nonneg pmod remainder so
+        # the truncating DIV sees an exact multiple.
+        F.sum(
+            F.expr(
+                "(cents * 1000000 * k_type - pmod(cents * 1000000 * k_type, k_total))"
+                " DIV k_total"
+            )
+        )
         .cast("bigint")
         .alias("attributed_micro"),
     )

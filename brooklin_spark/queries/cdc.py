@@ -684,8 +684,11 @@ def privacy_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = docs.groupBy("lang", "source").agg(
         F.count("*").alias("true_count")
     )
+    # F.concat (NOT concat_ws) so a NULL lang/source propagates NULL into
+    # the seed — matching the oracle's `||`, which yields NULL noisy_count
+    # for NULL-keyed cells instead of a silently real noise draw.
     h = F.conv(
-        F.substring(F.md5(F.concat_ws("|", F.col("lang"), F.col("source"))), 1, 8),
+        F.substring(F.md5(F.concat(F.col("lang"), F.lit("|"), F.col("source"))), 1, 8),
         16,
         10,
     ).cast("bigint")

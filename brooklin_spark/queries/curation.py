@@ -723,7 +723,19 @@ def dedup_cluster_size_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 # final groupBy).
 # ---------------------------------------------------------------------------
 
-_SRC_CAP_MULT = 2654435761  # Knuth multiplicative hash, exact in int64
+_SRC_CAP_MULT = 2654435761  # Knuth multiplicative hash
+# (doc_id * MULT) mod 2^32 computed overflow-safe for ANY int64 doc_id:
+# split d = d_hi*2^16 + d_lo (d = doc_id mod 2^32), then
+#   d*MULT mod 2^32 = (d_lo*MULT + d_hi*(MULT*2^16 mod 2^32)) mod 2^32
+# — every intermediate stays < 2^49, so Spark and DuckDB agree exactly even
+# past doc_id ~3.47e9 where the naive multiply would overflow int64 (Spark
+# wraps silently, DuckDB raises). Value-identical to the naive form.
+_SRC_CAP_MULT_HI16 = (_SRC_CAP_MULT * 65536) % 4294967296  # 2041643008
+_SRC_CAP_HV_SQL = (
+    f"((doc_id % 4294967296) % 65536 * {_SRC_CAP_MULT} + "
+    f"(doc_id % 4294967296) // 65536 * {_SRC_CAP_MULT_HI16}) % 4294967296"
+)
+_SRC_CAP_HV_SPARK_SQL = _SRC_CAP_HV_SQL.replace("//", "DIV")
 
 from brooklin_spark.functions import text as _X  # noqa: E402
 
@@ -735,7 +747,7 @@ _STOP_EN = "[" + ", ".join(f"'{w}'" for w in _X.STOPWORDS["en"]) + "]"
     oracle=f"""
     WITH h AS (
       SELECT source, doc_id, n_chars,
-             (doc_id * {_SRC_CAP_MULT}) % 4294967296 AS hv
+             {_SRC_CAP_HV_SQL} AS hv
       FROM documents),
     r AS (
       SELECT source, doc_id, n_chars,
@@ -760,7 +772,7 @@ def corpus_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "doc_id",
         "n_chars",
-        ((F.col("doc_id") * F.lit(_SRC_CAP_MULT)) % F.lit(4294967296)).alias("hv"),
+        F.expr(_SRC_CAP_HV_SPARK_SQL).alias("hv"),
     )
     ranked = global_row_number(
         docs, [F.col("source"), F.col("hv"), F.col("doc_id")], out="rk"
@@ -968,7 +980,7 @@ def curation_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH h AS (
       SELECT source, doc_id, n_chars,
-             (doc_id * {_SRC_CAP_MULT}) % 4294967296 AS hv
+             {_SRC_CAP_HV_SQL} AS hv
       FROM documents),
     r AS (
       SELECT source, doc_id, n_chars,
@@ -987,7 +999,7 @@ def corpus_source_cap_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").select(
         "source",
         "doc_id",
-        ((F.col("doc_id") * F.lit(_SRC_CAP_MULT)) % F.lit(4294967296)).alias("hv"),
+        F.expr(_SRC_CAP_HV_SPARK_SQL).alias("hv"),
     )
     ranked = global_row_number(
         docs, [F.col("source"), F.col("hv"), F.col("doc_id")], out="rk"

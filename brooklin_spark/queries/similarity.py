@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from brooklin_spark.io import table
+from brooklin_spark.io import atomic_publish, table
 from brooklin_spark.operators import similarity as S
 from brooklin_spark.queries import _sqlgen as G
 from brooklin_spark.registry import query
@@ -475,14 +475,7 @@ def _ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         tmp = f"{idx}.building.{_os.getpid()}"
         _shutil.rmtree(tmp, ignore_errors=True)
         S.ivf_assign(emb, cent).write.mode("overwrite").parquet(tmp)
-        try:
-            _os.rename(tmp, idx)
-        except OSError:
-            if _os.path.exists(_os.path.join(idx, "_SUCCESS")):
-                _shutil.rmtree(tmp, ignore_errors=True)
-            else:
-                _shutil.rmtree(idx, ignore_errors=True)
-                _os.rename(tmp, idx)
+        atomic_publish(tmp, idx)
     return spark.read.parquet(idx)
 
 
@@ -1411,6 +1404,20 @@ def _kcenter_traverse(spark: SparkSession, emb: DataFrame, k: int) -> list:
     selected = [(int(seed.vec_id), list(seed.embedding))]
     rows.append((0, int(seed.vec_id), None))
 
+    def _assert_unit(vec_id: int, vec) -> None:
+        # enforce the documented unit-norm precondition on every vector
+        # that reaches the driver (the k centers) — free, and any corpus
+        # violating the contract fails LOUDLY instead of returning cosines
+        # that silently aren't cosines
+        n = sum(float(v) * float(v) for v in vec)
+        if abs(n - 1.0) > 1e-3:
+            raise ValueError(
+                f"kcenter requires unit-norm embeddings; vec_id={vec_id} "
+                f"has squared norm {n:.6f} — normalize before calling"
+            )
+
+    _assert_unit(int(seed.vec_id), seed.embedding)
+
     def dot_to(vec) -> F.Column:
         lit = F.array(*[F.lit(float(v)) for v in vec])
         return F.round(
@@ -1435,6 +1442,7 @@ def _kcenter_traverse(spark: SparkSession, emb: DataFrame, k: int) -> list:
                 .limit(1)
                 .first()
             )
+            _assert_unit(int(pick.vec_id), pick.embedding)
             selected.append((int(pick.vec_id), list(pick.embedding)))
             rows.append((r, int(pick.vec_id), float(pick.msim)))
             continue
@@ -1467,6 +1475,7 @@ def _kcenter_traverse(spark: SparkSession, emb: DataFrame, k: int) -> list:
             cand = emb.mapInPandas(max_sim, "vec_id bigint, msim double")
         pick = cand.orderBy(F.asc("msim"), F.asc("vec_id")).limit(1).first()
         full = emb.filter(F.col("vec_id") == int(pick.vec_id)).first()
+        _assert_unit(int(pick.vec_id), full.embedding)
         selected.append((int(pick.vec_id), list(full.embedding)))
         rows.append((r, int(pick.vec_id), float(pick.msim)))
     return rows
@@ -1647,14 +1656,7 @@ def _ivf_base_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         tmp = f"{idx}.building.{_os.getpid()}"
         _shutil.rmtree(tmp, ignore_errors=True)
         S.ivf_assign(base, cent).write.mode("overwrite").parquet(tmp)
-        try:
-            _os.rename(tmp, idx)
-        except OSError:
-            if _os.path.exists(_os.path.join(idx, "_SUCCESS")):
-                _shutil.rmtree(tmp, ignore_errors=True)
-            else:
-                _shutil.rmtree(idx, ignore_errors=True)
-                _os.rename(tmp, idx)
+        atomic_publish(tmp, idx)
     return spark.read.parquet(idx)
 
 

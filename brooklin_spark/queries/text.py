@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from brooklin_spark.functions import text as X
-from brooklin_spark.io import table
+from brooklin_spark.io import atomic_publish, table
 from brooklin_spark.operators.distrank import global_row_number
 from brooklin_spark.queries import _sqlgen as G
 from brooklin_spark.registry import query
@@ -2449,14 +2449,7 @@ def _bm25_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]
         ).write.mode("overwrite").parquet(_os.path.join(tmp, "stats"))
         # atomic publish: a concurrent builder that lost the race keeps
         # the already-served index and discards its own build
-        try:
-            _os.rename(tmp, idx)
-        except OSError:
-            if _os.path.exists(_os.path.join(idx, "postings", "_SUCCESS")):
-                _shutil.rmtree(tmp, ignore_errors=True)
-            else:
-                _shutil.rmtree(idx, ignore_errors=True)
-                _os.rename(tmp, idx)
+        atomic_publish(tmp, idx, success_rel=_os.path.join("postings", "_SUCCESS"))
     return (
         spark.read.parquet(_os.path.join(idx, "postings")),
         spark.read.parquet(_os.path.join(idx, "stats")),
@@ -2775,14 +2768,7 @@ def _bm25_base_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataF
             F.count("*").cast("bigint").alias("n_docs"),
             F.sum("dl").cast("bigint").alias("sum_dl"),
         ).write.mode("overwrite").parquet(_os.path.join(tmp, "stats"))
-        try:
-            _os.rename(tmp, idx)
-        except OSError:
-            if _os.path.exists(_os.path.join(idx, "postings", "_SUCCESS")):
-                _shutil.rmtree(tmp, ignore_errors=True)
-            else:
-                _shutil.rmtree(idx, ignore_errors=True)
-                _os.rename(tmp, idx)
+        atomic_publish(tmp, idx, success_rel=_os.path.join("postings", "_SUCCESS"))
     return (
         spark.read.parquet(_os.path.join(idx, "postings")),
         spark.read.parquet(_os.path.join(idx, "stats")),
