@@ -1480,8 +1480,18 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id", "n", "shingle", "rn")
         .localCheckpoint()
     )
-    prefix = windowed.filter(F.col("rn") <= p).select("id", "n", "shingle")
+    prefix = windowed.filter(F.col("rn") <= p).select("id", "n", "shingle", "rn")
     a, b = prefix.alias("a"), prefix.alias("b")
+    # POSITIONAL filter (the PPJoin refinement over plain prefix filter):
+    # a pair matching on a token at ranks (rn_a, rn_b) can have overlap at
+    # most 1 + min(n_a - rn_a, n_b - rn_b) — the shared token plus the two
+    # suffixes — and J >= 0.7 needs overlap >= ceil(7(n_a+n_b)/17). Exact
+    # integer compare: 17*(1 + min(suffix)) >= 7*(n_a+n_b). Zero false
+    # negatives: for any true pair the globally-FIRST shared token (which
+    # the prefix theorem puts in both prefixes) has every other shared
+    # token after it in both orders, so ITS row satisfies the bound even
+    # when later shared-token rows are pruned. Cuts the candidate set
+    # ahead of distinct+verify — the r7 7×-growth fix.
     cand = (
         a.join(
             b,
@@ -1490,6 +1500,16 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (
                 10 * F.least(F.col("a.n"), F.col("b.n"))
                 >= 7 * F.greatest(F.col("a.n"), F.col("b.n"))
+            )
+            & (
+                17
+                * (
+                    1
+                    + F.least(
+                        F.col("a.n") - F.col("a.rn"), F.col("b.n") - F.col("b.rn")
+                    )
+                )
+                >= 7 * (F.col("a.n") + F.col("b.n"))
             ),
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
