@@ -1019,3 +1019,169 @@ def corpus_source_cap_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("keep_rank") <= F.col("cap"))
         .select("doc_id", "source", "keep_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-based multilingual mixture (the mT5/XLM-R alpha-sampling
+# rule, public): per-language sampling share p_l proportional to
+# (size_l / total)^alpha with alpha < 1, boosting low-resource languages
+# without drowning the head. Everything after the one |langs|-row groupBy
+# is cell-scale arithmetic. Float discipline: the libm pow() rounds to 8
+# decimals BEFORE normalization (JVM vs C libm differ in the last ulp),
+# shares round to 6, quotas derive from exact integer floor on the
+# rounded share — both engines walk the identical value grid.
+# ---------------------------------------------------------------------------
+
+_TEMP_ALPHA = 0.3
+_TEMP_BUDGET = 100000  # documents in the sampled mixture
+
+
+@query(
+    "corpus_temperature_mixture",
+    oracle=f"""
+    WITH cells AS (
+      SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS n_chars
+      FROM documents GROUP BY lang),
+    tot AS (SELECT SUM(n_chars) AS total_chars FROM cells),
+    w AS (
+      SELECT lang, n_docs, n_chars,
+             round(pow(n_chars * 1.0 / total_chars, {_TEMP_ALPHA}), 8) AS tw,
+             round(n_chars * 1.0 / total_chars, 6) AS raw_share
+      FROM cells CROSS JOIN tot),
+    z AS (SELECT SUM(tw) AS zsum FROM w)
+    SELECT lang,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           raw_share,
+           round(tw / zsum, 6) AS temp_share,
+           CAST(floor(round(tw / zsum, 6) * {_TEMP_BUDGET}) AS BIGINT)
+             AS quota_docs
+    FROM w CROSS JOIN z
+    """,
+)
+def corpus_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("n_chars")
+    )
+    tot = cells.agg(F.sum("n_chars").alias("total_chars"))
+    w = cells.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "n_chars",
+        F.round(
+            F.pow(F.col("n_chars") / F.col("total_chars"), F.lit(_TEMP_ALPHA)), 8
+        ).alias("tw"),
+        F.round(F.col("n_chars") / F.col("total_chars"), 6).alias("raw_share"),
+    )
+    z = w.agg(F.sum("tw").alias("zsum"))
+    share = F.round(F.col("tw") / F.col("zsum"), 6)
+    return w.crossJoin(F.broadcast(z)).select(
+        "lang",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        "raw_share",
+        share.alias("temp_share"),
+        F.floor(share * _TEMP_BUDGET).cast("bigint").alias("quota_docs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Epoch-repetition plan (Muennighoff et al. "Scaling Data-Constrained LMs",
+# public): given a training char budget and per-source corpus sizes, give
+# every source an equal share of the budget but cap repetition at 4
+# epochs (returns beyond ~4 epochs decay to zero). INTEGER-EXACT: the
+# allocation is LEAST(4 * chars_s, budget // n_sources) — no float enters
+# until the display-only epochs ratio, so the plan is bit-reproducible.
+# |sources|-row arithmetic after one groupBy.
+# ---------------------------------------------------------------------------
+
+_EPOCH_CAP = 4
+
+
+@query(
+    "corpus_epoch_plan",
+    oracle=f"""
+    WITH cells AS (
+      SELECT source, SUM(n_chars) AS chars_s FROM documents GROUP BY source),
+    tot AS (
+      SELECT SUM(chars_s) AS budget, COUNT(*) AS n_sources FROM cells),
+    plan AS (
+      SELECT source, chars_s,
+             budget // n_sources AS fair_share,
+             LEAST({_EPOCH_CAP} * chars_s, budget // n_sources) AS alloc_chars,
+             {_EPOCH_CAP} * chars_s < budget // n_sources AS capped
+      FROM cells CROSS JOIN tot)
+    SELECT source,
+           CAST(chars_s AS BIGINT) AS chars_s,
+           CAST(fair_share AS BIGINT) AS fair_share,
+           CAST(alloc_chars AS BIGINT) AS alloc_chars,
+           round(alloc_chars * 1.0 / chars_s, 6) AS epochs,
+           capped
+    FROM plan
+    """,
+)
+def corpus_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    cells = docs.groupBy("source").agg(F.sum("n_chars").alias("chars_s"))
+    tot = cells.agg(
+        F.sum("chars_s").alias("budget"), F.count("*").alias("n_sources")
+    )
+    fair = F.expr("budget DIV n_sources")  # nonneg: DIV == floor here
+    return cells.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.col("chars_s").cast("bigint").alias("chars_s"),
+        fair.cast("bigint").alias("fair_share"),
+        F.least(F.lit(_EPOCH_CAP) * F.col("chars_s"), fair)
+        .cast("bigint")
+        .alias("alloc_chars"),
+        F.round(
+            F.least(F.lit(_EPOCH_CAP) * F.col("chars_s"), fair) / F.col("chars_s"),
+            6,
+        ).alias("epochs"),
+        (F.lit(_EPOCH_CAP) * F.col("chars_s") < fair).alias("capped"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Systematic (every k-th) corpus sample over a HASHED total order: rank
+# docs by (knuth_hash(doc_id), doc_id) and keep rank ≡ 1 (mod k) — the
+# classic frame-free systematic sample, made order-robust by hashing (a
+# raw doc_id stride would inherit any upstream clustering). The rank is
+# the distributed exact global ROW_NUMBER (range-partitioned, no
+# single-partition window); the hash is the same overflow-safe split
+# multiply as the source-cap family.
+# ---------------------------------------------------------------------------
+
+_SYS_STRIDE = 50
+
+
+@query(
+    "corpus_systematic_sample",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, lang, source,
+             {_SRC_CAP_HV_SQL} AS hv
+      FROM documents),
+    r AS (
+      SELECT doc_id, lang, source,
+             ROW_NUMBER() OVER (ORDER BY hv ASC, doc_id ASC) AS rk
+      FROM h)
+    SELECT doc_id, lang, source, CAST(rk AS BIGINT) AS rk
+    FROM r WHERE (rk - 1) % {_SYS_STRIDE} = 0
+    """,
+)
+def corpus_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from brooklin_spark.operators.distrank import global_row_number
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.expr(_SRC_CAP_HV_SPARK_SQL).alias("hv"),
+    )
+    ranked = global_row_number(docs, [F.col("hv"), F.col("doc_id")], out="rk")
+    return (
+        ranked.filter((F.col("rk") - 1) % _SYS_STRIDE == 0)
+        .select("doc_id", "lang", "source", F.col("rk").cast("bigint").alias("rk"))
+    )

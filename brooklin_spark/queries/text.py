@@ -2881,3 +2881,208 @@ def text_phrase_search_positional(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("n_hits").cast("bigint").alias("n_hits"),
         F.row_number().over(rw).cast("bigint").alias("rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Zipf-law fit: OLS slope of ln(freq) on ln(rank) over the top-K vocabulary
+# terms — the standard corpus-health probe (a natural-language corpus sits
+# near slope -1; templated/synthetic spam flattens it, boilerplate steepens
+# it). Scale: term frequencies are a vocab-keyed groupBy (sublinear in
+# corpus bytes), the top-K is TakeOrderedAndProject (per-partition heaps +
+# one K-row driver merge, no global sort), and the OLS folds K rows into
+# five scalar sums. Per-term ln() rounds to 8 decimals BEFORE the sums so
+# both engines fold the identical value grid (fold-order noise ~1e-12 <<
+# the final round-6 grid).
+# ---------------------------------------------------------------------------
+
+_ZIPF_K = 1000
+
+
+@query(
+    "text_zipf_slope",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest({_TOK}) AS term FROM documents),
+    tf AS (SELECT term, COUNT(*) AS freq FROM tok GROUP BY term),
+    topk AS (
+      SELECT term, freq,
+             ROW_NUMBER() OVER (ORDER BY freq DESC, term ASC) AS rank
+      FROM tf
+      ORDER BY freq DESC, term ASC LIMIT {_ZIPF_K}),
+    pts AS (
+      SELECT round(ln(rank), 8) AS x, round(ln(freq), 8) AS y FROM topk),
+    s AS (
+      SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      FROM pts)
+    SELECT CAST(n AS BIGINT) AS n_terms,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+           round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+             AS intercept
+    FROM s
+    """,
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(X.tokens()).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("freq"))
+    )
+    topk = tf.orderBy(F.desc("freq"), F.asc("term")).limit(_ZIPF_K)
+    rw = W.orderBy(F.desc("freq"), F.asc("term"))
+    pts = topk.select(
+        F.round(F.log(F.row_number().over(rw).cast("double")), 8).alias("x"),
+        F.round(F.log(F.col("freq").cast("double")), 8).alias("y"),
+    )
+    s = pts.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        F.col("n").cast("bigint").alias("n_terms"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Heaps-law curve: cumulative vocabulary size vs cumulative token count
+# across ten corpus-order slices (deciles of the doc_id order). The
+# classic way needs a sequential scan (vocab after each prefix); the
+# distributed form observes that a term enters the vocabulary exactly at
+# its FIRST-occurrence document, so: decile(doc) via the distributed
+# global rank (no single-partition window), first_decile(term) = min
+# decile over its postings (one vocab-keyed groupBy), and the cumulative
+# curve is a running sum over TEN rows (bounded window, whitelisted).
+# One corpus scan + one vocab groupBy at any corpus size.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_heaps_law_curve",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, {_TOK} AS toks,
+             ROW_NUMBER() OVER (ORDER BY doc_id ASC) AS rn,
+             COUNT(*) OVER () AS total
+      FROM documents),
+    bucketed AS (
+      SELECT doc_id, toks, ((rn - 1) * 10 // total) + 1 AS decile FROM ranked),
+    doc_tokens AS (
+      SELECT decile, SUM(len(toks)) AS toks_in_decile
+      FROM bucketed GROUP BY decile),
+    firstocc AS (
+      SELECT term, MIN(decile) AS first_decile
+      FROM (SELECT decile, unnest(toks) AS term FROM bucketed)
+      GROUP BY term),
+    new_vocab AS (
+      SELECT first_decile AS decile, COUNT(*) AS new_terms
+      FROM firstocc GROUP BY first_decile)
+    SELECT d.decile,
+           CAST(SUM(d.toks_in_decile)
+                OVER (ORDER BY d.decile
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS cum_tokens,
+           CAST(SUM(COALESCE(v.new_terms, 0))
+                OVER (ORDER BY d.decile
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS cum_vocab
+    FROM doc_tokens d LEFT JOIN new_vocab v ON v.decile = d.decile
+    ORDER BY d.decile
+    """,
+)
+def text_heaps_law_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from brooklin_spark.operators.distrank import global_row_number
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", X.tokens().alias("toks")
+    )
+    ranked = global_row_number(
+        docs, [F.col("doc_id").asc()], out="rn", total_out="total"
+    )
+    bucketed = ranked.select(
+        "toks",
+        (((F.col("rn") - 1) * 10 / F.col("total")).cast("bigint") + 1).alias(
+            "decile"
+        ),
+    ).localCheckpoint()  # feeds BOTH aggregates below; rank must not re-derive
+    doc_tokens = bucketed.groupBy("decile").agg(
+        F.sum(F.size("toks")).alias("toks_in_decile")
+    )
+    firstocc = (
+        bucketed.select("decile", F.explode("toks").alias("term"))
+        .groupBy("term")
+        .agg(F.min("decile").alias("decile"))
+        .groupBy("decile")
+        .agg(F.count("*").alias("new_terms"))
+    )
+    # ten-row cumulative window (bounded metadata — plan-audit whitelist)
+    joined = doc_tokens.join(firstocc, "decile", "left").select(
+        "decile",
+        "toks_in_decile",
+        F.coalesce("new_terms", F.lit(0)).alias("new_terms"),
+    )
+    cw = W.orderBy("decile").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        joined.select(
+            "decile",
+            F.sum("toks_in_decile").over(cw).cast("bigint").alias("cum_tokens"),
+            F.sum("new_terms").over(cw).cast("bigint").alias("cum_vocab"),
+        )
+        .orderBy("decile")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lexical-diversity profile per source: type-token ratio and hapax ratio —
+# the cheap dials that catch template farms (low TTR) and OCR noise (high
+# hapax share) before any model-based scoring. Per-(source, term) counts
+# are one vocab-keyed groupBy; everything downstream is |sources| rows.
+# Ratios come from exact integer sums, divided once and rounded.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_ttr_per_source",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, unnest({_TOK}) AS term FROM documents),
+    st AS (
+      SELECT source, term, COUNT(*) AS cnt FROM tok GROUP BY source, term)
+    SELECT source,
+           CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           round(COUNT(*) * 1.0 / SUM(cnt), 6) AS ttr,
+           round(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+             AS hapax_ratio
+    FROM st GROUP BY source
+    """,
+)
+def text_ttr_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    st = (
+        docs.select("source", F.explode(X.tokens()).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return st.groupBy("source").agg(
+        F.sum("cnt").cast("bigint").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("n_types"),
+        F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_hapax"),
+        F.round(F.count("*") / F.sum("cnt"), 6).alias("ttr"),
+        F.round(
+            F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0)) / F.count("*"), 6
+        ).alias("hapax_ratio"),
+    )
