@@ -1042,3 +1042,173 @@ def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("attributed_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Second-order path mining: top event-type TRIGRAMS across per-user event
+# sequences — the discovery primitive one step past the first-order
+# transition matrix (events_transition_matrix). Two lead() frames in ONE
+# user-keyed window pass (no self-joins), a |types|^3-bounded groupBy,
+# and a TakeOrderedAndProject top-20 with a full deterministic tie-break
+# (count desc, then the three types asc).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_trigram_paths",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS e1,
+             LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+             LEAD(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e3
+      FROM events),
+    tri AS (
+      SELECT e1, e2, e3, COUNT(*) AS n
+      FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+      GROUP BY 1, 2, 3),
+    ranked AS (
+      SELECT e1, e2, e3, n,
+             ROW_NUMBER() OVER (ORDER BY n DESC, e1 ASC, e2 ASC, e3 ASC) AS rank
+      FROM tri)
+    SELECT e1, e2, e3, CAST(n AS BIGINT) AS n_paths, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 20
+    """,
+)
+def events_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    tri = (
+        seq.filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+        .groupBy("e1", "e2", "e3")
+        .agg(F.count("*").alias("n"))
+    )
+    top = tri.orderBy(
+        F.desc("n"), F.asc("e1"), F.asc("e2"), F.asc("e3")
+    ).limit(20)
+    rw = W.orderBy(F.desc("n"), F.asc("e1"), F.asc("e2"), F.asc("e3"))
+    return top.select(
+        "e1",
+        "e2",
+        "e3",
+        F.col("n").cast("bigint").alias("n_paths"),
+        F.row_number().over(rw).cast("bigint").alias("rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Interval-overlap join: how many OTHER users' sessions overlap each
+# session in time, reported as a concurrency histogram. The generic
+# overlap join Spark lacks natively, composed at scale by GRAIN
+# BUCKETING: sessions explode into the hour buckets they span (sessions
+# are gap-bounded, so the per-session bucket list is small), pairs match
+# on bucket equality FIRST (an equi-join Catalyst can hash/sort-merge —
+# never a cross product), the overlap inequality runs as the join
+# residual, and multi-bucket double-counts collapse with one DISTINCT on
+# the pair key. At 100 TB the grain is tuned to the median interval
+# length; per-bucket density bounds the pair fan-out exactly like the
+# band join's histogram buckets. Sessions with zero overlaps stay in the
+# histogram via the left anti-free left join.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sessions_concurrency_overlap",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN date_diff('second',
+                                 LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                                 ts) > 1800
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events),
+    numbered AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_seq
+      FROM flagged),
+    sessions AS (
+      SELECT user_id, session_seq, MIN(ts) AS smin, MAX(ts) AS smax
+      FROM numbered GROUP BY user_id, session_seq),
+    ovl AS (
+      SELECT a.user_id AS ua, a.session_seq AS sa,
+             COUNT(DISTINCT (b.user_id, b.session_seq)) AS n_overlap
+      FROM sessions a
+      JOIN sessions b
+        ON b.user_id <> a.user_id
+       AND b.smin <= a.smax AND a.smin <= b.smax
+      GROUP BY 1, 2),
+    fullh AS (
+      SELECT s.user_id, s.session_seq, COALESCE(o.n_overlap, 0) AS n_overlap
+      FROM sessions s
+      LEFT JOIN ovl o ON o.ua = s.user_id AND o.sa = s.session_seq)
+    SELECT CAST(n_overlap AS BIGINT) AS n_overlap,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions
+    FROM fullh GROUP BY n_overlap
+    """,
+)
+def sessions_concurrency_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    gap_s = F.unix_timestamp("ts") - F.unix_timestamp(prev_ts)
+    is_new = F.when(prev_ts.isNull() | (gap_s > 1800), 1).otherwise(0)
+    cw = W.partitionBy("user_id").orderBy("ts").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    numbered = e.select(
+        "user_id", "ts", is_new.alias("is_new")
+    ).select("user_id", "ts", F.sum("is_new").over(cw).alias("session_seq"))
+    sessions = (
+        numbered.groupBy("user_id", "session_seq")
+        .agg(F.min("ts").alias("smin"), F.max("ts").alias("smax"))
+        .localCheckpoint()  # feeds the exploded join AND the final left join
+    )
+    # hour-grain buckets a session spans (gap-bounded sessions => few)
+    bucketed = sessions.select(
+        "user_id",
+        "session_seq",
+        "smin",
+        "smax",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", "smin"),
+                F.date_trunc("hour", "smax"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("bucket"),
+    )
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))  # equi key first
+            & (F.col("a.user_id") != F.col("b.user_id"))
+            & (F.col("b.smin") <= F.col("a.smax"))
+            & (F.col("a.smin") <= F.col("b.smax")),
+        )
+        .select(
+            F.col("a.user_id").alias("ua"),
+            F.col("a.session_seq").alias("sa"),
+            F.col("b.user_id").alias("ub"),
+            F.col("b.session_seq").alias("sb"),
+        )
+        .distinct()  # collapse multi-bucket double counts
+        .groupBy("ua", "sa")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    full = sessions.join(
+        pairs,
+        (sessions.user_id == pairs.ua) & (sessions.session_seq == pairs.sa),
+        "left",
+    ).select(F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"))
+    return full.groupBy("n_overlap").agg(
+        F.count("*").cast("bigint").alias("n_sessions")
+    ).select(F.col("n_overlap").cast("bigint").alias("n_overlap"), "n_sessions")

@@ -1521,3 +1521,94 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.collect_set("shingle").alias("shingles")
     )
     return D.jaccard_verify(arr, cand, threshold=_PF_TH)
+
+
+# ---------------------------------------------------------------------------
+# Bounded k-core peeling on the customer-supplier bipartite graph: three
+# rounds of "drop nodes with degree < k, keep edges between survivors" —
+# the densest-region extractor (community cores, fraud rings) that
+# complements PageRank (influence) and CC (components). k is
+# CORPUS-ADAPTIVE — floor(mean degree) + 1, an exact integer both engines
+# derive identically — because a frozen k is degenerate once degrees grow
+# with the data. Each round is two groupBys + two semi-joins on the pair
+# table; per-round state is the shrinking edge set, and the only
+# driver-side values are four bounded scalar counts (the PageRank n =
+# degree.count() contract). Reference analog: none (the reference stops
+# at transport) — this is the analytics extension, same family as
+# graph_pagerank_influence.
+# ---------------------------------------------------------------------------
+
+_KCORE_ROUNDS = 3
+
+
+def _kcore_round_sql(r: int) -> str:
+    prev = f"e{r - 1}"
+    return f"""
+    alive{r} AS (
+      SELECT node FROM (
+        SELECT node, COUNT(*) AS d FROM (
+          SELECT c AS node FROM {prev} UNION ALL SELECT s FROM {prev})
+        GROUP BY node) CROSS JOIN kv WHERE d >= k),
+    e{r} AS (
+      SELECT c, s FROM {prev}
+      WHERE c IN (SELECT node FROM alive{r})
+        AND s IN (SELECT node FROM alive{r})),
+    nodes{r} AS (
+      SELECT c AS node FROM e{r} UNION SELECT s FROM e{r})"""
+
+
+@query(
+    "graph_kcore_bounded",
+    oracle=f"""
+    WITH e0 AS (
+      SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+    deg0 AS (
+      SELECT node, COUNT(*) AS d FROM (
+        SELECT c AS node FROM e0 UNION ALL SELECT s FROM e0)
+      GROUP BY node),
+    kv AS (
+      SELECT (2 * (SELECT COUNT(*) FROM e0))
+               // (2 * (SELECT COUNT(*) FROM deg0)) + 1 AS k),
+    {",".join(_kcore_round_sql(r) for r in range(1, _KCORE_ROUNDS + 1))}
+    SELECT * FROM (
+      SELECT 0 AS round, (SELECT MAX(k) FROM kv) AS k,
+             (SELECT COUNT(*) FROM deg0) AS n_nodes,
+             (SELECT COUNT(*) FROM e0) AS n_edges
+      {"".join(f'''
+      UNION ALL SELECT {r}, (SELECT MAX(k) FROM kv),
+             (SELECT COUNT(*) FROM nodes{r}),
+             (SELECT COUNT(*) FROM e{r})''' for r in range(1, _KCORE_ROUNDS + 1))}
+    ) ORDER BY round
+    """,
+)
+def graph_kcore_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _graph_pairs(spark, sf_dir).select(
+        F.col("c_node").alias("c"), F.col("s_node").alias("s")
+    ).localCheckpoint()
+
+    def degree(edges: DataFrame) -> DataFrame:
+        return (
+            edges.select(F.col("c").alias("node"))
+            .unionAll(edges.select(F.col("s").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("d"))
+        )
+
+    deg = degree(e)
+    n_edges = e.count()  # bounded scalars: graph-size metadata, not data
+    n_nodes = deg.count()
+    k = (2 * n_edges) // max(2 * n_nodes, 1) + 1  # half mean degree + 1
+    stats = [(0, k, n_nodes, n_edges)]
+    for r in range(1, _KCORE_ROUNDS + 1):
+        alive = deg.filter(F.col("d") >= k).select("node")
+        e = (
+            e.join(alive, e.c == alive.node, "left_semi")
+            .join(alive, F.col("s") == alive.node, "left_semi")
+            .localCheckpoint()  # peeled edge set feeds degree AND next round
+        )
+        deg = degree(e)
+        stats.append((r, k, deg.count(), e.count()))  # deg rows == distinct post-peel nodes
+    return spark.createDataFrame(
+        stats, "round bigint, k bigint, n_nodes bigint, n_edges bigint"
+    )

@@ -1672,3 +1672,66 @@ def ann_ivf_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(
         queries, emb, cent, k=_IVF_K, nprobe=_IVF_NPROBE, assign=assign
     )
+
+
+# ---------------------------------------------------------------------------
+# Pairwise-cosine histogram over a deterministic embedding sample: the
+# calibration readout behind every near-dup threshold choice (where does
+# the corpus's similarity mass sit relative to the 0.7/0.8 cut?) and the
+# sanity check for LSH banding parameters. The sample (vec_id < _HIST_N)
+# is broadcast-sized by contract; pairs ride one broadcast nested-loop
+# over N(N-1)/2 rows, cosines run through the Arrow matmul kernel, and
+# the histogram is a 20-cell groupBy. At 100 TB the sample stays fixed —
+# the operator's cost is O(sample²), independent of corpus size.
+# ---------------------------------------------------------------------------
+
+_HIST_N = 200  # sample size => 19,900 pairs
+
+
+@query(
+    "embedding_cosine_histogram",
+    oracle=f"""
+    WITH s AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id < {_HIST_N}),
+    p AS (
+      SELECT round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                          b.embedding::DOUBLE[]), 6) AS sim
+      FROM s a JOIN s b ON a.vec_id < b.vec_id),
+    binned AS (
+      SELECT LEAST(19, GREATEST(0, CAST(floor((sim + 1.0) / 0.1) AS BIGINT)))
+               AS bin,
+             sim
+      FROM p)
+    SELECT bin,
+           round(bin * 0.1 - 1.0, 1) AS bin_lo,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           round(AVG(sim), 6) AS avg_sim
+    FROM binned GROUP BY bin
+    """,
+)
+def embedding_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    s = emb.filter(F.col("vec_id") < _HIST_N)
+    a = s.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("ea"))
+    b = s.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("eb"))
+    pairs = a.join(F.broadcast(b), F.col("ia") < F.col("ib")).select(
+        S.cosine_pairs_kernel(F.col("ea"), F.col("eb")).alias("sim")
+    )
+    bin_ = F.least(
+        F.lit(19),
+        F.greatest(F.lit(0), F.floor((F.col("sim") + 1.0) / 0.1)),
+    ).cast("bigint")
+    return (
+        pairs.select(bin_.alias("bin"), "sim")
+        .groupBy("bin")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.round(F.avg("sim"), 6).alias("avg_sim"),
+        )
+        .select(
+            "bin",
+            F.round(F.col("bin") * 0.1 - 1.0, 1).alias("bin_lo"),
+            "n_pairs",
+            "avg_sim",
+        )
+    )
