@@ -1544,30 +1544,30 @@ _KCORE_ROUNDS = 3
 def _kcore_round_sql(r: int) -> str:
     prev = f"e{r - 1}"
     return f"""
-    alive{r} AS (
+    alive{r} AS MATERIALIZED (
       SELECT node FROM (
         SELECT node, COUNT(*) AS d FROM (
           SELECT c AS node FROM {prev} UNION ALL SELECT s FROM {prev})
         GROUP BY node) CROSS JOIN kv WHERE d >= k),
-    e{r} AS (
+    e{r} AS MATERIALIZED (
       SELECT c, s FROM {prev}
       WHERE c IN (SELECT node FROM alive{r})
         AND s IN (SELECT node FROM alive{r})),
-    nodes{r} AS (
+    nodes{r} AS MATERIALIZED (
       SELECT c AS node FROM e{r} UNION SELECT s FROM e{r})"""
 
 
 @query(
     "graph_kcore_bounded",
     oracle=f"""
-    WITH e0 AS (
+    WITH e0 AS MATERIALIZED (
       SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
       FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
-    deg0 AS (
+    deg0 AS MATERIALIZED (
       SELECT node, COUNT(*) AS d FROM (
         SELECT c AS node FROM e0 UNION ALL SELECT s FROM e0)
       GROUP BY node),
-    kv AS (
+    kv AS MATERIALIZED (
       SELECT (2 * (SELECT COUNT(*) FROM e0))
                // (2 * (SELECT COUNT(*) FROM deg0)) + 1 AS k),
     {",".join(_kcore_round_sql(r) for r in range(1, _KCORE_ROUNDS + 1))}
@@ -1596,19 +1596,38 @@ def graph_kcore_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     deg = degree(e)
-    n_edges = e.count()  # bounded scalars: graph-size metadata, not data
-    n_nodes = deg.count()
+    # ONE bounded-scalar action for graph-size metadata: n_nodes = degree
+    # rows, n_edges = sum(d)/2 (each edge contributes two degree entries)
+    meta = deg.agg(
+        F.count("*").alias("n_nodes"), F.sum("d").alias("sum_d")
+    ).first()
+    n_nodes, n_edges = int(meta.n_nodes), int(meta.sum_d or 0) // 2
     k = (2 * n_edges) // max(2 * n_nodes, 1) + 1  # half mean degree + 1
-    stats = [(0, k, n_nodes, n_edges)]
+
+    def stat_row(r: int, d: DataFrame) -> DataFrame:
+        return d.agg(
+            F.lit(r).cast("bigint").alias("round"),
+            F.lit(k).cast("bigint").alias("k"),
+            F.count("*").cast("bigint").alias("n_nodes"),
+            (F.coalesce(F.sum("d"), F.lit(0)) / 2).cast("bigint").alias("n_edges"),
+        )
+
+    # the three peels build ONE lazy DAG evaluated by the caller's single
+    # action; each round's edge set is a LAZY localCheckpoint (cached on
+    # first materialization, reused by its two consumers within the same
+    # action) — 2 driver actions total instead of 2 + 2·rounds count()
+    # jobs, which dominated the wall clock at bench scale
+    stats = [stat_row(0, deg)]
     for r in range(1, _KCORE_ROUNDS + 1):
         alive = deg.filter(F.col("d") >= k).select("node")
         e = (
             e.join(alive, e.c == alive.node, "left_semi")
             .join(alive, F.col("s") == alive.node, "left_semi")
-            .localCheckpoint()  # peeled edge set feeds degree AND next round
+            .localCheckpoint(eager=False)
         )
         deg = degree(e)
-        stats.append((r, k, deg.count(), e.count()))  # deg rows == distinct post-peel nodes
-    return spark.createDataFrame(
-        stats, "round bigint, k bigint, n_nodes bigint, n_edges bigint"
-    )
+        stats.append(stat_row(r, deg))
+    out = stats[0]
+    for s in stats[1:]:
+        out = out.unionAll(s)
+    return out.orderBy("round")

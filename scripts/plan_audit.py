@@ -111,6 +111,7 @@ def main() -> None:
             "text_token_ids": "vocab id assignment runs AFTER TakeOrderedAndProject limit(VOCAB_N=256) — bounded-constant input; the vocab COUNT aggregate itself is never globally sorted",
             "events_changepoint_cusum": "CUSUM cumulative sum runs over the per-DAY aggregate (|days| rows — calendar scale, ~3.6k rows per decade); the fact-scale work is the map-side-combined daily groupBy before it; documented + plan-asserted in tests",
             "quality_ks_drift": "CDF cumulation runs over the per-distinct-token-count aggregate (|support| rows — bounded by distinct document lengths, hundreds; not corpus scale); the fact-scale work is the map-side-combined groupBy(x) before it",
+            "text_heaps_law_curve": "cumulative window runs over the per-DECILE aggregate (exactly 10 rows); the fact-scale work is the distrank decile assignment + vocab groupBy before it",
         },
     }
     agg["unjustified_self_join_candidate_generators"] = sorted(
