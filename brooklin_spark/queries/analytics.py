@@ -1212,3 +1212,143 @@ def sessions_concurrency_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return full.groupBy("n_overlap").agg(
         F.count("*").cast("bigint").alias("n_sessions")
     ).select(F.col("n_overlap").cast("bigint").alias("n_overlap"), "n_sessions")
+
+
+# ---------------------------------------------------------------------------
+# Robust outlier screen per event type: median / MAD (median absolute
+# deviation) with the 0.6745-normalized robust z-score at the standard
+# 3.5 cut (Iglewicz-Hoberg) — the outlier filter that survives the heavy
+# tails that break mean/stddev screens. Exact medians via percentile()
+# (== DuckDB quantile_cont, both exact interpolation); at 100 TB the
+# exact form pays a per-group value buffer, and the documented scale path
+# swaps in approx_percentile with identical downstream arithmetic. Two
+# scans + one broadcast of the |types|-row median table.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_value_mad_outliers",
+    oracle="""
+    WITH base AS (
+      SELECT event_type, value FROM events WHERE value IS NOT NULL),
+    med AS (
+      SELECT event_type, round(quantile_cont(value, 0.5), 8) AS med
+      FROM base GROUP BY event_type),
+    dev AS (
+      SELECT b.event_type, b.value, m.med, abs(b.value - m.med) AS dv
+      FROM base b JOIN med m USING (event_type)),
+    mad AS (
+      SELECT event_type, round(quantile_cont(dv, 0.5), 8) AS mad
+      FROM dev GROUP BY event_type)
+    SELECT d.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MAX(d.med) AS med,
+           MAX(a.mad) AS mad,
+           CAST(SUM(CASE WHEN a.mad > 0 AND 0.6745 * d.dv / a.mad > 3.5
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad a USING (event_type)
+    GROUP BY d.event_type
+    """,
+)
+def events_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "value")
+    )
+    med = base.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 8).alias("med")
+    )
+    dev = base.join(F.broadcast(med), "event_type").select(
+        "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("dv")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.round(F.percentile("dv", F.lit(0.5)), 8).alias("mad")
+    )
+    flagged = dev.join(F.broadcast(mad), "event_type")
+    return flagged.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.max("med").alias("med"),
+        F.max("mad").alias("mad"),
+        F.sum(
+            F.when(
+                (F.col("mad") > 0)
+                & (0.6745 * F.col("dv") / F.col("mad") > 3.5),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_outliers"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A-priori step two: frequent part TRIPLES per basket — the 3-itemset
+# sibling of basket_part_affinity. Same carried-size discipline: triples
+# generate INSIDE the row pipeline from each basket's sorted part array
+# (double slice-explode, C(basket,3) bounded by basket size ~4-7 — never
+# a three-way table self-join), so candidate volume grows linearly with
+# orders at any scale. Top-20 with a full deterministic tie-break.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "basket_apriori_triples",
+    oracle="""
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    triples AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb, c.l_partkey AS pc,
+             COUNT(*) AS n
+      FROM baskets a
+      JOIN baskets b ON b.l_orderkey = a.l_orderkey
+                    AND a.l_partkey < b.l_partkey
+      JOIN baskets c ON c.l_orderkey = a.l_orderkey
+                    AND b.l_partkey < c.l_partkey
+      GROUP BY 1, 2, 3
+      HAVING COUNT(*) >= 2),
+    ranked AS (
+      SELECT pa, pb, pc, n,
+             ROW_NUMBER() OVER (ORDER BY n DESC, pa ASC, pb ASC, pc ASC)
+               AS rank
+      FROM triples)
+    SELECT pa, pb, pc, CAST(n AS BIGINT) AS n_together,
+           CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 20
+    """,
+)
+def basket_apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    # (i, pa) x (j > i, pb) x (rest, pc) — combinations, not joins
+    triples = (
+        baskets.select(F.posexplode("parts").alias("i", "pa"), "parts")
+        .select(
+            "pa",
+            F.posexplode(F.expr("slice(parts, i + 2, size(parts))")).alias(
+                "j", "pb"
+            ),
+            F.expr("slice(parts, i + 2, size(parts))").alias("rest"),
+        )
+        .select(
+            "pa",
+            "pb",
+            F.explode(F.expr("slice(rest, j + 2, size(rest))")).alias("pc"),
+        )
+        .groupBy("pa", "pb", "pc")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 2)
+    )
+    top = triples.orderBy(
+        F.desc("n"), F.asc("pa"), F.asc("pb"), F.asc("pc")
+    ).limit(20)
+    rw = W.orderBy(F.desc("n"), F.asc("pa"), F.asc("pb"), F.asc("pc"))
+    return top.select(
+        "pa",
+        "pb",
+        "pc",
+        F.col("n").cast("bigint").alias("n_together"),
+        F.row_number().over(rw).cast("bigint").alias("rank"),
+    )

@@ -1185,3 +1185,55 @@ def corpus_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranked.filter((F.col("rk") - 1) % _SYS_STRIDE == 0)
         .select("doc_id", "lang", "source", F.col("rk").cast("bigint").alias("rk"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Shard mixing-quality audit: hash-shard the corpus and measure each
+# shard's SOURCE-mix entropy against the corpus-level mix — the check
+# that training shards are well-interleaved (a shard dominated by one
+# source trains a biased step at that point in the epoch). Shard
+# assignment reuses the overflow-safe Knuth hash; the audit is one
+# (shard x source) groupBy, then |shards|-row arithmetic. Entropy terms
+# round to 8 (libm ln) before the per-shard sum.
+# ---------------------------------------------------------------------------
+
+_MIX_SHARDS = 16
+
+
+@query(
+    "corpus_shard_mixing_entropy",
+    oracle=f"""
+    WITH h AS (
+      SELECT source, ({_SRC_CAP_HV_SQL}) % {_MIX_SHARDS} AS shard
+      FROM documents),
+    cells AS (
+      SELECT shard, source, COUNT(*) AS cnt FROM h GROUP BY shard, source),
+    tot AS (SELECT shard, SUM(cnt) AS n_docs FROM cells GROUP BY shard),
+    terms AS (
+      SELECT c.shard, t.n_docs,
+             round((c.cnt * 1.0 / t.n_docs)
+                   * ln(c.cnt * 1.0 / t.n_docs), 8) AS term
+      FROM cells c JOIN tot t USING (shard))
+    SELECT shard,
+           CAST(MAX(n_docs) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_sources,
+           round(-SUM(term), 6) AS mix_entropy
+    FROM terms GROUP BY shard
+    """,
+)
+def corpus_shard_mixing_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select(
+        "source",
+        (F.expr(_SRC_CAP_HV_SPARK_SQL) % _MIX_SHARDS).alias("shard"),
+    )
+    cells = docs.groupBy("shard", "source").agg(F.count("*").alias("cnt"))
+    tot = cells.groupBy("shard").agg(F.sum("cnt").alias("n_docs"))
+    p = F.col("cnt") / F.col("n_docs")
+    terms = cells.join(F.broadcast(tot), "shard").select(
+        "shard", "n_docs", F.round(p * F.log(p), 8).alias("term")
+    )
+    return terms.groupBy("shard").agg(
+        F.max("n_docs").cast("bigint").alias("n_docs"),
+        F.count("*").cast("bigint").alias("n_sources"),
+        F.round(-F.sum("term"), 6).alias("mix_entropy"),
+    )

@@ -435,3 +435,61 @@ def quality_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tr").alias("n_rest"),
     )
     return scored.orderBy(F.desc("ks_stat"), F.asc("at_value")).limit(1)
+
+
+# ---------------------------------------------------------------------------
+# Calibration curve (reliability diagram) for the trained quality head:
+# sigmoid scores bucketed into 10 probability bins with per-bin mean
+# predicted probability vs actual positive rate — the readout that tells
+# a curation pipeline whether "score > 0.9" MEANS 90% (the probe's AUC
+# says ranking quality; this says threshold trust). Same trained weights
+# and scoring join as the eval query; the diagram itself is a 10-cell
+# groupBy. Sigmoid rounds to 8 (libm exp policy) before bucketing.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "quality_probe_calibration",
+    oracle=f"""
+    WITH {_PROBE_BASE_SQL},
+    {_probe_rounds_sql()},
+    scored AS (
+      SELECT z.vec_id,
+             round(1.0 / (1.0 + exp(-round(z.z, 8))), 8) AS p,
+             l.y
+      FROM (
+        SELECT f.vec_id, SUM(f.x * w.val) AS z
+        FROM flat f JOIN w_{_PROBE_ROUNDS} w ON w.i = f.i GROUP BY f.vec_id
+      ) z JOIN lab l ON l.vec_id = z.vec_id),
+    binned AS (
+      SELECT LEAST(9, CAST(floor(p * 10) AS BIGINT)) AS bin, p, y
+      FROM scored)
+    SELECT bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           round(AVG(p), 6) AS mean_predicted,
+           round(AVG(y), 6) AS actual_rate
+    FROM binned GROUP BY bin
+    """,
+)
+def quality_probe_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    flat, lab = _probe_frames(spark, sf_dir)
+    w = _probe_train(spark, flat, lab)
+    scored = (
+        flat.join(F.broadcast(w), "i")
+        .groupBy("vec_id")
+        .agg(F.round(F.sum(F.col("x") * F.col("val")), 8).alias("z"))
+        .join(lab, "vec_id")
+        .select(
+            F.round(1.0 / (1.0 + F.exp(-F.col("z"))), 8).alias("p"), "y"
+        )
+    )
+    binned = scored.select(
+        F.least(F.lit(9), F.floor(F.col("p") * 10)).cast("bigint").alias("bin"),
+        "p",
+        "y",
+    )
+    return binned.groupBy("bin").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.avg("p"), 6).alias("mean_predicted"),
+        F.round(F.avg("y"), 6).alias("actual_rate"),
+    )
