@@ -1460,11 +1460,17 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one kernel pass materialized once: rows feed df stats, the prefix
     # window AND (via arrays below) the verify — python subtrees never
     # canonicalize equal, so without the checkpoint each consumer re-runs
-    # the shingler
+    # the shingler. LAZY cuts (r8): every consumer sits inside the one
+    # final action, so the first materialization caches for the rest —
+    # two fewer job launches than eager cuts, same single kernel pass.
+    # (A pure-JVM shingle expression was measured 3x SLOWER than this
+    # Arrow kernel at sf0.1 — codegen string HOFs + a thin scan-side
+    # partition count; the kernel's explicit repartition is part of the
+    # win.)
     sh = (
         D.shingle_rows_pandas(docs, n=3)
         .select("id", "n", F.xxhash64("shingle").alias("shingle"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     df = sh.groupBy("shingle").agg(F.count("*").alias("df"))
     rn = F.row_number().over(
@@ -1478,7 +1484,7 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         sh.join(df, "shingle")  # vocab-keyed, no broadcast hint
         .withColumn("rn", rn)
         .select("id", "n", "shingle", "rn")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     prefix = windowed.filter(F.col("rn") <= p).select("id", "n", "shingle", "rn")
     a, b = prefix.alias("a"), prefix.alias("b")
