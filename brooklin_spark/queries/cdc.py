@@ -702,3 +702,75 @@ def privacy_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(_DP_EPSILON).alias("epsilon"),
         F.round(F.col("true_count") + noise, 6).alias("noisy_count"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff / mirror reconciliation: classify every key across two
+# table snapshots as added / removed / changed / unchanged and report
+# exact integer drift — the "did the mirror diverge" audit a Brooklin
+# operator runs between source and destination after an incident
+# (reference analog: the mirroring flows of
+# KafkaMirrorMakerConnectorTask.java; the audit itself is the analytics
+# extension). Snapshots here are deterministic residue-class slices of
+# orders standing in for T-1 and T. ONE full-outer key join (no
+# broadcast: both sides are table-scaled); all drift arithmetic rides
+# integer cents.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cdc_snapshot_diff_reconcile",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey % 97 <> 3),
+    curr AS (
+      SELECT o_orderkey AS k,
+             CAST(round(o_totalprice * 100) AS BIGINT)
+               + CASE WHEN o_orderkey % 13 = 0 THEN 1 ELSE 0 END AS cents
+      FROM orders WHERE o_orderkey % 89 <> 7),
+    d AS (
+      SELECT COALESCE(b.k, c.k) AS k, b.cents AS bc, c.cents AS cc
+      FROM base b FULL OUTER JOIN curr c ON c.k = b.k)
+    SELECT CASE WHEN bc IS NULL THEN 'added'
+                WHEN cc IS NULL THEN 'removed'
+                WHEN bc <> cc THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(CASE WHEN bc IS NOT NULL AND cc IS NOT NULL
+                         THEN abs(cc - bc) ELSE 0 END) AS BIGINT)
+             AS drift_cents
+    FROM d GROUP BY 1
+    """,
+)
+def cdc_snapshot_diff_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    base = o.filter(F.col("o_orderkey") % 97 != 3).select(
+        F.col("o_orderkey").alias("k"), cents.alias("bc")
+    )
+    curr = o.filter(F.col("o_orderkey") % 89 != 7).select(
+        F.col("o_orderkey").alias("k"),
+        (
+            cents
+            + F.when(F.col("o_orderkey") % 13 == 0, 1).otherwise(0)
+        ).alias("cc"),
+    )
+    d = base.join(curr, "k", "full_outer")
+    status = (
+        F.when(F.col("bc").isNull(), "added")
+        .when(F.col("cc").isNull(), "removed")
+        .when(F.col("bc") != F.col("cc"), "changed")
+        .otherwise("unchanged")
+    )
+    return d.select(status.alias("status"), "bc", "cc").groupBy("status").agg(
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.sum(
+            F.when(
+                F.col("bc").isNotNull() & F.col("cc").isNotNull(),
+                F.abs(F.col("cc") - F.col("bc")),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("drift_cents"),
+    )

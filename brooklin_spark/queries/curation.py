@@ -1237,3 +1237,52 @@ def corpus_shard_mixing_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_sources"),
         F.round(-F.sum("term"), 6).alias("mix_entropy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Stratified train/val/test split: per-language proportional 80/10/10 by
+# the deterministic doc-id hash — the plain stratified sibling of the
+# cluster-keyed dedup_leakage_safe_split (use THAT when near-dups must
+# not straddle splits; use THIS when strata proportions are the
+# contract). Map-side bucket assignment + one (lang, split) groupBy;
+# fractions from exact integer counts.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "corpus_stratified_split",
+    oracle=f"""
+    WITH h AS (
+      SELECT lang, ({_SRC_CAP_HV_SQL}) % 10 AS b FROM documents),
+    tagged AS (
+      SELECT lang, CASE WHEN b <= 7 THEN 'train'
+                        WHEN b = 8 THEN 'val'
+                        ELSE 'test' END AS split
+      FROM h),
+    cells AS (
+      SELECT lang, split, COUNT(*) AS n_docs FROM tagged GROUP BY 1, 2),
+    tot AS (SELECT lang, SUM(n_docs) AS lang_docs FROM cells GROUP BY lang)
+    SELECT c.lang, c.split, CAST(c.n_docs AS BIGINT) AS n_docs,
+           round(c.n_docs * 1.0 / t.lang_docs, 6) AS frac
+    FROM cells c JOIN tot t USING (lang)
+    """,
+)
+def corpus_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select(
+        "lang", (F.expr(_SRC_CAP_HV_SPARK_SQL) % 10).alias("b")
+    )
+    tagged = docs.select(
+        "lang",
+        F.when(F.col("b") <= 7, "train")
+        .when(F.col("b") == 8, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    cells = tagged.groupBy("lang", "split").agg(F.count("*").alias("n_docs"))
+    tot = cells.groupBy("lang").agg(F.sum("n_docs").alias("lang_docs"))
+    return cells.join(F.broadcast(tot), "lang").select(
+        "lang",
+        "split",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.round(F.col("n_docs") / F.col("lang_docs"), 6).alias("frac"),
+    )
