@@ -76,7 +76,19 @@ def format_field_meta(pairs: dict[str, str]) -> str:
 
 @dataclass
 class ColumnMeta:
-    """One column's database metadata (FieldMetadata.java:20-46)."""
+    """One column's database metadata (FieldMetadata.java:20-46).
+
+    Nested types (FieldType.java:8-31's three kinds): a column whose
+    db_type is ARRAY carries its single element type in ``element``
+    (Oracle collections are strictly mono-typed — FieldType.java:27-29);
+    a TABLE (struct) column carries its child columns in ``children``.
+    ``type_name`` is the custom database type's name (e.g. SETTING,
+    PHONE_NUMBERS) used to name the nested Avro record / array, matching
+    AvroJson.arrayType's UPPER_UNDERSCORE -> lowerCamel rename
+    (AvroJson.java:50-58) and recordType's name field
+    (AvroJson.java:63-71). Elements/children recurse to any depth —
+    arrays of structs of arrays all derive.
+    """
 
     name: str
     db_type: str
@@ -84,6 +96,9 @@ class ColumnMeta:
     nullable: bool = True
     precision: int | None = None
     scale: int | None = None
+    element: "ColumnMeta | None" = None
+    children: "list[ColumnMeta] | None" = None
+    type_name: str | None = None
 
     def meta_string(self) -> str:
         pairs = {
@@ -112,19 +127,49 @@ class ColumnMeta:
         )
 
 
-def _avro_field(col: ColumnMeta) -> dict:
+def _lower_camel(upper_underscore: str) -> str:
+    """UPPER_UNDERSCORE -> lowerCamel (AvroJson.arrayType's rename)."""
+    parts = upper_underscore.strip().lower().split("_")
+    return parts[0] + "".join(p.capitalize() for p in parts[1:])
+
+
+def _avro_type(col: ColumnMeta) -> object:
+    """The Avro TYPE value for a column: a primitive name string, or the
+    nested array/record document (AvroJson.arrayType/recordType parity)."""
     avro_type = db_type_to_avro(col.db_type)
-    if avro_type in ("array", "record"):
-        # ARRAY needs an items schema and TABLE (struct) needs name/fields
-        # — a bare "array"/"record" type is not a valid Avro document, so
-        # fail loudly instead of emitting a schema no parser accepts. The
-        # reference models these with nested FieldType trees
-        # (OracleTableType/OracleCollectionType); this generator's scope
-        # is flat relational tables (the chunked-JDBC snapshot source).
-        raise NotImplementedError(
-            f"column {col.name!r}: {col.db_type} requires a nested element "
-            "schema; flat relational columns only"
-        )
+    if avro_type == "array":
+        if col.element is None:
+            raise ValueError(
+                f"column {col.name!r}: ARRAY requires an `element` type "
+                "(Oracle collections are strictly mono-typed)"
+            )
+        return {
+            "type": "array",
+            # AvroJson.arrayType:50-58 names the array after the custom
+            # collection type, lower-camelized
+            "name": _lower_camel(col.type_name or col.name),
+            "items": _avro_type(col.element),
+        }
+    if avro_type == "record":
+        if not col.children:
+            raise ValueError(
+                f"column {col.name!r}: TABLE (struct) requires `children`"
+            )
+        name = col.type_name or col.name
+        return {
+            "type": "record",
+            "name": name,
+            "meta": format_field_meta({"dbTableName": name}),
+            "fields": [
+                _avro_field(c)
+                for c in sorted(col.children, key=lambda c: c.position)
+            ],
+        }
+    return avro_type
+
+
+def _avro_field(col: ColumnMeta) -> dict:
+    avro_type = _avro_type(col)
     field: dict = {"name": col.name, "meta": col.meta_string()}
     if col.nullable:
         # AvroJson.nullableType order: the real type first, then "null"
@@ -183,27 +228,53 @@ _SPARK_TO_DB = {
 }
 
 
+def _spark_field_to_col(name: str, dtype, nullable: bool, position: int) -> ColumnMeta:
+    """Recursive Spark DataType -> ColumnMeta (arrays/structs nest to any
+    depth — the FieldType tree the reference models for Oracle custom
+    types, derived here from the engine's own schema objects)."""
+    from pyspark.sql import types as T
+
+    if isinstance(dtype, T.DecimalType):
+        return ColumnMeta(
+            name, "NUMBER", position, nullable, dtype.precision, dtype.scale
+        )
+    if isinstance(dtype, T.ArrayType):
+        elem = _spark_field_to_col(
+            f"{name}_item", dtype.elementType, dtype.containsNull, 0
+        )
+        return ColumnMeta(
+            name, "ARRAY", position, nullable,
+            element=elem, type_name=name.upper(),
+        )
+    if isinstance(dtype, T.StructType):
+        children = [
+            _spark_field_to_col(f.name, f.dataType, f.nullable, i)
+            for i, f in enumerate(dtype.fields)
+        ]
+        return ColumnMeta(
+            name, "TABLE", position, nullable,
+            children=children, type_name=name.upper(),
+        )
+    t = dtype.simpleString()
+    db = _SPARK_TO_DB.get(t)
+    if db is None:
+        raise ValueError(f"no avro mapping for Spark type {t!r} ({name})")
+    return ColumnMeta(name, db, position, nullable)
+
+
 def spark_schema_to_avro(
     schema, table_name: str, schema_name: str = "spark", namespace: str = "com.example.events"
 ) -> dict:
     """Derive the Avro record for a Spark StructType (engine-native path).
 
     Decimal(p, s) maps to NUMBER → "string" with precision/scale metadata,
-    byte-compatible with the reference's Oracle NUMBER handling.
+    byte-compatible with the reference's Oracle NUMBER handling; arrays
+    and structs recurse into nested Avro array/record documents.
     """
-    cols: list[ColumnMeta] = []
-    for i, f in enumerate(schema.fields):
-        t = f.dataType.simpleString()
-        if t.startswith("decimal("):
-            p, s = t[len("decimal(") : -1].split(",")
-            cols.append(
-                ColumnMeta(f.name, "NUMBER", i, f.nullable, int(p), int(s))
-            )
-            continue
-        db = _SPARK_TO_DB.get(t)
-        if db is None:
-            raise ValueError(f"no avro mapping for Spark type {t!r} ({f.name})")
-        cols.append(ColumnMeta(f.name, db, i, f.nullable))
+    cols = [
+        _spark_field_to_col(f.name, f.dataType, f.nullable, i)
+        for i, f in enumerate(schema.fields)
+    ]
     return generate_table_schema(schema_name, table_name, cols, namespace)
 
 

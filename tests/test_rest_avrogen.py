@@ -477,3 +477,112 @@ def test_metrics_route(server):
     assert {"pipelines", "active_queries", "listener"} <= set(out)
     lst = out["listener"]
     assert {"queries", "batches", "input_rows", "batch_ms_p50"} <= set(lst)
+
+
+# --------------------------------------------------------------------------
+# Round-8: nested FieldType trees (FieldType.java:8-31's struct/array
+# kinds) — arrays, structs, arrays-of-structs derive to any depth.
+# --------------------------------------------------------------------------
+
+
+def test_avrogen_array_column():
+    from brooklin_spark.functions.avrogen import ColumnMeta, generate_table_schema
+
+    col = ColumnMeta(
+        "phone_numbers", "ARRAY", 0, nullable=False,
+        element=ColumnMeta("item", "VARCHAR", 0, nullable=False),
+        type_name="PHONE_NUMBERS",
+    )
+    rec = generate_table_schema("s", "t", [col])
+    f = rec["fields"][0]
+    assert f["type"] == {
+        "type": "array",
+        "name": "phoneNumbers",  # UPPER_UNDERSCORE -> lowerCamel
+        "items": "string",
+    }
+
+
+def test_avrogen_struct_column_nullable_union_order():
+    from brooklin_spark.functions.avrogen import ColumnMeta, generate_table_schema
+
+    col = ColumnMeta(
+        "settings", "TABLE", 0, nullable=True,
+        children=[
+            ColumnMeta("volume", "INTEGER", 0, nullable=False),
+            ColumnMeta("label", "VARCHAR", 1, nullable=True),
+        ],
+        type_name="SETTING",
+    )
+    rec = generate_table_schema("s", "t", [col])
+    f = rec["fields"][0]
+    # nullable union: real type FIRST, then "null" (AvroJson.nullableType)
+    assert isinstance(f["type"], list) and f["type"][1] == "null"
+    inner = f["type"][0]
+    assert inner["type"] == "record" and inner["name"] == "SETTING"
+    assert [c["name"] for c in inner["fields"]] == ["volume", "label"]
+    assert f["default"] is None
+
+
+def test_avrogen_array_of_struct_depth():
+    from brooklin_spark.functions.avrogen import ColumnMeta, generate_table_schema
+
+    elem = ColumnMeta(
+        "addr", "TABLE", 0, nullable=False,
+        children=[ColumnMeta("zip", "VARCHAR", 0, nullable=False)],
+        type_name="ADDR",
+    )
+    col = ColumnMeta(
+        "addresses", "ARRAY", 0, nullable=False, element=elem,
+        type_name="ADDRESSES",
+    )
+    rec = generate_table_schema("s", "t", [col])
+    items = rec["fields"][0]["type"]["items"]
+    assert items["type"] == "record" and items["fields"][0]["name"] == "zip"
+
+
+def test_avrogen_array_requires_element():
+    import pytest
+
+    from brooklin_spark.functions.avrogen import ColumnMeta, generate_table_schema
+
+    with pytest.raises(ValueError, match="mono-typed"):
+        generate_table_schema(
+            "s", "t", [ColumnMeta("xs", "ARRAY", 0, nullable=False)]
+        )
+
+
+def test_avrogen_spark_nested_schema(spark):
+    from pyspark.sql import types as T
+
+    from brooklin_spark.functions.avrogen import spark_schema_to_avro
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField(
+                "tags", T.ArrayType(T.StringType(), False), True
+            ),
+            T.StructField(
+                "meta",
+                T.StructType(
+                    [
+                        T.StructField("k", T.StringType(), True),
+                        T.StructField(
+                            "scores", T.ArrayType(T.DoubleType(), False), False
+                        ),
+                    ]
+                ),
+                False,
+            ),
+        ]
+    )
+    rec = spark_schema_to_avro(schema, "docs")
+    by_name = {f["name"]: f for f in rec["fields"]}
+    assert by_name["id"]["type"] == "long"
+    tags = by_name["tags"]["type"]
+    assert tags[1] == "null" and tags[0]["type"] == "array"
+    assert tags[0]["items"] == "string"
+    meta = by_name["meta"]["type"]
+    assert meta["type"] == "record"
+    inner = {f["name"]: f for f in meta["fields"]}
+    assert inner["scores"]["type"]["items"] == "double"
