@@ -77,14 +77,20 @@ def atomic_publish(tmp: str, idx: str, success_rel: str = "_SUCCESS") -> None:
     atomic, so two losers cannot both "clear" the same incomplete index
     (the race the old copy-pasted rmtree-then-rename block had).
 
-    ``success_rel`` is the path (relative to the index root) whose
-    existence marks a COMPLETE index — Spark writes it during the parquet
-    job, before publish, so any successfully-renamed dir already has it.
+    ``success_rel`` is the path — or list of paths — relative to the index
+    root whose existence marks a COMPLETE index; Spark writes each during
+    its parquet job, before publish, so any successfully-renamed dir
+    already has them all.  Multi-part indexes (BM25's postings + stats)
+    MUST pass every part's marker: a build that crashed between the parts
+    has the first marker but not the last, and treating it as complete
+    would keep the broken dir and discard the fresh good build (r8 advice).
     """
     import shutil
 
+    rels = (success_rel,) if isinstance(success_rel, str) else tuple(success_rel)
+
     def _complete(d: str) -> bool:
-        return os.path.exists(os.path.join(d, success_rel))
+        return all(os.path.exists(os.path.join(d, r)) for r in rels)
 
     for _ in range(16):
         try:
@@ -104,6 +110,26 @@ def atomic_publish(tmp: str, idx: str, success_rel: str = "_SUCCESS") -> None:
             os.rename(idx, trash)
         except OSError:
             continue  # another builder is clearing or publishing — retry
+        # TOCTOU guard (r8 advice): between our _complete(idx) == False and
+        # winning the rename, a concurrent builder may have cleared the
+        # stale dir and published a COMPLETE index — which we just grabbed.
+        # Re-check inside the trash dir we now own exclusively; if it is
+        # complete, restore it instead of deleting another builder's
+        # publish out from under concurrent readers.
+        if _complete(trash):
+            try:
+                os.rename(trash, idx)  # restore; atomic while idx absent
+                shutil.rmtree(tmp, ignore_errors=True)
+                return
+            except OSError:
+                # a third builder already published at idx; if that one is
+                # complete we can safely drop the copy we hold
+                if _complete(idx):
+                    shutil.rmtree(trash, ignore_errors=True)
+                    shutil.rmtree(tmp, ignore_errors=True)
+                    return
+                # served dir incomplete again — drop our trash copy and
+                # retry the loop to clear/republish
         shutil.rmtree(trash, ignore_errors=True)
     shutil.rmtree(tmp, ignore_errors=True)
     raise RuntimeError(f"atomic_publish: could not publish {idx}")

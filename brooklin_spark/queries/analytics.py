@@ -1120,7 +1120,7 @@ def events_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sessions_concurrency_overlap",
     oracle="""
     WITH flagged AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN date_diff('second',
                                  LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
                                  ts) > 1800
@@ -1129,7 +1129,7 @@ def events_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events),
     numbered AS (
       SELECT user_id, ts,
-             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS session_seq
       FROM flagged),
@@ -1159,11 +1159,14 @@ def sessions_concurrency_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev_ts = F.lag("ts").over(w)
     gap_s = F.unix_timestamp("ts") - F.unix_timestamp(prev_ts)
     is_new = F.when(prev_ts.isNull() | (gap_s > 1800), 1).otherwise(0)
-    cw = W.partitionBy("user_id").orderBy("ts").rowsBetween(
+    # cumulative numbering MUST share the lag window's (ts, event_id) tie
+    # order: with ts-only ordering, duplicate timestamps at a session
+    # boundary could be numbered differently across engines (r8 advice)
+    cw = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         W.unboundedPreceding, W.currentRow
     )
     numbered = e.select(
-        "user_id", "ts", is_new.alias("is_new")
+        "user_id", "ts", "event_id", is_new.alias("is_new")
     ).select("user_id", "ts", F.sum("is_new").over(cw).alias("session_seq"))
     sessions = (
         numbered.groupBy("user_id", "session_seq")

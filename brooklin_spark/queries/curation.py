@@ -725,15 +725,21 @@ def dedup_cluster_size_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SRC_CAP_MULT = 2654435761  # Knuth multiplicative hash
 # (doc_id * MULT) mod 2^32 computed overflow-safe for ANY int64 doc_id:
-# split d = d_hi*2^16 + d_lo (d = doc_id mod 2^32), then
+# first normalize d = doc_id mod 2^32 to its NONNEGATIVE representative
+# with a pmod ((x % m + m) % m) — Spark's % and DuckDB's % both return
+# negative remainders for negative doc_id, and on negative operands
+# DuckDB's // (floor) diverges from Spark's DIV (trunc), so the split
+# below is only engine-identical once d >= 0 (r8 advice). Then split
+# d = d_hi*2^16 + d_lo:
 #   d*MULT mod 2^32 = (d_lo*MULT + d_hi*(MULT*2^16 mod 2^32)) mod 2^32
 # — every intermediate stays < 2^49, so Spark and DuckDB agree exactly even
 # past doc_id ~3.47e9 where the naive multiply would overflow int64 (Spark
 # wraps silently, DuckDB raises). Value-identical to the naive form.
 _SRC_CAP_MULT_HI16 = (_SRC_CAP_MULT * 65536) % 4294967296  # 2041643008
+_SRC_CAP_D_SQL = "(doc_id % 4294967296 + 4294967296) % 4294967296"
 _SRC_CAP_HV_SQL = (
-    f"((doc_id % 4294967296) % 65536 * {_SRC_CAP_MULT} + "
-    f"(doc_id % 4294967296) // 65536 * {_SRC_CAP_MULT_HI16}) % 4294967296"
+    f"(({_SRC_CAP_D_SQL}) % 65536 * {_SRC_CAP_MULT} + "
+    f"({_SRC_CAP_D_SQL}) // 65536 * {_SRC_CAP_MULT_HI16}) % 4294967296"
 )
 _SRC_CAP_HV_SPARK_SQL = _SRC_CAP_HV_SQL.replace("//", "DIV")
 

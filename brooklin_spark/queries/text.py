@@ -2449,7 +2449,14 @@ def _bm25_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]
         ).write.mode("overwrite").parquet(_os.path.join(tmp, "stats"))
         # atomic publish: a concurrent builder that lost the race keeps
         # the already-served index and discards its own build
-        atomic_publish(tmp, idx, success_rel=_os.path.join("postings", "_SUCCESS"))
+        atomic_publish(
+            tmp,
+            idx,
+            success_rel=[
+                _os.path.join("postings", "_SUCCESS"),
+                _os.path.join("stats", "_SUCCESS"),
+            ],
+        )
     return (
         spark.read.parquet(_os.path.join(idx, "postings")),
         spark.read.parquet(_os.path.join(idx, "stats")),
@@ -2768,7 +2775,14 @@ def _bm25_base_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataF
             F.count("*").cast("bigint").alias("n_docs"),
             F.sum("dl").cast("bigint").alias("sum_dl"),
         ).write.mode("overwrite").parquet(_os.path.join(tmp, "stats"))
-        atomic_publish(tmp, idx, success_rel=_os.path.join("postings", "_SUCCESS"))
+        atomic_publish(
+            tmp,
+            idx,
+            success_rel=[
+                _os.path.join("postings", "_SUCCESS"),
+                _os.path.join("stats", "_SUCCESS"),
+            ],
+        )
     return (
         spark.read.parquet(_os.path.join(idx, "postings")),
         spark.read.parquet(_os.path.join(idx, "stats")),
