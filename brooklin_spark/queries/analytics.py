@@ -1104,12 +1104,13 @@ def events_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Interval-overlap join: how many OTHER users' sessions overlap each
 # session in time, reported as a concurrency histogram. The generic
 # overlap join Spark lacks natively, composed at scale by GRAIN
-# BUCKETING: sessions explode into the hour buckets they span (sessions
+# BUCKETING: sessions explode into the minute buckets they span (sessions
 # are gap-bounded, so the per-session bucket list is small), pairs match
 # on bucket equality FIRST (an equi-join Catalyst can hash/sort-merge —
 # never a cross product), the overlap inequality runs as the join
-# residual, and multi-bucket double-counts collapse with one DISTINCT on
-# the pair key. At 100 TB the grain is tuned to the median interval
+# residual, and multi-bucket double-counts are avoided OUTRIGHT by
+# canonical-bucket attribution (count a pair only in the first hour both
+# sessions overlap). At 100 TB the grain is tuned to the median interval
 # length; per-bucket density bounds the pair fan-out exactly like the
 # band join's histogram buckets. Sessions with zero overlaps stay in the
 # histogram via the left anti-free left join.
@@ -1171,9 +1172,19 @@ def sessions_concurrency_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessions = (
         numbered.groupBy("user_id", "session_seq")
         .agg(F.min("ts").alias("smin"), F.max("ts").alias("smax"))
-        .localCheckpoint()  # feeds the exploded join AND the final left join
+        # feeds the exploded join AND the final left join; lazy — both
+        # consumers share the caller's single action (r9: the eager form
+        # paid an extra synchronous job before planning even started)
+        .localCheckpoint(eager=False)
     )
-    # hour-grain buckets a session spans (gap-bounded sessions => few)
+    # MINUTE-grain buckets (r9, was hour): candidate volume is
+    # sum_b(density_b^2), and most sessions here are near-points, so the
+    # grain sets density directly — hour buckets held ~1300 sessions each
+    # at sf1 (~1.2B join candidates, 17.4 s); minute buckets hold ~22
+    # (4.5 s, value-identical). The explode factor only grows for
+    # sessions that SPAN many minutes, which gap-bounding keeps rare.
+    # The grain is the documented dial: tune toward the median session
+    # length as the corpus shape changes.
     bucketed = sessions.select(
         "user_id",
         "session_seq",
@@ -1181,30 +1192,37 @@ def sessions_concurrency_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "smax",
         F.explode(
             F.sequence(
-                F.date_trunc("hour", "smin"),
-                F.date_trunc("hour", "smax"),
-                F.expr("INTERVAL 1 HOUR"),
+                F.date_trunc("minute", "smin"),
+                F.date_trunc("minute", "smax"),
+                F.expr("INTERVAL 1 MINUTE"),
             )
         ).alias("bucket"),
     )
     a = bucketed.alias("a")
     b = bucketed.alias("b")
+    # CANONICAL-BUCKET attribution (r9, replaces the 4-column DISTINCT
+    # exchange): a pair is counted ONLY in the first bucket both sessions
+    # overlap — trunc(greatest(smin_a, smin_b)) — a bucket both exploded
+    # spans contain by construction, so every overlapping pair matches in
+    # EXACTLY one bucket and the groupBy can count directly. Kills one
+    # pair-scale shuffle; value-identical (verified vs the DISTINCT form).
     pairs = (
         a.join(
             b,
             (F.col("a.bucket") == F.col("b.bucket"))  # equi key first
             & (F.col("a.user_id") != F.col("b.user_id"))
             & (F.col("b.smin") <= F.col("a.smax"))
-            & (F.col("a.smin") <= F.col("b.smax")),
+            & (F.col("a.smin") <= F.col("b.smax"))
+            & (
+                F.col("a.bucket")
+                == F.date_trunc(
+                    "minute", F.greatest(F.col("a.smin"), F.col("b.smin"))
+                )
+            ),
         )
-        .select(
-            F.col("a.user_id").alias("ua"),
-            F.col("a.session_seq").alias("sa"),
-            F.col("b.user_id").alias("ub"),
-            F.col("b.session_seq").alias("sb"),
+        .groupBy(
+            F.col("a.user_id").alias("ua"), F.col("a.session_seq").alias("sa")
         )
-        .distinct()  # collapse multi-bucket double counts
-        .groupBy("ua", "sa")
         .agg(F.count("*").alias("n_overlap"))
     )
     full = sessions.join(

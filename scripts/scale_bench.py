@@ -70,6 +70,10 @@ SCALE_QUERIES = [
     "text_hybrid_rrf_search_persisted",
     "graph_triangle_census",        # degree-oriented wedge join
     "dedup_prefix_filter_jaccard",  # exact PPJoin prefix-filter join
+    # r9: the two sf0.1-flagged rows — their adjudication IS this scale
+    # book (multi-stage DAG latency at toy SF; data cost decides here)
+    "graph_kcore_bounded",
+    "sessions_concurrency_overlap",
 ]
 
 TABLES = [
