@@ -1045,6 +1045,87 @@ def ivfpq_topk(
     )
 
 
+def semdedup_assign(
+    corpus: DataFrame,
+    c_ids: np.ndarray,
+    cm: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid assignment with the vector riding along: one
+    mapInPandas matmul over the corpus (no shuffle, no join back for the
+    pair stage), tie-break (sim DESC, cid ASC) — the exact oracle rule.
+    (c_ids, cm) come from _collect_matrix on the centroid set: bounded
+    k x dim model state, the 'broadcast the small side' step. Shared by
+    the batch SemDeDup manifest and the streaming semantic-ingest dedup
+    so both produce identical cluster assignments."""
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            sims = np.round(_batch_matrix(pdf[vec_col]) @ cm.T, 6)
+            best = np.array(
+                [c_ids[np.lexsort((c_ids, -row))[0]] for row in sims],
+                dtype=np.int64,
+            )
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].to_numpy(dtype=np.int64),
+                    "cid": best,
+                    "vec": pdf[vec_col],
+                }
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        assign, schema="id bigint, cid bigint, vec array<float>"
+    )
+
+
+def semdedup_probe_flags(union_df: DataFrame, threshold: float) -> DataFrame:
+    """Per-cluster keep flags for PROBE rows against probe+store rows: the
+    incremental-ingest sibling of semdedup_keep's flags stage. Input rows
+    (id, cid, vec, probe); a probe row is dropped iff ANY row of its
+    cluster with a smaller id (an earlier-batch store row — always
+    smaller under id-ordered replay — or an earlier probe row of the same
+    batch) sits at cosine >= threshold. Store rows get no output — their
+    flags were emitted by the batch that ingested them. Strip-blocked
+    like the batch kernel: per-strip scratch is BLOCK_ROWS x c floats no
+    matter how skewed the cluster."""
+
+    def flags(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        probe = pdf["probe"].to_numpy(dtype=bool)
+        pidx = np.nonzero(probe)[0]
+        if len(pidx) == 0:
+            return pd.DataFrame(
+                {
+                    "vec_id": ids[:0],
+                    "cid": pdf["cid"].to_numpy()[:0],
+                    "keep": np.zeros(0, dtype=bool),
+                }
+            )
+        mat = _batch_matrix(pdf["vec"])
+        dup = np.empty(len(pidx), dtype=bool)
+        for lo in range(0, len(pidx), BLOCK_ROWS):
+            sel = pidx[lo : lo + BLOCK_ROWS]
+            sims = np.round(mat[sel] @ mat.T, 6)
+            dup[lo : lo + len(sel)] = (
+                (sims >= threshold) & (ids[None, :] < ids[sel, None])
+            ).any(axis=1)
+        return pd.DataFrame(
+            {
+                "vec_id": ids[pidx],
+                "cid": pdf["cid"].to_numpy()[pidx],
+                "keep": ~dup,
+            }
+        )
+
+    return union_df.groupBy("cid").applyInPandas(
+        flags, schema="vec_id bigint, cid bigint, keep boolean"
+    )
+
+
 def semdedup_keep(
     corpus: DataFrame,
     centroids: DataFrame,
@@ -1070,27 +1151,7 @@ def semdedup_keep(
     SRP-bucketed variant (srp_bucket_pairs); everything emitted is exact.
     """
     c_ids, cm = _collect_matrix(centroids, id_col, vec_col)
-
-    def assign(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            sims = np.round(_batch_matrix(pdf[vec_col]) @ cm.T, 6)
-            best = np.array(
-                [c_ids[np.lexsort((c_ids, -row))[0]] for row in sims],
-                dtype=np.int64,
-            )
-            yield pd.DataFrame(
-                {
-                    "id": pdf[id_col].to_numpy(dtype=np.int64),
-                    "cid": best,
-                    "vec": pdf[vec_col],
-                }
-            )
-
-    assigned = corpus.select(id_col, vec_col).mapInPandas(
-        assign, schema="id bigint, cid bigint, vec array<float>"
-    )
+    assigned = semdedup_assign(corpus, c_ids, cm, id_col, vec_col)
 
     def flags(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf["id"].to_numpy(dtype=np.int64)

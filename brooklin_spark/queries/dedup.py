@@ -831,18 +831,18 @@ _PR_ITERS = 5
 #: above this many fact rows the graph tables spill columnar (see below)
 _PR_SPILL_LI_ROWS = 100_000_000
 
-#: per-corpus fact row counts for the spill switch — read ONCE from the
+#: per-corpus fact row counts for the spill switches — read ONCE from the
 #: parquet footers (metadata-only, no Spark job) instead of running a
 #: count() job inside the measured query path on every invocation
-_PR_ROWCOUNT_CACHE: dict[str, int] = {}
+_ROWCOUNT_CACHE: dict[tuple[str, str], int] = {}
 
 
-def _lineitem_rows(spark: SparkSession, sf_dir: str) -> int:
-    if sf_dir not in _PR_ROWCOUNT_CACHE:
+def _fact_rows(spark: SparkSession, sf_dir: str, name: str) -> int:
+    if (sf_dir, name) not in _ROWCOUNT_CACHE:
         try:
             import pyarrow.dataset as _pads
 
-            path = os.path.join(sf_dir, "lineitem.parquet")
+            path = os.path.join(sf_dir, f"{name}.parquet")
             n = sum(
                 frag.metadata.num_rows
                 for frag in _pads.dataset(path, format="parquet").get_fragments()
@@ -850,9 +850,13 @@ def _lineitem_rows(spark: SparkSession, sf_dir: str) -> int:
         except Exception:
             # non-filesystem layouts (the "bucketed:" scheme) fall back to
             # a real count — paid once per corpus per process
-            n = table(spark, sf_dir, "lineitem").count()
-        _PR_ROWCOUNT_CACHE[sf_dir] = n
-    return _PR_ROWCOUNT_CACHE[sf_dir]
+            n = table(spark, sf_dir, name).count()
+        _ROWCOUNT_CACHE[(sf_dir, name)] = n
+    return _ROWCOUNT_CACHE[(sf_dir, name)]
+
+
+def _lineitem_rows(spark: SparkSession, sf_dir: str) -> int:
+    return _fact_rows(spark, sf_dir, "lineitem")
 
 
 def _pr_iter_sql(k: int) -> str:
@@ -1429,6 +1433,10 @@ def graph_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _PF_TH = 0.7
+#: above this many documents the shingle tables spill columnar (see the
+#: r9 switch note inside dedup_prefix_filter_jaccard) — sf10 (500k docs)
+#: is comfortably in-memory (17.9 s), sf100 (5M) was GC-bound
+_PF_SPILL_DOC_ROWS = 1_000_000
 
 
 @query(
@@ -1478,11 +1486,30 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Arrow kernel at sf0.1 — codegen string HOFs + a thin scan-side
     # partition count; the kernel's explicit repartition is part of the
     # win.)
-    sh = (
-        D.shingle_rows_pandas(docs, n=3)
-        .select("id", "n", F.xxhash64("shingle").alias("shingle"))
-        .localCheckpoint(eager=False)
+    # memory-vs-disk switch (r9, the PageRank spill_bucketed pattern
+    # applied to the shingle tables — r8 verdict item 3): past
+    # _PF_SPILL_DOC_ROWS documents the two 25-shingles-per-doc tables
+    # (125M rows at 5M docs) stop being deserialized-object JVM caches
+    # and spill COLUMNAR as bucketed scratch tables. Bucket keys follow
+    # each table's consumers: `sh` on shingle (the df groupBy AND the
+    # sh x df join both cluster on it — zero extra Exchange), `windowed`
+    # on id (the verify collect_set groupBy(id) rides the bucketing; the
+    # prefix self-join re-keys by shingle either way). One JVM's GC is
+    # the only thing this switch is about — the sf100 run was 438-482 s
+    # of collector pressure on an unchanged plan shape.
+    spill = _fact_rows(spark, sf_dir, "documents") > _PF_SPILL_DOC_ROWS
+    sh_rows = D.shingle_rows_pandas(docs, n=3).select(
+        "id", "n", F.xxhash64("shingle").alias("shingle")
     )
+    if spill:
+        from brooklin_spark.checkpoint import gc_dead_scratch, scratch_name
+
+        corpus = os.path.join(sf_dir, "documents.parquet")
+        gc_dead_scratch(spark, "pf_sh_scratch")
+        gc_dead_scratch(spark, "pf_win_scratch")
+        sh = spill_bucketed(sh_rows, "shingle", scratch_name("pf_sh_scratch", corpus))
+    else:
+        sh = sh_rows.localCheckpoint(eager=False)
     df = sh.groupBy("shingle").agg(F.count("*").alias("df"))
     rn = F.row_number().over(
         W.partitionBy("id").orderBy(F.col("df").asc(), F.col("shingle").asc())
@@ -1491,12 +1518,17 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one windowed table feeds BOTH the prefix rows and the verify
     # arrays: the collect_set groupBy(id) reuses the window's
     # hashpartitioning(id) — no second shuffle of the shingle table
-    windowed = (
+    windowed_df = (
         sh.join(df, "shingle")  # vocab-keyed, no broadcast hint
         .withColumn("rn", rn)
         .select("id", "n", "shingle", "rn")
-        .localCheckpoint(eager=False)
     )
+    if spill:
+        windowed = spill_bucketed(
+            windowed_df, "id", scratch_name("pf_win_scratch", corpus)
+        )
+    else:
+        windowed = windowed_df.localCheckpoint(eager=False)
     prefix = windowed.filter(F.col("rn") <= p).select("id", "n", "shingle", "rn")
     a, b = prefix.alias("a"), prefix.alias("b")
     # POSITIONAL filter (the PPJoin refinement over plain prefix filter):

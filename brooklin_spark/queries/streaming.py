@@ -466,7 +466,13 @@ _ING_CHUNKS = 5
 
 
 def _split_documents_for_stream(sf_dir: str, n_chunks: int = _ING_CHUNKS) -> str:
-    """Deterministic id-ordered split of documents.parquet into n_chunks
+    return _split_table_for_stream(sf_dir, "documents", "doc_id", n_chunks)
+
+
+def _split_table_for_stream(
+    sf_dir: str, name: str, sort_key: str, n_chunks: int = _ING_CHUNKS
+) -> str:
+    """Deterministic id-ordered split of <name>.parquet into n_chunks
     files with strictly increasing mtimes, so FileStreamSource (which
     orders by modification time) replays them as n_chunks sequential
     micro-batches. Cached per (path, mtime) under the system temp dir."""
@@ -477,18 +483,18 @@ def _split_documents_for_stream(sf_dir: str, n_chunks: int = _ING_CHUNKS) -> str
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    src = os.path.join(sf_dir, "documents.parquet")
+    src = os.path.join(sf_dir, f"{name}.parquet")
     key = hashlib.md5(
         f"{os.path.abspath(src)}:{os.path.getmtime(src)}:{n_chunks}".encode()
     ).hexdigest()[:12]
-    out = os.path.join(tempfile.gettempdir(), f"bspark_docs_stream_{key}")
+    out = os.path.join(tempfile.gettempdir(), f"bspark_{name}_stream_{key}")
     if os.path.exists(os.path.join(out, "_SPLIT_DONE")):
         return out
     tmp = out + ".building"
     shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(tmp)
     t = pq.read_table(src)
-    t = t.take(pc.sort_indices(t, sort_keys=[("doc_id", "ascending")]))
+    t = t.take(pc.sort_indices(t, sort_keys=[(sort_key, "ascending")]))
     n = t.num_rows
     now = _time.time()
     for k in range(n_chunks):
@@ -776,6 +782,96 @@ def _simhash_ingest_run(spark, split_dir, on_epoch_bytes=None) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Streaming SEMANTIC dedup ingest (r8 verdict item 7): the embedding-space
+# sibling of the MinHash/SimHash ingests — the shape a live training-data
+# pipeline runs to drop paraphrases as vectors arrive. Composition: the
+# centroid model is the SemDeDup assignment (bounded k x dim driver
+# state, k corpus-adaptive); the durable store is the PERSISTED
+# IVF-assignment shape — parquet (id, vec) partitioned BY cid, append-only
+# per batch — so each arriving batch probes only the centroid buckets it
+# touches (partition-pruned read), never the whole history. Within-batch
+# and batch-vs-store checks share one per-cluster strip-blocked kernel
+# (semdedup_probe_flags). The embeddings table replays as id-ordered
+# micro-batches, so "earlier" == "smaller vec_id" and the incremental
+# drain equals the one-shot batch SemDeDup manifest — oracle-checked
+# against dedup_semdedup_kmeans's own SQL.
+#
+# Scale shape per batch: one assignment mapInPandas (no shuffle), one
+# cid-pruned store read bounded by the touched clusters, ONE cid-keyed
+# exchange into the kernel, parquet appends bounded by the batch. Store
+# rows are (cid, id, vec) — exactly the IVF inverted file, reusable as-is
+# for ANN probes over the ingested corpus.
+# ---------------------------------------------------------------------------
+
+
+@query("streaming_dedup_semantic_ingest")
+def streaming_dedup_semantic_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from brooklin_spark.operators import similarity as S
+    from brooklin_spark.queries.similarity import _SDD_MIN_C, _SDD_PER, _SDD_TH
+
+    split_dir = _split_table_for_stream(sf_dir, "embeddings", "vec_id")
+    emb = table(spark, sf_dir, "embeddings")
+    # corpus-adaptive k, same rule as the batch query; the centroid matrix
+    # is collected ONCE (bounded k x dim model state) and closed over by
+    # every micro-batch instead of re-collected per epoch
+    k = max(_SDD_MIN_C, emb.count() // _SDD_PER)
+    c_ids, cm = S._collect_matrix(
+        emb.filter(F.col("vec_id") < k), "vec_id", "embedding"
+    )
+
+    schema = spark.read.parquet(split_dir).schema
+    work = tempfile.mkdtemp(prefix="bspark_ingest_semantic_")
+    store = os.path.join(work, "ivf_store")
+    out_dir = os.path.join(work, "manifest")
+    ckpt = os.path.join(work, "ckpt")
+
+    def step(batch_df: DataFrame, _epoch: int) -> None:
+        sess = batch_df.sparkSession
+        assigned = S.semdedup_assign(batch_df, c_ids, cm).localCheckpoint()
+        probe = assigned.withColumn("probe", F.lit(True))
+        if _store_has_parquet(store):
+            st = (
+                sess.read.parquet(store)
+                # prune history to the centroid buckets this batch touches
+                .join(assigned.select("cid").distinct(), "cid", "left_semi")
+                .select("id", "cid", "vec", F.lit(False).alias("probe"))
+            )
+            probe = probe.unionByName(st)
+        flags = S.semdedup_probe_flags(probe, threshold=_SDD_TH)
+        # idempotent per epoch — see _minhash_ingest_run
+        flags.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"epoch={_epoch}")
+        )
+        # append ONLY this batch's vectors, partitioned by cid (the IVF
+        # inverted-file layout) — never rewrite the store
+        assigned.select("cid", "id", "vec").write.mode("append").partitionBy(
+            "cid"
+        ).parquet(store)
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(split_dir)
+        .writeStream.foreachBatch(step)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        out = (
+            spark.read.parquet(out_dir)
+            .select("vec_id", "cid", "keep")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        q.stop()
+        shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Streaming drift monitor: the PSI report (drift_psi_report) computed the
 # way a LIVE pipeline computes it — the reference histogram is a STATIC
 # batch table; the current side's (type, bin) histogram accumulates over
@@ -1041,6 +1137,12 @@ def streaming_bm25_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (import text first — load_all() imports streaming before text, so the
 # donor oracle isn't registered yet at this module's import time)
 from brooklin_spark import registry as _reg  # noqa: E402
+from brooklin_spark.queries import similarity as _sim_queries  # noqa: E402,F401
 from brooklin_spark.queries import text as _text_queries  # noqa: E402,F401
 
 _reg.ORACLES["streaming_bm25_index_ingest"] = _reg.ORACLES["text_bm25_search"]
+# the incremental semantic ingest must equal the one-shot batch SemDeDup
+# manifest on the same corpus — same oracle SQL, r9
+_reg.ORACLES["streaming_dedup_semantic_ingest"] = _reg.ORACLES[
+    "dedup_semdedup_kmeans"
+]

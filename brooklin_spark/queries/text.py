@@ -2624,15 +2624,18 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ONE-pass Arrow kernel (r9, retires the last 2.1x sf10 row): the JVM
+    # route paid 4 regex passes over every corpus byte (collapse+delete
+    # per counter); the kernel classifies bytes once per batch and emits
+    # only |langs|-scale PARTIAL sums (map-side combine in Python), so
+    # the JVM-side groupBy aggregates a few rows per batch. 8.7 -> ~2 s
+    # at sf10; integer sums unchanged, so every ratio stays engine-exact.
+    from brooklin_spark.operators.textstats import fertility_partials_pandas
+
     docs = table(spark, sf_dir, "documents")
-    d = docs.select(
-        "lang",
-        X.token_count().cast("long").alias("words"),
-        X.bpe_ish_token_count().cast("long").alias("subwords"),
-        F.length("text").cast("long").alias("chars"),
-    )
-    return d.groupBy("lang").agg(
-        F.count("*").alias("n_docs"),
+    part = fertility_partials_pandas(docs)
+    return part.groupBy("lang").agg(
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
         F.sum("words").cast("bigint").alias("total_words"),
         F.sum("subwords").cast("bigint").alias("total_subwords"),
         (F.sum("subwords").cast("double") / F.sum("words")).alias("fertility"),
