@@ -229,3 +229,51 @@ def synthesize_media_table(docs: DataFrame, width: int = 32, height: int = 24) -
         MEDIA_META_DDL,
     )
     return docs.select("doc_id", payload.alias("payload"), meta.alias("meta"))
+
+
+VAD_SEGMENTS_DDL = (
+    "doc_id bigint, n_segments bigint, longest_seg bigint, "
+    "n_active bigint, active_ratio double"
+)
+
+
+def vad_segments(media: DataFrame, threshold: int) -> DataFrame:
+    """Voice-activity segmentation over the int16-PCM interpretation of
+    the payload: samples at/above ``threshold`` are active; consecutive
+    active samples merge into segments (the run-merge happens inside the
+    kernel — per-doc local state, no shuffle). Same decode contract as
+    audio_features: the bytes ARE the samples; a real VAD (energy over
+    sliding windows, webrtcvad, …) slots into the same kernel body with
+    the same Spark-side plumbing."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload or b"")
+                samples = np.frombuffer(raw[: len(raw) // 2 * 2], dtype="<i2")
+                active = samples >= threshold
+                # run-length encode the active mask
+                edges = np.diff(active.astype(np.int8))
+                starts = int(active[:1].sum()) + int((edges == 1).sum())
+                run_lens = []
+                if active.any():
+                    idx = np.flatnonzero(active)
+                    breaks = np.flatnonzero(np.diff(idx) > 1)
+                    run_lens = np.diff(
+                        np.concatenate(([0], breaks + 1, [idx.size]))
+                    ).tolist()
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "n_segments": int(starts),
+                        "longest_seg": int(max(run_lens)) if run_lens else 0,
+                        "n_active": int(active.sum()),
+                        "active_ratio": float(active.mean())
+                        if samples.size
+                        else 0.0,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.select("doc_id", "payload").mapInPandas(op, schema=VAD_SEGMENTS_DDL)

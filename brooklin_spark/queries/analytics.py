@@ -1373,3 +1373,181 @@ def basket_apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_together"),
         F.row_number().over(rw).cast("bigint").alias("rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Funnel latency: the time-to-convert companion of events_funnel_conversion
+# — among users who strictly converted signup→click (and click→purchase),
+# the p50/p90 seconds between steps. Product teams read this next to the
+# conversion counts to see WHERE a funnel is slow, not just where it leaks.
+# One per-user groupBy (the same conditional-min shape as the conversion
+# query), then one global exact-percentile aggregate over user-scale rows.
+# Exact interpolated percentiles (Spark percentile() == DuckDB
+# quantile_cont) over integer second diffs keep both engines bit-equal.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_funnel_latency",
+    oracle="""
+    WITH stage AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id),
+    lat AS (
+      SELECT
+        CASE WHEN t_signup IS NOT NULL AND t_click > t_signup
+             THEN date_diff('second', t_signup, t_click) END AS s_to_c,
+        CASE WHEN t_signup IS NOT NULL AND t_click > t_signup
+                  AND t_purchase > t_click
+             THEN date_diff('second', t_click, t_purchase) END AS c_to_p
+      FROM stage)
+    SELECT COUNT(s_to_c) AS n_click_converters,
+           round(quantile_cont(s_to_c, 0.5), 6) AS p50_signup_to_click_s,
+           round(quantile_cont(s_to_c, 0.9), 6) AS p90_signup_to_click_s,
+           COUNT(c_to_p) AS n_purchase_converters,
+           round(quantile_cont(c_to_p, 0.5), 6) AS p50_click_to_purchase_s,
+           round(quantile_cont(c_to_p, 0.9), 6) AS p90_click_to_purchase_s
+    FROM lat
+    """,
+)
+def events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+
+    def first_ts(t: str):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    stage = e.groupBy("user_id").agg(
+        first_ts("signup").alias("t_signup"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    clicked = F.col("t_signup").isNotNull() & (F.col("t_click") > F.col("t_signup"))
+    purchased = clicked & (F.col("t_purchase") > F.col("t_click"))
+    diff_s = lambda a, b: (  # noqa: E731
+        F.unix_timestamp(F.col(b)) - F.unix_timestamp(F.col(a))
+    )
+    lat = stage.select(
+        F.when(clicked, diff_s("t_signup", "t_click")).alias("s_to_c"),
+        F.when(purchased, diff_s("t_click", "t_purchase")).alias("c_to_p"),
+    )
+    return lat.agg(
+        F.count("s_to_c").alias("n_click_converters"),
+        F.round(F.percentile("s_to_c", F.lit(0.5)), 6).alias(
+            "p50_signup_to_click_s"
+        ),
+        F.round(F.percentile("s_to_c", F.lit(0.9)), 6).alias(
+            "p90_signup_to_click_s"
+        ),
+        F.count("c_to_p").alias("n_purchase_converters"),
+        F.round(F.percentile("c_to_p", F.lit(0.5)), 6).alias(
+            "p50_click_to_purchase_s"
+        ),
+        F.round(F.percentile("c_to_p", F.lit(0.9)), 6).alias(
+            "p90_click_to_purchase_s"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Markov stationary distribution of the event-type chain: where a user
+# spends their time in the long run under the observed transition matrix —
+# the steady-state companion of events_transition_matrix (the matrix) and
+# events_path_anomaly (per-path likelihood). Fact-scale work is ONE
+# key-partitioned lag window + a |types|^2 groupBy; the power iteration
+# then runs on the ~5x5 rounded matrix (checkpointed — 25 rows, never
+# recomputed from the fact scan), 6 unrolled rounds from uniform. At 100 TB
+# the window/groupBy shape is unchanged and the iteration cost is still
+# |types|^2. Matrix entries and each round's vector are rounded (6/12 dp)
+# so both engines iterate identical numbers.
+# ---------------------------------------------------------------------------
+
+_MARKOV_ITERS = 6
+
+
+def _markov_oracle() -> str:
+    steps = []
+    prev = "p0"
+    for i in range(1, _MARKOV_ITERS + 1):
+        steps.append(
+            f"""p{i} AS (
+      SELECT pr.to_type AS t, round(SUM({prev}.pr * pr.p), 12) AS pr
+      FROM {prev} JOIN probs pr ON pr.from_type = {prev}.t GROUP BY 1)"""
+        )
+        prev = f"p{i}"
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM events),
+    trans AS (
+      SELECT prev_type AS from_type, event_type AS to_type, COUNT(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+    totals AS (SELECT from_type, SUM(n) AS total FROM trans GROUP BY from_type),
+    probs AS (
+      SELECT t.from_type, t.to_type,
+             round(CAST(t.n AS DOUBLE) / tot.total, 6) AS p
+      FROM trans t JOIN totals tot ON tot.from_type = t.from_type),
+    types AS (
+      SELECT DISTINCT from_type AS t FROM probs
+      UNION SELECT DISTINCT to_type FROM probs),
+    p0 AS (SELECT t, 1.0 / (SELECT COUNT(*) FROM types) AS pr FROM types),
+    {chain}
+    SELECT t AS event_type, round(pr, 6) AS stationary_prob
+    FROM {prev}
+    """
+
+
+@query("events_markov_stationary", oracle=_markov_oracle())
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select("event_type", F.lag("event_type").over(w).alias("prev_type"))
+    trans = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy(
+            F.col("prev_type").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    totals = trans.groupBy(F.col("from_type").alias("tf")).agg(
+        F.sum("n").alias("total")
+    )
+    probs = (
+        trans.join(F.broadcast(totals), F.col("tf") == trans.from_type)
+        .select(
+            "from_type",
+            "to_type",
+            F.round(F.col("n").cast("double") / F.col("total"), 6).alias("p"),
+        )
+        # |types|^2 rows; the checkpoint stops each iteration re-running
+        # the fact-scale window scan
+        .localCheckpoint()
+    )
+    types = (
+        probs.select(F.col("from_type").alias("t"))
+        .union(probs.select("to_type"))
+        .distinct()
+    )
+    k = types.agg(F.count("*").alias("k"))
+    p = types.crossJoin(F.broadcast(k)).select(
+        "t", (F.lit(1.0) / F.col("k")).alias("pr")
+    )
+    for _ in range(_MARKOV_ITERS):
+        # |types|-row vector joins the checkpointed matrix — broadcast by
+        # construction (bounded by the event-type vocabulary)
+        p = (
+            F.broadcast(p)
+            .join(probs, p.t == probs.from_type)
+            .groupBy(F.col("to_type").alias("t"))
+            .agg(F.round(F.sum(F.col("pr") * F.col("p")), 12).alias("pr"))
+        )
+    return p.select(
+        F.col("t").alias("event_type"),
+        F.round("pr", 6).alias("stationary_prob"),
+    )

@@ -774,3 +774,60 @@ def cdc_snapshot_diff_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("drift_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# l-diversity: the companion gate to k-anonymity — an equivalence class
+# can be large (k-anonymous) yet still leak if everyone in it shares one
+# sensitive value. Classes are customer quasi-identifiers
+# (nation x market segment); the sensitive attribute is the account
+# balance bucket. l = distinct sensitive values per class; the report
+# aggregates per nation so the release owner sees which geographies fail
+# distinct-l >= 3. Shape: one customer-scale groupBy on the QI tuple with
+# a distinct-count, then a |classes|-row rollup — same two-level plan as
+# the k-anonymity report, scale-safe by construction.
+# ---------------------------------------------------------------------------
+
+_LDIV_L = 3
+_LDIV_BUCKET = 1000
+
+
+@query(
+    "privacy_l_diversity_report",
+    oracle=f"""
+    WITH classes AS (
+      SELECT c_nationkey, c_mktsegment,
+             COUNT(*) AS k,
+             COUNT(DISTINCT CAST(FLOOR(c_acctbal / {_LDIV_BUCKET}) AS BIGINT)) AS l
+      FROM customer GROUP BY 1, 2)
+    SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+           COUNT(*) AS n_classes,
+           CAST(MIN(l) AS BIGINT) AS min_l,
+           round(AVG(CAST(l AS DOUBLE)), 6) AS avg_l,
+           CAST(SUM(CASE WHEN l < {_LDIV_L} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_low_diversity,
+           CAST(SUM(CASE WHEN l < {_LDIV_L} THEN k ELSE 0 END) AS BIGINT)
+             AS n_rows_at_risk
+    FROM classes GROUP BY c_nationkey
+    """,
+)
+def privacy_l_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    classes = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").alias("k"),
+        F.count_distinct(
+            F.floor(F.col("c_acctbal") / _LDIV_BUCKET).cast("bigint")
+        ).alias("l"),
+    )
+    low = F.col("l") < _LDIV_L
+    return classes.groupBy(
+        F.col("c_nationkey").cast("bigint").alias("nationkey")
+    ).agg(
+        F.count("*").alias("n_classes"),
+        F.min("l").cast("bigint").alias("min_l"),
+        F.round(F.avg(F.col("l").cast("double")), 6).alias("avg_l"),
+        F.sum(low.cast("int")).cast("bigint").alias("n_low_diversity"),
+        F.sum(F.when(low, F.col("k")).otherwise(0)).cast("bigint").alias(
+            "n_rows_at_risk"
+        ),
+    )

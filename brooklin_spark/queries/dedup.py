@@ -1714,3 +1714,316 @@ def graph_kcore_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("round", "k", "n_nodes", "n_edges")
         .orderBy("round")
     )
+
+
+# ---------------------------------------------------------------------------
+# Modularity of the label-propagation communities: the quality score a
+# community detection pass reports next to its assignment (Newman 2006,
+# Q = sum_c [ e_c/m - (d_c/2m)^2 ]). Communities are the same 2-round
+# min-label propagation as graph_label_propagation; the score reduces to
+# THREE exact integer aggregates — m (undirected edges), sum(e_c)
+# (within-community edges) and sum(d_c^2) (squared community degree
+# sums) — so Q is two IEEE divisions over exact integers, engine-exact
+# with no per-community float summation order to disagree on. Fact-scale
+# work is the basket-array pair build (one orderkey exchange) + the two
+# propagation rounds; everything after is community-scale.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "graph_modularity_score",
+    oracle="""
+    WITH pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM lineitem a
+      JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(DISTINCT a.l_orderkey) >= 2),
+    edges AS (
+      SELECT pa AS src, pb AS dst FROM pairs
+      UNION ALL SELECT pb AS src, pa AS dst FROM pairs),
+    l0 AS (SELECT DISTINCT src AS v, src AS lbl FROM edges),
+    l1 AS (
+      SELECT v, MIN(lbl) AS lbl FROM (
+        SELECT v, lbl FROM l0
+        UNION ALL
+        SELECT e.dst AS v, l0.lbl FROM edges e JOIN l0 ON l0.v = e.src)
+      GROUP BY v),
+    l2 AS (
+      SELECT v, MIN(lbl) AS lbl FROM (
+        SELECT v, lbl FROM l1
+        UNION ALL
+        SELECT e.dst AS v, l1.lbl FROM edges e JOIN l1 ON l1.v = e.src)
+      GROUP BY v),
+    deg AS (SELECT src AS v, COUNT(*) AS d FROM edges GROUP BY src),
+    m AS (SELECT COUNT(*) AS m FROM pairs),
+    within AS (
+      SELECT COUNT(*) AS e_in
+      FROM pairs p JOIN l2 la ON la.v = p.pa JOIN l2 lb ON lb.v = p.pb
+      WHERE la.lbl = lb.lbl),
+    dsq AS (
+      SELECT SUM(dc * dc) AS sum_dc2, COUNT(*) AS n_comm
+      FROM (SELECT l2.lbl, SUM(deg.d) AS dc
+            FROM l2 JOIN deg ON deg.v = l2.v GROUP BY l2.lbl))
+    SELECT (SELECT COUNT(*) FROM l2) AS n_nodes,
+           CAST(n_comm AS BIGINT) AS n_communities,
+           CAST(m.m AS BIGINT) AS n_edges,
+           round(CAST(within.e_in AS DOUBLE) / m.m
+                 - CAST(dsq.sum_dc2 AS DOUBLE) / (4.0 * m.m * m.m), 6)
+             AS modularity
+    FROM m CROSS JOIN within CROSS JOIN dsq
+    """,
+)
+def graph_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    # basket-array pair build (the graph_triangle_census shape): one
+    # orderkey exchange, combinations from sorted per-order arrays;
+    # count(*) on distinct-(order,part) input == the distinct-order count
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    pairs = (
+        baskets.select(F.posexplode("parts").alias("i", "pa"), F.col("parts"))
+        .select(
+            "pa",
+            F.explode(F.expr("slice(parts, i + 2, size(parts))")).alias("pb"),
+        )
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("n_ord"))
+        .filter(F.col("n_ord") >= 2)
+        .select("pa", "pb")
+        # three consumers (edges both ways + within-community join) — one
+        # materialization instead of three basket passes
+        .localCheckpoint(eager=False)
+    )
+    edges = pairs.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst")
+    ).unionAll(pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+    labels = (
+        edges.select(F.col("src").alias("v"))
+        .distinct()
+        .select("v", F.col("v").alias("lbl"))
+    )
+    for _ in range(_LPA_ROUNDS):
+        propagated = edges.join(labels, edges.src == labels.v).select(
+            F.col("dst").alias("v"), "lbl"
+        )
+        labels = (
+            labels.unionByName(propagated).groupBy("v").agg(F.min("lbl").alias("lbl"))
+        )
+    labels = labels.localCheckpoint(eager=False)  # two consumers below
+    deg = edges.groupBy(F.col("src").alias("v")).agg(F.count("*").alias("d"))
+    la = labels.select(F.col("v").alias("pa"), F.col("lbl").alias("lbl_a"))
+    lb = labels.select(F.col("v").alias("pb"), F.col("lbl").alias("lbl_b"))
+    e_in = (
+        pairs.join(la, "pa")
+        .join(lb, "pb")
+        .filter(F.col("lbl_a") == F.col("lbl_b"))
+        .agg(F.count("*").alias("e_in"))
+    )
+    dsq = (
+        labels.join(deg, "v")
+        .groupBy("lbl")
+        .agg(F.sum("d").alias("dc"))
+        .agg(
+            F.sum(F.col("dc") * F.col("dc")).alias("sum_dc2"),
+            F.count("*").alias("n_comm"),
+        )
+    )
+    n_nodes = labels.agg(F.count("*").alias("n_nodes"))
+    m = pairs.agg(F.count("*").alias("m"))
+    return (
+        n_nodes.crossJoin(dsq)
+        .crossJoin(m)
+        .crossJoin(e_in)
+        .select(
+            "n_nodes",
+            F.col("n_comm").cast("bigint").alias("n_communities"),
+            F.col("m").cast("bigint").alias("n_edges"),
+            F.round(
+                F.col("e_in").cast("double") / F.col("m")
+                - F.col("sum_dc2").cast("double")
+                / (F.lit(4.0) * F.col("m") * F.col("m")),
+                6,
+            ).alias("modularity"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Common-neighbor link prediction on the co-purchase graph: for part
+# pairs NOT currently co-purchased, how many shared co-purchase
+# neighbors they have — the classic cheapest link-prediction score
+# (Liben-Nowell & Kleinberg 2003), and the "customers who bought X also
+# bought Y" candidate generator. Candidate pairs come from per-node
+# sorted adjacency arrays (the basket/triangle pattern: ONE exchange on
+# the wedge center, combinations explode locally — never an edges x
+# edges shuffle join); existing edges drop out with one anti-join. At
+# 100 TB the wedge count is bounded the same way the triangle census is:
+# sum C(deg, 2) over the support-filtered graph, with the support
+# threshold as the degree-tail control.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "graph_common_neighbor_linkpred",
+    oracle="""
+    WITH pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM lineitem a
+      JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(DISTINCT a.l_orderkey) >= 2),
+    edges AS (
+      SELECT pa AS src, pb AS dst FROM pairs
+      UNION ALL SELECT pb AS src, pa AS dst FROM pairs),
+    wedges AS (
+      SELECT e1.dst AS na, e2.dst AS nb, COUNT(*) AS cn
+      FROM edges e1 JOIN edges e2
+        ON e1.src = e2.src AND e1.dst < e2.dst
+      GROUP BY 1, 2),
+    cand AS (
+      SELECT w.na, w.nb, w.cn FROM wedges w
+      WHERE cn >= 2
+        AND NOT EXISTS (SELECT 1 FROM pairs p
+                        WHERE p.pa = w.na AND p.pb = w.nb)),
+    ranked AS (
+      SELECT na, nb, cn,
+             ROW_NUMBER() OVER (ORDER BY cn DESC, na ASC, nb ASC) AS rank
+      FROM cand)
+    SELECT CAST(na AS BIGINT) AS part_a, CAST(nb AS BIGINT) AS part_b,
+           CAST(cn AS BIGINT) AS common_neighbors,
+           CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 20
+    """,
+)
+def graph_common_neighbor_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    pairs = (
+        baskets.select(F.posexplode("parts").alias("i", "pa"), F.col("parts"))
+        .select(
+            "pa",
+            F.explode(F.expr("slice(parts, i + 2, size(parts))")).alias("pb"),
+        )
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("n_ord"))
+        .filter(F.col("n_ord") >= 2)
+        .select("pa", "pb")
+        .localCheckpoint(eager=False)  # two consumers: adjacency + anti-join
+    )
+    edges = pairs.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst")
+    ).unionAll(pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+    # adjacency arrays at the wedge center: one src exchange, sorted
+    # neighbor combinations generate locally (na < nb by sort order)
+    adj = edges.groupBy("src").agg(F.array_sort(F.collect_set("dst")).alias("nb"))
+    wedges = (
+        adj.select(F.posexplode("nb").alias("i", "na"), F.col("nb"))
+        .select(
+            "na",
+            F.explode(F.expr("slice(nb, i + 2, size(nb))")).alias("nb"),
+        )
+        .groupBy("na", "nb")
+        .agg(F.count("*").alias("cn"))
+        .filter(F.col("cn") >= 2)
+    )
+    # NB: wedges.na would resolve to DataFrameNaFunctions, not the column
+    cand = wedges.join(
+        pairs,
+        (F.col("na") == pairs.pa) & (wedges.nb == pairs.pb),
+        "left_anti",
+    )
+    rw = W.orderBy(F.desc("cn"), F.asc("na"), F.asc("nb"))
+    top = cand.orderBy(F.desc("cn"), F.asc("na"), F.asc("nb")).limit(20)
+    return top.select(
+        F.col("na").cast("bigint").alias("part_a"),
+        F.col("nb").cast("bigint").alias("part_b"),
+        F.col("cn").cast("bigint").alias("common_neighbors"),
+        F.row_number().over(rw).cast("bigint").alias("rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup threshold sweep: the survivor-rate curve a corpus owner reads
+# BEFORE picking a dedup threshold — pairs are computed ONCE at the
+# loosest threshold (the expensive stage), then each candidate threshold
+# re-filters the pair table (cheap, pair-scale) under the keep-smaller-id
+# policy (a doc is dropped iff it is the larger end of any qualifying
+# pair). One shingle self-join regardless of how many thresholds are
+# swept — the marginal threshold costs one pair-scale aggregate.
+# ---------------------------------------------------------------------------
+
+_SWEEP_TH = [0.5, 0.6, 0.7, 0.8, 0.9]
+
+
+@query(
+    "dedup_threshold_survivor_curve",
+    oracle=f"""
+    WITH {G.shingle_cte(3)},
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    jac AS (
+      SELECT doc_a, doc_b,
+             common * 1.0 / (sa.n_sh + sb.n_sh - common) AS jaccard
+      FROM pairs
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE common * 1.0 / (sa.n_sh + sb.n_sh - common) >= {_SWEEP_TH[0]}),
+    th AS (SELECT unnest({_SWEEP_TH}) AS threshold),
+    per AS (
+      SELECT th.threshold,
+             COUNT(j.jaccard) AS n_pairs,
+             COUNT(DISTINCT j.doc_b) AS n_dropped
+      FROM th LEFT JOIN jac j ON j.jaccard >= th.threshold
+      GROUP BY th.threshold)
+    SELECT p.threshold,
+           CAST(COALESCE(p.n_pairs, 0) AS BIGINT) AS n_pairs,
+           CAST(p.n_dropped AS BIGINT) AS n_dropped,
+           CAST((SELECT COUNT(*) FROM documents) - p.n_dropped AS BIGINT)
+             AS n_survivors
+    FROM per p
+    """,
+)
+def dedup_threshold_survivor_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    sh = D.shingle_rows_pandas(docs, n=3).select(
+        "id", "n", F.xxhash64("shingle").alias("shingle")
+    )
+    jac = D.jaccard_pairs_selfjoin(sh, threshold=_SWEEP_TH[0]).localCheckpoint(
+        eager=False
+    )  # pair-scale; five threshold consumers re-read it
+    th = spark.createDataFrame(
+        [(t,) for t in _SWEEP_TH], "threshold double"
+    )
+    per = (
+        F.broadcast(th)
+        .join(jac, jac.jaccard >= th.threshold, "left")
+        .groupBy("threshold")
+        .agg(
+            F.count("jaccard").alias("n_pairs"),
+            F.count_distinct("doc_b").alias("n_dropped"),
+        )
+    )
+    total = docs.agg(F.count("*").alias("n_docs"))
+    return per.crossJoin(F.broadcast(total)).select(
+        "threshold",
+        F.col("n_pairs").cast("bigint").alias("n_pairs"),
+        F.col("n_dropped").cast("bigint").alias("n_dropped"),
+        (F.col("n_docs") - F.col("n_dropped")).cast("bigint").alias("n_survivors"),
+    )

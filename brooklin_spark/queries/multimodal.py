@@ -648,3 +648,62 @@ def video_near_dup_frames(docs: DataFrame) -> DataFrame:
     return scored.select(
         "doc_a", "doc_b", "n_common", F.round(jac, 6).alias("jaccard")
     ).filter(jac >= _VND_TH)
+
+
+# ---------------------------------------------------------------------------
+# Voice-activity segments: threshold the int16 samples, merge consecutive
+# active samples into segments INSIDE the decode kernel (per-doc local
+# state — no shuffle), report per-doc segment shape. The audio-curation
+# step that decides which clips carry enough speech to keep; the oracle
+# recomputes the same runs with a gaps-and-islands window over the
+# hex-ASCII sample arithmetic. Hex-ASCII samples span [12336, 26214], so
+# the 20000 threshold splits them mid-range deterministically.
+# ---------------------------------------------------------------------------
+
+_VAD_TH = 20000
+
+
+@query(
+    "multimodal_audio_vad_segments",
+    oracle=f"""
+    WITH media AS (
+      SELECT doc_id, md5(text) AS payload FROM documents
+      WHERE doc_id < (SELECT COUNT(*) // 10 FROM documents)),
+    samples AS (
+      SELECT doc_id, i,
+             ascii(substr(payload, 2 * i + 1, 1))
+               + 256 * ascii(substr(payload, 2 * i + 2, 1)) AS s
+      FROM media CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i) g),
+    active AS (
+      SELECT doc_id, i FROM samples WHERE s >= {_VAD_TH}),
+    isl AS (
+      SELECT doc_id, i,
+             i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+      FROM active),
+    seg AS (
+      SELECT doc_id, COUNT(*) AS seg_len FROM isl GROUP BY doc_id, grp),
+    per_doc AS (
+      SELECT doc_id, COUNT(*) AS n_segments, MAX(seg_len) AS longest_seg,
+             SUM(seg_len) AS n_active
+      FROM seg GROUP BY doc_id)
+    SELECT m.doc_id,
+           CAST(COALESCE(p.n_segments, 0) AS BIGINT) AS n_segments,
+           CAST(COALESCE(p.longest_seg, 0) AS BIGINT) AS longest_seg,
+           CAST(COALESCE(p.n_active, 0) AS BIGINT) AS n_active,
+           round(COALESCE(p.n_active, 0) / 16.0, 6) AS active_ratio
+    FROM media m LEFT JOIN per_doc p ON p.doc_id = m.doc_id
+    """,
+)
+def multimodal_audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _mm_cap(spark, sf_dir, 10)
+    )
+    media = docs.select("doc_id", F.md5("text").cast("binary").alias("payload"))
+    segs = M.vad_segments(media, threshold=_VAD_TH)
+    return segs.select(
+        "doc_id",
+        "n_segments",
+        "longest_seg",
+        "n_active",
+        F.round("active_ratio", 6).alias("active_ratio"),
+    )

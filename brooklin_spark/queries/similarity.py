@@ -1735,3 +1735,130 @@ def embedding_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_sim",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka recall curve: recall@K of truncated-dimension cosine search
+# (dims 8/16/32) against the full-dimension exact top-K, averaged over a
+# probe sample — the dial an MRL deployment reads to pick its funnel
+# width (ann_mrl_funnel_topk is the runtime operator; THIS is its offline
+# evaluation). One streaming corpus pass scores every (query, candidate)
+# at all four widths (the per-batch matmul is one kernel, per-dim slices
+# of the same normalized matrix); per-(query, dim) top-K then reduces to
+# |dims| rows. At 100 TB the probe set stays a sample (bounded Q x dim
+# driver state) and the corpus streams through one mapInPandas, exactly
+# like the production ANN evals (ann_ivf_recall_eval / pq_recall_eval).
+# ---------------------------------------------------------------------------
+
+_MRC_Q = 16          # probe queries = vec_id < 16
+_MRC_K = 10          # recall@K
+_MRC_DIMS = [8, 16, 32]
+
+
+def _mrc_oracle() -> str:
+    sims = ",\n             ".join(
+        f"round(list_cosine_similarity((q.qv[1:{d}])::DOUBLE[], "
+        f"(c.embedding[1:{d}])::DOUBLE[]), 6) AS p{d}"
+        for d in _MRC_DIMS
+    )
+    trunc = "\n      UNION ALL ".join(
+        f"""SELECT qid, nid, {d} AS dim FROM (
+        SELECT qid, nid,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY p{d} DESC, nid ASC) AS r
+        FROM scored) WHERE r <= {_MRC_K}"""
+        for d in _MRC_DIMS
+    )
+    return f"""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < {_MRC_Q}),
+    scored AS (
+      SELECT q.qid, c.vec_id AS nid,
+             round(list_cosine_similarity(q.qv::DOUBLE[], c.embedding::DOUBLE[]), 6) AS fsim,
+             {sims}
+      FROM q JOIN embeddings c ON c.vec_id <> q.qid),
+    fullk AS (
+      SELECT qid, nid FROM (
+        SELECT qid, nid,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY fsim DESC, nid ASC) AS r
+        FROM scored) WHERE r <= {_MRC_K}),
+    trunc AS (
+      {trunc}),
+    rec AS (
+      SELECT t.dim, t.qid,
+             SUM(CASE WHEN f.nid IS NOT NULL THEN 1 ELSE 0 END) / {_MRC_K}.0
+               AS recall
+      FROM trunc t LEFT JOIN fullk f ON f.qid = t.qid AND f.nid = t.nid
+      GROUP BY 1, 2)
+    SELECT CAST(dim AS BIGINT) AS dim,
+           COUNT(*) AS n_queries,
+           round(AVG(recall), 6) AS avg_recall
+    FROM rec GROUP BY dim
+    """
+
+
+@query("embedding_mrl_recall_curve", oracle=_mrc_oracle())
+def embedding_mrl_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window as W
+
+    emb = table(spark, sf_dir, "embeddings")
+    rows = emb.filter(F.col("vec_id") < _MRC_Q).select("vec_id", "embedding").collect()
+    q_ids = np.array([r[0] for r in rows], dtype=np.int64)
+    qm = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    order = np.argsort(q_ids)
+    q_ids, qm = q_ids[order], qm[order]
+
+    def unit(m):
+        n = np.linalg.norm(m, axis=1)
+        n[n == 0] = 1.0
+        return m / n[:, None]
+
+    widths = [*_MRC_DIMS, None]  # None = full width
+    qn = {d: unit(qm if d is None else qm[:, :d]) for d in widths}
+
+    def op(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+            out = {"qid": [], "nid": [], "dim": [], "sim": []}
+            for d in widths:
+                cn = unit(m if d is None else m[:, :d])
+                s = np.round(cn @ qn[d].T, 6)
+                for j, qid in enumerate(q_ids):
+                    mask = np.flatnonzero(ids != qid)
+                    out["qid"].extend([qid] * len(mask))
+                    out["nid"].extend(ids[mask].tolist())
+                    out["dim"].extend([d or 0] * len(mask))
+                    out["sim"].extend(s[mask, j].tolist())
+            yield pd.DataFrame(out)
+
+    scored = emb.select("vec_id", "embedding").mapInPandas(
+        op, schema="qid bigint, nid bigint, dim int, sim double"
+    )
+    w = W.partitionBy("qid", "dim").orderBy(F.desc("sim"), F.asc("nid"))
+    topk = (
+        scored.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= _MRC_K)
+        .select("qid", "nid", "dim")
+        .localCheckpoint(eager=False)  # two consumers: full set + trunc sets
+    )
+    fullk = topk.filter(F.col("dim") == 0).select(
+        "qid", F.col("nid").alias("fnid")
+    )
+    trunc = topk.filter(F.col("dim") != 0)
+    rec = (
+        trunc.join(
+            fullk,
+            (trunc.qid == fullk.qid) & (trunc.nid == fullk.fnid),
+            "left",
+        )
+        .groupBy(trunc.qid, "dim")
+        .agg((F.count("fnid") / float(_MRC_K)).alias("recall"))
+    )
+    return rec.groupBy("dim").agg(
+        F.count("*").alias("n_queries"),
+        F.round(F.avg("recall"), 6).alias("avg_recall"),
+    ).select(F.col("dim").cast("bigint").alias("dim"), "n_queries", "avg_recall")

@@ -3103,3 +3103,139 @@ def text_ttr_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0)) / F.count("*"), 6
         ).alias("hapax_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sentence segmentation stats: per-source sentence counts / lengths from a
+# regex sentence split ([.!?]+ boundaries) — the pre-tokenization profile
+# a curation pipeline reads to catch boilerplate (many short sentences)
+# and run-on extraction noise (few giant ones). Pure Catalyst: split +
+# explode + two-level aggregate; one corpus scan, token-free.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_sentence_stats",
+    oracle="""
+    WITH sent AS (
+      SELECT source, trim(s) AS s
+      FROM documents, unnest(regexp_split_to_array(text, '[.!?]+')) AS t(s)
+      WHERE trim(s) <> ''),
+    sized AS (
+      SELECT source, s,
+             length(list_filter(string_split(s, ' '), x -> x <> '')) AS n_words,
+             length(s) AS n_chars
+      FROM sent)
+    SELECT source,
+           COUNT(*) AS n_sentences,
+           round(AVG(CAST(n_words AS DOUBLE)), 6) AS avg_words,
+           CAST(MAX(n_words) AS BIGINT) AS max_words,
+           round(AVG(CAST(n_chars AS DOUBLE)), 6) AS avg_chars
+    FROM sized GROUP BY source
+    """,
+)
+def text_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    sent = (
+        docs.select(
+            "source",
+            F.explode(F.split(F.col("text"), r"[.!?]+")).alias("raw"),
+        )
+        .select("source", F.trim(F.col("raw")).alias("s"))
+        .filter(F.col("s") != "")
+    )
+    sized = sent.select(
+        "source",
+        F.size(F.filter(F.split(F.col("s"), " "), lambda x: x != "")).alias(
+            "n_words"
+        ),
+        F.length("s").alias("n_chars"),
+    )
+    return sized.groupBy("source").agg(
+        F.count("*").alias("n_sentences"),
+        F.round(F.avg(F.col("n_words").cast("double")), 6).alias("avg_words"),
+        F.max("n_words").cast("bigint").alias("max_words"),
+        F.round(F.avg(F.col("n_chars").cast("double")), 6).alias("avg_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# IDF drift between corpus halves: vocabulary whose document frequency
+# shifts most between the first and second half of the corpus (by doc_id —
+# the ingest-order proxy) — the cheap lexical-drift monitor a continuously
+# ingested corpus runs next to the distributional PSI check
+# (drift_psi_report). Fact-scale work is one distinct-(doc, token) pass;
+# everything after is vocabulary-scale. Smoothed idf = ln((N+1)/(df+1));
+# both engines divide/ln identical integers, so the doubles are
+# bit-equal before rounding.
+# ---------------------------------------------------------------------------
+
+_IDF_MIN_DF = 5
+
+
+@query(
+    "text_idf_drift",
+    oracle=f"""
+    WITH n AS (SELECT COUNT(*) AS n FROM documents),
+    toks AS (
+      SELECT DISTINCT doc_id, unnest({_TOK}) AS token,
+             CASE WHEN doc_id < (SELECT n // 2 FROM n) THEN 0 ELSE 1 END AS half
+      FROM documents),
+    df AS (
+      SELECT token,
+             SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS df_early,
+             SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS df_late
+      FROM toks GROUP BY token
+      HAVING df_early >= {_IDF_MIN_DF} AND df_late >= {_IDF_MIN_DF}),
+    scored AS (
+      SELECT token, df_early, df_late,
+             ln(((SELECT n // 2 FROM n) + 1.0) / (df_early + 1.0))
+               - ln(((SELECT n - n // 2 FROM n) + 1.0) / (df_late + 1.0))
+               AS delta
+      FROM df),
+    ranked AS (
+      SELECT token, df_early, df_late, delta,
+             ROW_NUMBER() OVER (ORDER BY abs(delta) DESC, token ASC) AS rank
+      FROM scored)
+    SELECT token, CAST(df_early AS BIGINT) AS df_early,
+           CAST(df_late AS BIGINT) AS df_late,
+           round(delta, 6) AS idf_delta,
+           CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 20
+    """,
+)
+def text_idf_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    n_total = docs.count()  # bounded: one scalar, drives literal halves
+    n_early, n_late = n_total // 2, n_total - n_total // 2
+    toks = (
+        docs.select(
+            "doc_id",
+            (F.col("doc_id") >= F.lit(n_total // 2)).cast("int").alias("half"),
+            F.explode(X.tokens()).alias("token"),
+        )
+        .distinct()
+    )
+    df = (
+        toks.groupBy("token")
+        .agg(
+            F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("df_early"),
+            F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("df_late"),
+        )
+        .filter(
+            (F.col("df_early") >= _IDF_MIN_DF) & (F.col("df_late") >= _IDF_MIN_DF)
+        )
+    )
+    delta = F.log((n_early + 1.0) / (F.col("df_early") + 1.0)) - F.log(
+        (n_late + 1.0) / (F.col("df_late") + 1.0)
+    )
+    scored = df.select("token", "df_early", "df_late", delta.alias("delta"))
+    rw = W.orderBy(F.abs(F.col("delta")).desc(), F.asc("token"))
+    top = scored.orderBy(F.abs(F.col("delta")).desc(), F.asc("token")).limit(20)
+    return top.select(
+        "token",
+        F.col("df_early").cast("bigint").alias("df_early"),
+        F.col("df_late").cast("bigint").alias("df_late"),
+        F.round("delta", 6).alias("idf_delta"),
+        F.row_number().over(rw).cast("bigint").alias("rank"),
+    )

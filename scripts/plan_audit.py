@@ -103,7 +103,7 @@ def main() -> None:
             "text_tfidf_cosine_pairs": "df cap: terms with df > _TFIDF_MAX_DF dropped from the postings self-join",
             "events_series_correlation": "key is the DAY; per-key group size = |event types| (domain-bounded, not corpus-scaled) — pairs per day are |types|^2, a constant",
             "graph_triangle_census": "degree orientation IS the cap: wedges join oriented out-edges on src, and out-degree is bounded by O(sqrt(E)) by construction (a node's out-neighbors all have degree >= its own) — the celebrity node generates no wedges at its own corner",
-            "not_visible_to_detector": "fuzzy_name_match_pairs' block-key self-join sits behind its r5 lazy localCheckpoint (plan truncates at Scan ExistingRDD); its bound is the block key, covered by its own comment + oracle",
+            "not_visible_to_detector": "fuzzy_name_match_pairs' block-key self-join sits behind its r5 lazy localCheckpoint (plan truncates at Scan ExistingRDD); its bound is the block key, covered by its own comment + oracle. Likewise the basket-ARRAY pair generators (graph_triangle_census, graph_modularity_score, graph_common_neighbor_linkpred, basket_apriori_triples) explode combinations from per-key sorted arrays instead of self-joining — quadratic per key by construction, bounded by basket size / the support>=2 degree filter; the r9 linkpred wedge explode is sum C(deg,2) (the true common-neighbor workload), with the support threshold as its degree-tail control",
         },
         "single_partition_window_whitelist": {
             "detector": "Window operators whose child exchange is SinglePartition, EXCLUDING operators/distrank.py's carry-in-offset windows (marker __dr_pid, <= buckets per-partition-count rows by construction); every query listed in with_single_partition_window must be justified here",

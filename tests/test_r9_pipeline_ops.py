@@ -121,3 +121,130 @@ def test_negative_doc_id_hash_parity():
             [d] * _SRC_CAP_HV_SQL.count("doc_id"),
         ).fetchone()[0]
         assert got == (d * _SRC_CAP_MULT) % 2**32, d
+
+
+# ---------------------------------------------------------------------------
+# Round-9 second wave: properties of the new analytics/graph/text/
+# multimodal queries (their value correctness is pinned by the DuckDB
+# oracle gate; these tests pin the INVARIANTS the oracles can't state).
+# ---------------------------------------------------------------------------
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from brooklin_spark import registry
+
+settings.register_profile("r9_no_deadline", deadline=None)
+settings.load_profile("r9_no_deadline")
+
+
+@given(st.lists(st.booleans(), min_size=0, max_size=64))
+def test_vad_run_length_kernel_matches_reference(mask):
+    """The numpy RLE inside vad_segments must agree with a direct
+    scan-based run encoder for every activity mask."""
+    active = np.array(mask, dtype=bool)
+    # kernel arithmetic (copied shape from operators/multimodal.py)
+    edges = np.diff(active.astype(np.int8))
+    starts = int(active[:1].sum()) + int((edges == 1).sum())
+    run_lens = []
+    if active.any():
+        idx = np.flatnonzero(active)
+        breaks = np.flatnonzero(np.diff(idx) > 1)
+        run_lens = np.diff(np.concatenate(([0], breaks + 1, [idx.size]))).tolist()
+    # reference: explicit scan
+    ref_runs, cur = [], 0
+    for a in mask:
+        if a:
+            cur += 1
+        elif cur:
+            ref_runs.append(cur)
+            cur = 0
+    if cur:
+        ref_runs.append(cur)
+    assert starts == len(ref_runs)
+    assert sorted(run_lens) == sorted(ref_runs)
+    assert sum(run_lens) == int(active.sum())
+
+
+def test_modularity_bounds_and_edge_consistency(spark, sf_smoke):
+    """Q is bounded in [-0.5, 1] and the integer census (nodes/edges)
+    matches the label-propagation query's own graph."""
+    registry.load_all()
+    row = registry.QUERIES["graph_modularity_score"](spark, sf_smoke).collect()[0]
+    assert -0.5 <= row.modularity <= 1.0
+    assert row.n_communities <= row.n_nodes
+    lp = registry.QUERIES["graph_label_propagation"](spark, sf_smoke)
+    agg = lp.agg(F.sum("n_members"), F.count("*")).collect()[0]
+    assert agg[0] == row.n_nodes  # same vertex set
+    assert agg[1] == row.n_communities  # same community count
+
+
+def test_threshold_curve_is_monotone(spark, sf_smoke):
+    """Raising the threshold can only shrink the qualifying pair set and
+    grow the survivor set."""
+    registry.load_all()
+    rows = sorted(
+        registry.QUERIES["dedup_threshold_survivor_curve"](spark, sf_smoke).collect(),
+        key=lambda r: r.threshold,
+    )
+    for lo, hi in zip(rows, rows[1:]):
+        assert hi.n_pairs <= lo.n_pairs
+        assert hi.n_dropped <= lo.n_dropped
+        assert hi.n_survivors >= lo.n_survivors
+        assert lo.n_dropped + lo.n_survivors == rows[0].n_dropped + rows[0].n_survivors
+
+
+def test_linkpred_candidates_are_nonedges(spark, sf_smoke):
+    """No predicted link may already be a co-purchase edge, and scores
+    must be >= 2 in rank order."""
+    registry.load_all()
+    pred = registry.QUERIES["graph_common_neighbor_linkpred"](spark, sf_smoke)
+    rows = pred.collect()
+    # rebuild the edge set the query's own way (support >= 2 pairs)
+    from brooklin_spark.io import table
+
+    li = table(spark, sf_smoke, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a, b = li.alias("a"), li.alias("b")
+    edge_rows = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("pa", "pb")
+        .collect()
+    )
+    edges = {(r.pa, r.pb) for r in edge_rows}
+    scores = [r.common_neighbors for r in sorted(rows, key=lambda r: r.rank)]
+    assert scores == sorted(scores, reverse=True)
+    for r in rows:
+        assert (r.part_a, r.part_b) not in edges
+        assert r.common_neighbors >= 2
+
+
+def test_markov_stationary_is_distribution(spark, sf_smoke):
+    """After 6 row-stochastic iterations the vector still sums to 1
+    (up to the documented per-round rounding) and is non-negative."""
+    registry.load_all()
+    rows = registry.QUERIES["events_markov_stationary"](spark, sf_smoke).collect()
+    total = sum(r.stationary_prob for r in rows)
+    assert abs(total - 1.0) < 1e-3
+    assert all(r.stationary_prob >= 0 for r in rows)
+
+
+def test_mrl_recall_curve_shape(spark, sf_smoke):
+    """One row per truncated width, recalls in [0, 1], probe count
+    bounded by the sample size."""
+    registry.load_all()
+    from brooklin_spark.queries.similarity import _MRC_DIMS, _MRC_Q
+
+    rows = registry.QUERIES["embedding_mrl_recall_curve"](spark, sf_smoke).collect()
+    assert sorted(r.dim for r in rows) == sorted(_MRC_DIMS)
+    for r in rows:
+        assert 0.0 <= r.avg_recall <= 1.0
+        assert r.n_queries <= _MRC_Q
