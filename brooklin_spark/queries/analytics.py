@@ -1551,3 +1551,50 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("t").alias("event_type"),
         F.round("pr", 6).alias("stationary_prob"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-user behavioral entropy histogram: Shannon entropy of each user's
+# event-type mix, bucketed at 0.25 nats — the bot/power-user screen (bots
+# pin near 0: one repeated action; organic users spread). Per-user terms
+# are |types|-bounded (<= 5 doubles per user, rounded at 8 before the
+# bucket compare), so the fact-scale work is ONE user-type groupBy and a
+# user-scale reduce. The avg rides the same pass.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_user_entropy",
+    oracle="""
+    WITH counts AS (
+      SELECT user_id, event_type, COUNT(*) AS c FROM events GROUP BY 1, 2),
+    tot AS (SELECT user_id, SUM(c) AS n FROM counts GROUP BY user_id),
+    ent AS (
+      SELECT c.user_id,
+             round(-SUM((CAST(c.c AS DOUBLE) / t.n)
+                        * ln(CAST(c.c AS DOUBLE) / t.n)), 8) AS h
+      FROM counts c JOIN tot t ON t.user_id = c.user_id
+      GROUP BY c.user_id)
+    SELECT CAST(FLOOR(h / 0.25) AS BIGINT) AS entropy_bucket,
+           COUNT(*) AS n_users,
+           round(AVG(h), 6) AS avg_entropy
+    FROM ent GROUP BY 1
+    """,
+)
+def events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    counts = e.groupBy("user_id", "event_type").agg(F.count("*").alias("c"))
+    # windowed total rides the same user_id exchange the groupBy created
+    w = W.partitionBy("user_id")
+    p = F.col("c").cast("double") / F.sum("c").over(w)
+    ent = (
+        counts.withColumn("term", p * F.log(p))
+        .groupBy("user_id")
+        .agg(F.round(-F.sum("term"), 8).alias("h"))
+    )
+    return ent.groupBy(
+        F.floor(F.col("h") / 0.25).cast("bigint").alias("entropy_bucket")
+    ).agg(
+        F.count("*").alias("n_users"),
+        F.round(F.avg("h"), 6).alias("avg_entropy"),
+    )

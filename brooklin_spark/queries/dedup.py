@@ -783,23 +783,64 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # nothing is collected driver-side.
 # ---------------------------------------------------------------------------
 
+def _key_upper_bound(sf_dir: str, tbl: str, col: str) -> int | None:
+    """MAX of a key column from the parquet footer statistics only (no
+    Spark job, no data scan). None when stats are missing or the layout
+    isn't a plain parquet path (e.g. the "bucketed:" scheme)."""
+    try:
+        import pyarrow.dataset as _pads
+
+        hi = None
+        path = os.path.join(sf_dir, f"{tbl}.parquet")
+        for frag in _pads.dataset(path, format="parquet").get_fragments():
+            md = frag.metadata
+            schema_idx = md.schema.to_arrow_schema().get_field_index(col)
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(schema_idx).statistics
+                if st is None or st.max is None or st.min is None or st.min < 0:
+                    return None  # packing requires provably nonnegative keys
+                hi = st.max if hi is None else max(hi, st.max)
+        return int(hi) if hi is not None else None
+    except Exception:
+        return None
+
+
 def _graph_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct bipartite customer-supplier pairs with INTEGER node ids
     (custkey*2 / suppkey*2+1): the graph kernels shuffle longs, not
     'c123' strings — half the shuffle bytes and integer hashing on the
     1M+-edge table at sf0.1+. The display string is formatted only on
     the final per-node result rows (_graph_node_str). The node-id
-    encoding lives HERE and in _graph_node_str only."""
+    encoding lives HERE and in _graph_node_str only.
+
+    The DISTINCT runs on ONE packed long (custkey * M + suppkey) when the
+    footer-stat key bounds prove the packing exact (M = next power of two
+    above max suppkey; product bounded by 2^63) — single-column hashing +
+    half the exchange bytes measured 57 -> 26 s on the 58.7M-pair distinct
+    at sf10. Key domains that outgrow the packable range (the sf100
+    replica shift) fall back to the two-column distinct, exact either way.
+    """
     o = table(spark, sf_dir, "orders")
     li = table(spark, sf_dir, "lineitem")
-    return (
-        o.join(li, li.l_orderkey == o.o_orderkey)
-        .select(
-            (F.col("o_custkey") * 2).alias("c_node"),
-            (F.col("l_suppkey") * 2 + 1).alias("s_node"),
-        )
-        .distinct()
-    )
+    joined = o.join(li, li.l_orderkey == o.o_orderkey)
+    max_c = _key_upper_bound(sf_dir, "orders", "o_custkey")
+    max_s = _key_upper_bound(sf_dir, "lineitem", "l_suppkey")
+    if max_c is not None and max_s is not None and max_c >= 0 and max_s >= 0:
+        mult = 1 << max(max_s, 1).bit_length()
+        if (max_c + 1) * mult < (1 << 63):
+            packed = joined.select(
+                (F.col("o_custkey") * F.lit(mult) + F.col("l_suppkey")).alias("p")
+            ).distinct()
+            # integer DIV, never `/`: double division loses exactness for
+            # packed values above 2^53
+            return packed.select(
+                (F.expr(f"p DIV {mult}") * 2).alias("c_node"),
+                ((F.col("p") % mult) * 2 + 1).alias("s_node"),
+            )
+    return joined.select(
+        (F.col("o_custkey") * 2).alias("c_node"),
+        (F.col("l_suppkey") * 2 + 1).alias("s_node"),
+    ).distinct()
 
 
 def _graph_edges(pairs: DataFrame) -> DataFrame:
@@ -1634,20 +1675,26 @@ def _kcore_round_sql(r: int) -> str:
     """,
 )
 def graph_kcore_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _graph_pairs(spark, sf_dir).select(
+    e0 = _graph_pairs(spark, sf_dir).select(
         F.col("c_node").alias("c"), F.col("s_node").alias("s")
     ).localCheckpoint(eager=False)
+    # r9 layout experiments, both measured and REJECTED at sf10 before
+    # landing here: (a) double key-partitioned edge checkpoints (the
+    # PageRank pattern) pay two eager 58.7M-row materializations that
+    # cost what the round joins save (231 s -> 252 s); (b) a post-round-1
+    # alive-edge rebuild pays two extra full semi-join shuffles for the
+    # same wash. What DOES pay: the packed single-long distinct inside
+    # _graph_pairs (57 -> 26 s on the pair build) and broadcast-hinted
+    # CHANGE SETS for rounds >= 2 below.
+    e_by_s = e_by_c = e0
 
-    def degree(edges: DataFrame) -> DataFrame:
-        # bipartite node ids are DISJOINT by construction (c even, s odd —
-        # _graph_pairs encoding), so the two per-side groupBys never share
-        # a key and their union IS the degree table: two half-size
-        # parallel exchanges instead of one union-doubled one (r9)
-        dc = edges.groupBy(F.col("c").alias("node")).agg(F.count("*").alias("d"))
-        ds = edges.groupBy(F.col("s").alias("node")).agg(F.count("*").alias("d"))
-        return dc.unionAll(ds)
-
-    deg = degree(e).localCheckpoint(eager=False)
+    # bipartite node ids are DISJOINT by construction (c even, s odd —
+    # _graph_pairs encoding), so the two per-side groupBys never share
+    # a key and their union IS the degree table: two half-size parallel
+    # exchanges instead of one union-doubled one
+    dc = e_by_c.groupBy(F.col("c").alias("node")).agg(F.count("*").alias("d"))
+    ds = e_by_s.groupBy(F.col("s").alias("node")).agg(F.count("*").alias("d"))
+    deg = dc.unionAll(ds).localCheckpoint(eager=False)
     # k stays IN the DAG as a broadcast 1-row aggregate (the oracle's kv
     # CROSS JOIN shape): r8's .first() was a synchronous driver barrier
     # that serialized the whole edge build before the peel could even be
@@ -1685,13 +1732,21 @@ def graph_kcore_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         alive_deg = deg.join(F.broadcast(kv), F.col("d") >= F.col("k")).select(
             "node", "d"
         )
+        # rounds >= 2 broadcast the dead set: it is the per-round CHANGE
+        # set of a 3-round peel — nodes alive after the first mass kill
+        # that die later — empty at fixed point (these corpora converge
+        # in one round) and shrinking by construction. The hint turns the
+        # decrement joins into scans of the CACHED edge table with no
+        # edge-side exchange; round 1's dead set is corpus-scaled, so it
+        # keeps the shuffle form per the r4 broadcast policy.
+        dd = dead if r == 1 else F.broadcast(dead)
         decc = (
-            e.join(dead, e.s == dead.node)
+            e_by_s.join(dd, e_by_s.s == dd.node)
             .groupBy(F.col("c").alias("node"))
             .agg(F.count("*").alias("cut"))
         )
         decs = (
-            e.join(dead, e.c == dead.node)
+            e_by_c.join(dd, e_by_c.c == dd.node)
             .groupBy(F.col("s").alias("node"))
             .agg(F.count("*").alias("cut"))
         )
@@ -2026,4 +2081,163 @@ def dedup_threshold_survivor_curve(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("n_pairs").cast("bigint").alias("n_pairs"),
         F.col("n_dropped").cast("bigint").alias("n_dropped"),
         (F.col("n_docs") - F.col("n_dropped")).cast("bigint").alias("n_survivors"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Degree assortativity of the co-purchase graph (Newman 2002): do
+# high-degree parts co-purchase with other high-degree parts? Computed
+# over the directed edge list (each undirected edge counted both ways, so
+# the two marginals coincide) from FOUR exact integer aggregates — M,
+# sum deg(src), sum deg(src)^2, sum deg(src)*deg(dst) — so the Pearson r
+# is a handful of IEEE ops over exact integers, engine-exact like the
+# modularity score. Fact-scale work: the basket-array pair build + one
+# degree join; everything after is edge-scale sums.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "graph_assortativity",
+    oracle="""
+    WITH pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM lineitem a
+      JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(DISTINCT a.l_orderkey) >= 2),
+    edges AS (
+      SELECT pa AS src, pb AS dst FROM pairs
+      UNION ALL SELECT pb AS src, pa AS dst FROM pairs),
+    deg AS (SELECT src AS v, COUNT(*) AS d FROM edges GROUP BY src),
+    sums AS (
+      SELECT COUNT(*) AS m2,
+             SUM(ds.d) AS sx,
+             SUM(ds.d * ds.d) AS sxx,
+             SUM(ds.d * dd.d) AS sxy
+      FROM edges e JOIN deg ds ON ds.v = e.src JOIN deg dd ON dd.v = e.dst)
+    SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+           CAST(m2 / 2 AS BIGINT) AS n_edges,
+           round((CAST(sxy AS DOUBLE) / m2
+                  - (CAST(sx AS DOUBLE) / m2) * (CAST(sx AS DOUBLE) / m2))
+                 / (CAST(sxx AS DOUBLE) / m2
+                    - (CAST(sx AS DOUBLE) / m2) * (CAST(sx AS DOUBLE) / m2)), 6)
+             AS assortativity
+    FROM sums
+    """,
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    pairs = (
+        baskets.select(F.posexplode("parts").alias("i", "pa"), F.col("parts"))
+        .select(
+            "pa",
+            F.explode(F.expr("slice(parts, i + 2, size(parts))")).alias("pb"),
+        )
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("n_ord"))
+        .filter(F.col("n_ord") >= 2)
+        .select("pa", "pb")
+    )
+    edges = pairs.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst")
+    ).unionAll(
+        pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+    ).localCheckpoint(eager=False)  # degree agg + two deg joins re-read it
+    deg = edges.groupBy(F.col("src").alias("v")).agg(F.count("*").alias("d"))
+    ds = deg.select(F.col("v").alias("vs"), F.col("d").alias("d_src"))
+    dd = deg.select(F.col("v").alias("vd"), F.col("d").alias("d_dst"))
+    sums = (
+        edges.join(ds, edges.src == ds.vs)
+        .join(dd, edges.dst == dd.vd)
+        .agg(
+            F.count("*").alias("m2"),
+            F.sum("d_src").alias("sx"),
+            F.sum(F.col("d_src") * F.col("d_src")).alias("sxx"),
+            F.sum(F.col("d_src") * F.col("d_dst")).alias("sxy"),
+        )
+    )
+    n_nodes = deg.agg(F.count("*").alias("n_nodes"))
+    mean = F.col("sx").cast("double") / F.col("m2")
+    return sums.crossJoin(F.broadcast(n_nodes)).select(
+        "n_nodes",
+        (F.col("m2") / 2).cast("bigint").alias("n_edges"),
+        F.round(
+            (F.col("sxy").cast("double") / F.col("m2") - mean * mean)
+            / (F.col("sxx").cast("double") / F.col("m2") - mean * mean),
+            6,
+        ).alias("assortativity"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup cluster composition profile: for every multi-doc cluster of the
+# canonical CC dedup, its size and source/language spread — the report a
+# corpus owner reads to learn WHERE duplication comes from (same-source
+# re-crawls vs cross-source syndication vs translations). Rides the
+# proven capped-pair/CC path; the profile join back to documents is
+# cluster-table-scale on one side.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_cluster_profile",
+    oracle=f"""
+    WITH RECURSIVE {G.shingle_cte(3)},
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    cpairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    dup_pairs AS (
+      SELECT doc_a, doc_b FROM cpairs
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE common * 1.0 / (sa.n_sh + sb.n_sh - common) >= 0.7),
+    nodes AS (
+      SELECT DISTINCT id FROM (
+        SELECT doc_a AS id FROM dup_pairs UNION SELECT doc_b FROM dup_pairs)),
+    cedges AS (
+      SELECT doc_a AS a, doc_b AS b FROM dup_pairs
+      UNION SELECT doc_b, doc_a FROM dup_pairs),
+    reach(id, r) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT reach.id, e.b FROM reach JOIN cedges e ON e.a = reach.r),
+    comp AS (SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id)
+    SELECT CAST(comp.component AS BIGINT) AS component,
+           COUNT(*) AS cluster_size,
+           CAST(COUNT(DISTINCT d.source) AS BIGINT) AS n_sources,
+           CAST(COUNT(DISTINCT d.lang) AS BIGINT) AS n_langs,
+           CAST(MIN(d.n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(d.n_chars) AS BIGINT) AS max_chars
+    FROM comp JOIN documents d ON d.doc_id = comp.doc_id
+    GROUP BY comp.component
+    """,
+)
+def dedup_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    sh = (
+        D.shingle_rows_pandas(docs, n=3)
+        .select("id", "n", F.xxhash64("shingle").alias("shingle"))
+        .localCheckpoint()  # see dedup_ngram_jaccard: UDF would run twice
+    )
+    pairs = D.jaccard_pairs_selfjoin(sh, threshold=0.7).select("doc_a", "doc_b")
+    comps = D.connected_components(pairs)
+    return (
+        comps.join(docs, comps.id == docs.doc_id)
+        .groupBy(F.col("comp").cast("bigint").alias("component"))
+        .agg(
+            F.count("*").alias("cluster_size"),
+            F.count_distinct("source").cast("bigint").alias("n_sources"),
+            F.count_distinct("lang").cast("bigint").alias("n_langs"),
+            F.min("n_chars").cast("bigint").alias("min_chars"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+        )
     )

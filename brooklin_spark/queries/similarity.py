@@ -1862,3 +1862,77 @@ def embedding_mrl_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_queries"),
         F.round(F.avg("recall"), 6).alias("avg_recall"),
     ).select(F.col("dim").cast("bigint").alias("dim"), "n_queries", "avg_recall")
+
+
+# ---------------------------------------------------------------------------
+# Embedding centroid drift: cosine between each label's early-half and
+# late-half centroid (halves by vec_id — ingest order) — the vector-space
+# twin of text_idf_drift: a label whose centroid moves is a class whose
+# data distribution shifted under the embedding model. One posexplode +
+# (label, half, dim) groupBy (fact-scale), then label-scale assembly.
+# Centroid components are rounded at 8 BEFORE the cosine, so both engines
+# run the dot product on identical doubles (the pre-rounding discipline).
+# ---------------------------------------------------------------------------
+
+_CD_DIMS = 16
+
+
+@query(
+    "embedding_centroid_drift",
+    oracle=f"""
+    WITH n AS (SELECT COUNT(*) AS n FROM embeddings),
+    flat AS (
+      SELECT label,
+             CASE WHEN vec_id < (SELECT n // 2 FROM n) THEN 0 ELSE 1 END AS half,
+             generate_subscripts(embedding, 1) AS dim,
+             unnest(embedding)::DOUBLE AS x
+      FROM embeddings),
+    cent AS (
+      SELECT label, half, dim, round(AVG(x), 8) AS c, COUNT(*) AS nv
+      FROM flat WHERE dim <= {_CD_DIMS} GROUP BY 1, 2, 3),
+    paired AS (
+      SELECT e.label, e.dim, e.c AS ce, l.c AS cl,
+             e.nv AS n_early, l.nv AS n_late
+      FROM cent e JOIN cent l
+        ON l.label = e.label AND l.dim = e.dim AND e.half = 0 AND l.half = 1)
+    SELECT CAST(label AS BIGINT) AS label,
+           round(SUM(ce * cl) / (sqrt(SUM(ce * ce)) * sqrt(SUM(cl * cl))), 6)
+             AS centroid_cosine,
+           CAST(MIN(n_early) AS BIGINT) AS n_early,
+           CAST(MIN(n_late) AS BIGINT) AS n_late
+    FROM paired GROUP BY label
+    """,
+)
+def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    n_total = emb.count()  # bounded scalar, drives the half literal
+    flat = emb.select(
+        "label",
+        (F.col("vec_id") >= F.lit(n_total // 2)).cast("int").alias("half"),
+        F.posexplode("embedding").alias("dim0", "x"),
+    ).filter(F.col("dim0") < _CD_DIMS)
+    cent = flat.groupBy("label", "half", "dim0").agg(
+        F.round(F.avg(F.col("x").cast("double")), 8).alias("c"),
+        F.count("*").alias("nv"),
+    )
+    e = cent.filter(F.col("half") == 0).select(
+        F.col("label").alias("le"), F.col("dim0").alias("de"),
+        F.col("c").alias("ce"), F.col("nv").alias("n_early"),
+    )
+    lt = cent.filter(F.col("half") == 1).select(
+        F.col("label").alias("ll"), F.col("dim0").alias("dl"),
+        F.col("c").alias("cl"), F.col("nv").alias("n_late"),
+    )
+    paired = e.join(lt, (e.le == lt.ll) & (e.de == lt.dl))
+    return paired.groupBy(F.col("le").cast("bigint").alias("label")).agg(
+        F.round(
+            F.sum(F.col("ce") * F.col("cl"))
+            / (
+                F.sqrt(F.sum(F.col("ce") * F.col("ce")))
+                * F.sqrt(F.sum(F.col("cl") * F.col("cl")))
+            ),
+            6,
+        ).alias("centroid_cosine"),
+        F.min("n_early").cast("bigint").alias("n_early"),
+        F.min("n_late").cast("bigint").alias("n_late"),
+    )

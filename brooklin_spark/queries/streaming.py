@@ -1146,3 +1146,93 @@ _reg.ORACLES["streaming_bm25_index_ingest"] = _reg.ORACLES["text_bm25_search"]
 _reg.ORACLES["streaming_dedup_semantic_ingest"] = _reg.ORACLES[
     "dedup_semdedup_kmeans"
 ]
+
+
+# ---------------------------------------------------------------------------
+# Incremental funnel over the event stream (applyInPandasWithState): the
+# live-dashboard form of events_funnel_conversion — per-user first-seen
+# timestamps for each funnel stage held as O(keys) group state (three
+# nullable epoch-micros longs), updated per micro-batch; the drained
+# per-user stage table reduces to the same one-row funnel the batch query
+# computes, and hash-matches its DuckDB oracle. Min is order-insensitive,
+# so replay chunking cannot change the answer — the invariant that makes
+# the incremental form safe to serve mid-stream.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "streaming_funnel_incremental",
+    oracle="""
+    WITH stage AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id)
+    SELECT COUNT(*) AS n_users,
+           CAST(SUM(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS reached_signup,
+           CAST(SUM(CASE WHEN t_signup IS NOT NULL AND t_click > t_signup THEN 1 ELSE 0 END) AS BIGINT) AS reached_click,
+           CAST(SUM(CASE WHEN t_signup IS NOT NULL AND t_click > t_signup AND t_purchase > t_click THEN 1 ELSE 0 END) AS BIGINT) AS reached_purchase
+    FROM stage
+    """,
+)
+def streaming_funnel_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    split_dir = _split_table_for_stream(sf_dir, "events", "event_id")
+    # the split inherits the source's TIMESTAMP(NANOS); Spark 4 refuses
+    # nanos without this conf (io.table sets it for batch reads)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(split_dir).schema
+    s = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(split_dir)
+    )
+    if dict(s.dtypes).get("ts") == "bigint":  # TIMESTAMP(NANOS) corpus form
+        s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+    STAGES = ("signup", "click", "purchase")
+
+    def step(key: tuple, pdfs, state: GroupState):
+        mins = list(state.get) if state.exists else [None, None, None]
+        for pdf in pdfs:
+            us = pdf["ts"].astype("datetime64[us]").astype("int64")
+            for i, stage in enumerate(STAGES):
+                hit = us[pdf["event_type"] == stage]
+                if len(hit):
+                    m = int(hit.min())
+                    mins[i] = m if mins[i] is None else min(mins[i], m)
+        state.update(tuple(mins))
+        yield pd.DataFrame(
+            [
+                {
+                    "user_id": key[0],
+                    "t_signup": mins[0],
+                    "t_click": mins[1],
+                    "t_purchase": mins[2],
+                }
+            ]
+        )
+
+    staged = s.groupBy("user_id").applyInPandasWithState(
+        step,
+        outputStructType=(
+            "user_id bigint, t_signup bigint, t_click bigint, t_purchase bigint"
+        ),
+        stateStructType="s bigint, c bigint, p bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    final = run_to_completion(staged, mode="update", last_per_key=["user_id"])
+    signed = F.col("t_signup").isNotNull()
+    clicked = signed & (F.col("t_click") > F.col("t_signup"))
+    purchased = clicked & (F.col("t_purchase") > F.col("t_click"))
+    return final.agg(
+        F.count("*").alias("n_users"),
+        F.sum(signed.cast("int")).cast("bigint").alias("reached_signup"),
+        F.sum(clicked.cast("int")).cast("bigint").alias("reached_click"),
+        F.sum(purchased.cast("int")).cast("bigint").alias("reached_purchase"),
+    )

@@ -3239,3 +3239,75 @@ def text_idf_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("delta", 6).alias("idf_delta"),
         F.row_number().over(rw).cast("bigint").alias("rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram conditional entropy rate per source: H(w2 | w1) =
+# -sum p(w1,w2) ln p(w2|w1) over each source's bigram table — the
+# information-theoretic redundancy screen (templated/boilerplate sources
+# score low; organic prose scores high), complementing the count-based
+# repetition flags. Fact-scale work is one bigram explode + a
+# (source, w1, w2) groupBy; the entropy terms are exact integer ratios
+# rounded at 12 before the vocabulary-scale sum (the markov-chain
+# rounding discipline).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_ngram_entropy_rate",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, {_TOK} AS ts FROM documents),
+    big AS (
+      SELECT source, ts[i] AS w1, ts[i + 1] AS w2
+      FROM toks, unnest(generate_series(1, len(ts) - 1)) AS g(i)),
+    c12 AS (
+      SELECT source, w1, w2, COUNT(*) AS c FROM big GROUP BY 1, 2, 3),
+    c1 AS (
+      SELECT source, w1, SUM(c) AS c1 FROM c12 GROUP BY 1, 2),
+    n AS (SELECT source, SUM(c) AS n FROM c12 GROUP BY source),
+    terms AS (
+      SELECT c12.source,
+             round((CAST(c12.c AS DOUBLE) / n.n)
+                   * ln(CAST(c12.c AS DOUBLE) / c1.c1), 12) AS t
+      FROM c12
+      JOIN c1 ON c1.source = c12.source AND c1.w1 = c12.w1
+      JOIN n ON n.source = c12.source)
+    SELECT source,
+           round(-SUM(t), 6) AS entropy_rate,
+           COUNT(*) AS n_bigram_types
+    FROM terms GROUP BY source
+    """,
+)
+def text_ngram_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    ts = X.tokens()
+    big = docs.select(
+        "source",
+        F.explode(
+            F.expr(
+                # greatest(…, 0): a 0/1-token doc must yield an empty
+                # bigram array, not a negative slice length (ANSI errors)
+                "transform(slice({t}, 1, greatest(size({t}) - 1, 0)), "
+                "(x, i) -> struct(x AS w1, element_at({t}, i + 2) AS w2))".format(
+                    t="filter(split(text, ' '), x -> x != '')"
+                )
+            )
+        ).alias("bg"),
+    ).select("source", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    c12 = big.groupBy("source", "w1", "w2").agg(F.count("*").alias("c"))
+    # w1 totals + source totals ride the same (source, w1[, w2]) exchange
+    # via windows — no second corpus pass
+    c1w = F.sum("c").over(W.partitionBy("source", "w1"))
+    nw = F.sum("c").over(W.partitionBy("source"))
+    terms = c12.select(
+        "source",
+        F.round(
+            (F.col("c").cast("double") / nw) * F.log(F.col("c").cast("double") / c1w),
+            12,
+        ).alias("t"),
+    )
+    return terms.groupBy("source").agg(
+        F.round(-F.sum("t"), 6).alias("entropy_rate"),
+        F.count("*").alias("n_bigram_types"),
+    )

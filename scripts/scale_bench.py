@@ -74,6 +74,16 @@ SCALE_QUERIES = [
     # book (multi-stage DAG latency at toy SF; data cost decides here)
     "graph_kcore_bounded",
     "sessions_concurrency_overlap",
+    # r9 verdict item 6: fertility's 2.1x at sf10 — the one-pass byte-run
+    # kernel's scale row lives here
+    "text_tokenizer_fertility",
+    # r9 second wave: the data-scaled new operators (the rest of the wave
+    # is aggregate-scale or capped-sample by construction)
+    "graph_modularity_score",
+    "graph_common_neighbor_linkpred",
+    "dedup_threshold_survivor_curve",
+    "text_idf_drift",
+    "text_sentence_stats",
 ]
 
 TABLES = [
