@@ -135,6 +135,23 @@ BENCH_QUERIES = [
     # 17.4 -> 4.5 s sf1)
     "graph_kcore_bounded",
     "sessions_concurrency_overlap",
+    # round-9 second/third waves: new pipeline operators (each
+    # oracle-checked; paired-book rows decide their flag status)
+    "events_funnel_latency",
+    "events_markov_stationary",
+    "events_user_entropy",
+    "graph_modularity_score",
+    "graph_common_neighbor_linkpred",
+    "graph_assortativity",
+    "dedup_threshold_survivor_curve",
+    "dedup_cluster_profile",
+    "text_sentence_stats",
+    "text_idf_drift",
+    "text_ngram_entropy_rate",
+    "embedding_mrl_recall_curve",
+    "embedding_centroid_drift",
+    "multimodal_audio_vad_segments",
+    "privacy_l_diversity_report",
 ]
 
 
