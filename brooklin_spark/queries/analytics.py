@@ -1598,3 +1598,210 @@ def events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_users"),
         F.round(F.avg("h"), 6).alias("avg_entropy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A/B experiment readout: users hash-split into two arms (parity of
+# user_id — deterministic, balanced, and exactly what an experimentation
+# layer does with a bucketing hash), outcome = "did the user ever make
+# a high-value (> 150) purchase". Two-proportion pooled z-test, the
+# stats every experiment
+# dashboard prints. Fact-scale work is ONE user-grain aggregate riding a
+# single user_id exchange; the arm-level contingency table is 2 rows, so
+# the z arithmetic is metadata-scale. 100 TB: unchanged shape — the only
+# corpus-scale stage is the per-user any-purchase flag.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_ab_test_zscore",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, user_id % 2 AS arm,
+             MAX(CASE WHEN event_type = 'purchase' AND value > 150
+                 THEN 1 ELSE 0 END) AS converted
+      FROM events GROUP BY 1, 2),
+    arms AS (
+      SELECT
+        CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        CAST(SUM(CASE WHEN arm = 0 THEN converted ELSE 0 END) AS BIGINT) AS conv_a,
+        CAST(SUM(CASE WHEN arm = 1 THEN converted ELSE 0 END) AS BIGINT) AS conv_b
+      FROM per_user)
+    SELECT n_a, n_b, conv_a, conv_b,
+           round(conv_a / CAST(n_a AS DOUBLE), 6) AS rate_a,
+           round(conv_b / CAST(n_b AS DOUBLE), 6) AS rate_b,
+           round(
+             (conv_a / CAST(n_a AS DOUBLE) - conv_b / CAST(n_b AS DOUBLE))
+             / sqrt(((conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
+                    * (1.0 - (conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
+                    * (1.0 / n_a + 1.0 / n_b)), 6) AS z_score
+    FROM arms
+    """,
+)
+def events_ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    # outcome: a HIGH-VALUE purchase (value > 150) — the plain any-purchase
+    # flag saturates to 1.0 in both arms (se = 0, z undefined); a
+    # thresholded outcome keeps the proportions interior at every SF.
+    per_user = e.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 150),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        ).alias("converted")
+    )
+    arm = F.pmod(F.col("user_id"), F.lit(2))
+    arms = per_user.agg(
+        F.sum(F.when(arm == 0, 1).otherwise(0)).cast("bigint").alias("n_a"),
+        F.sum(F.when(arm == 1, 1).otherwise(0)).cast("bigint").alias("n_b"),
+        F.sum(F.when(arm == 0, F.col("converted")).otherwise(0))
+        .cast("bigint")
+        .alias("conv_a"),
+        F.sum(F.when(arm == 1, F.col("converted")).otherwise(0))
+        .cast("bigint")
+        .alias("conv_b"),
+    )
+    ra = F.col("conv_a") / F.col("n_a").cast("double")
+    rb = F.col("conv_b") / F.col("n_b").cast("double")
+    pooled = (F.col("conv_a") + F.col("conv_b")) / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    se = F.sqrt(
+        pooled * (F.lit(1.0) - pooled) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    )
+    return arms.select(
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        F.round(ra, 6).alias("rate_a"),
+        F.round(rb, 6).alias("rate_b"),
+        F.round((ra - rb) / se, 6).alias("z_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Activity concentration (Gini + top-decile share): how unequally events
+# are distributed across users — the "1% of users generate half the
+# traffic" number that sizes per-key state, hot-partition risk, and
+# sampling designs. Exact Gini needs a TOTAL ORDER over users by count;
+# a naive `ROW_NUMBER() OVER (ORDER BY c)` is a single-partition funnel,
+# so the global rank comes from operators/distrank.global_row_number
+# (range-repartition + per-partition rank + broadcast carry offsets —
+# user-scale keyed shuffles only). Sum(i * c_i) stays in int64: rank and
+# count are both <= ~1e10 at 100 TB, product < 2^63 guarded by the
+# fact the summand is per-user. Ties broken by user_id in BOTH engines.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_gini_activity",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, COUNT(*) AS c FROM events GROUP BY 1),
+    ranked AS (
+      SELECT c, ROW_NUMBER() OVER (ORDER BY c, user_id) AS rk,
+             COUNT(*) OVER () AS n, SUM(c) OVER () AS tot
+      FROM per_user),
+    agg AS (
+      SELECT MAX(n) AS n, MAX(tot) AS tot, SUM(rk * c) AS rank_mass,
+             SUM(CASE WHEN rk > n - CAST(FLOOR(n / 10) AS BIGINT)
+                 THEN c ELSE 0 END) AS top_mass
+      FROM ranked)
+    SELECT CAST(n AS BIGINT) AS n_users,
+           CAST(tot AS BIGINT) AS total_events,
+           round(2.0 * rank_mass / (n * CAST(tot AS DOUBLE))
+                 - (n + 1.0) / n, 6) AS gini,
+           round(top_mass / CAST(tot AS DOUBLE), 6) AS top_decile_share
+    FROM agg
+    """,
+)
+def events_gini_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from brooklin_spark.operators.distrank import global_row_number
+
+    per_user = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("c"))
+    )
+    ranked = global_row_number(
+        per_user, [F.asc("c"), F.asc("user_id")], out="rk", total_out="n"
+    )
+    agg = ranked.agg(
+        F.max("n").alias("n_users"),
+        F.sum("c").cast("bigint").alias("total_events"),
+        F.sum(F.col("rk") * F.col("c")).cast("bigint").alias("rank_mass"),
+    )
+    n = F.col("n_users").cast("double")
+    tot = F.col("total_events").cast("double")
+    # top-decile mass reads the cutoff off the same ranked frame (every
+    # row carries n), so no driver round-trip for the threshold.
+    top = ranked.select(
+        F.sum(
+            F.when(
+                F.col("rk")
+                > F.col("n") - F.floor(F.col("n") / 10).cast("bigint"),
+                F.col("c"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("top_mass")
+    )
+    return agg.crossJoin(top).select(
+        F.col("n_users").cast("bigint").alias("n_users"),
+        "total_events",
+        F.round(
+            2.0 * F.col("rank_mass") / (n * tot) - (n + 1.0) / n, 6
+        ).alias("gini"),
+        F.round(F.col("top_mass") / tot, 6).alias("top_decile_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inter-arrival profile: the distribution of gaps between a user's
+# consecutive events of each type — the number that sizes session
+# timeouts, streaming watermark delays, and state TTLs. One keyed lag
+# window (partitioned on user_id — the exchange every per-user op here
+# shares), then a |types|-row percentile aggregate. Exact percentile
+# state is per-TYPE (5 groups) — at 100 TB swap F.percentile for
+# approx_percentile(1e-4) per SCALING.md's sketch policy; the oracle
+# below is the exact twin at test scale.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_interarrival_profile",
+    oracle="""
+    WITH gaps AS (
+      SELECT event_type,
+             date_diff('second',
+               LAG(ts) OVER (PARTITION BY user_id, event_type
+                             ORDER BY ts, event_id), ts) AS gap_s
+      FROM events)
+    SELECT event_type, COUNT(gap_s) AS n_gaps,
+           round(quantile_cont(gap_s, 0.5), 6) AS p50_gap_s,
+           round(quantile_cont(gap_s, 0.9), 6) AS p90_gap_s,
+           round(quantile_cont(gap_s, 0.99), 6) AS p99_gap_s,
+           round(AVG(gap_s), 6) AS avg_gap_s
+    FROM gaps WHERE gap_s IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def events_interarrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gaps = e.select(
+        "event_type",
+        (
+            F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+        ).alias("gap_s"),
+    ).filter(F.col("gap_s").isNotNull())
+    return gaps.groupBy("event_type").agg(
+        F.count("gap_s").alias("n_gaps"),
+        F.round(F.percentile("gap_s", F.lit(0.5)), 6).alias("p50_gap_s"),
+        F.round(F.percentile("gap_s", F.lit(0.9)), 6).alias("p90_gap_s"),
+        F.round(F.percentile("gap_s", F.lit(0.99)), 6).alias("p99_gap_s"),
+        F.round(F.avg("gap_s"), 6).alias("avg_gap_s"),
+    )

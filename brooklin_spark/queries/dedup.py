@@ -2241,3 +2241,238 @@ def dedup_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_chars").cast("bigint").alias("max_chars"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Adamic-Adar link prediction on the co-purchase graph: the common-
+# neighbor score's better-calibrated sibling — each shared neighbor
+# contributes 1/ln(deg) instead of 1, so hub neighbors (which everyone
+# shares) stop dominating the ranking (Adamic & Adar 2003). Same
+# scale-safe candidate shape as graph_common_neighbor_linkpred: wedges
+# generate from per-node sorted adjacency arrays (ONE exchange on the
+# wedge center, never edges x edges), each wedge weighted by its
+# center's 1/ln(degree) — the degree is just size(adjacency), free at
+# the point the wedge explodes. Scores are rounded to 6dp BEFORE the
+# rank so both engines order identical numbers; ties break on the pair.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "graph_adamic_adar_linkpred",
+    oracle="""
+    WITH pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM lineitem a
+      JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(DISTINCT a.l_orderkey) >= 2),
+    edges AS (
+      SELECT pa AS src, pb AS dst FROM pairs
+      UNION ALL SELECT pb AS src, pa AS dst FROM pairs),
+    deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY 1),
+    wedges AS (
+      SELECT e1.dst AS na, e2.dst AS nb,
+             round(SUM(1.0 / ln(d.d)), 6) AS aa, COUNT(*) AS cn
+      FROM edges e1
+      JOIN edges e2 ON e1.src = e2.src AND e1.dst < e2.dst
+      JOIN deg d ON d.src = e1.src
+      GROUP BY 1, 2),
+    cand AS (
+      SELECT w.na, w.nb, w.aa, w.cn FROM wedges w
+      WHERE cn >= 2
+        AND NOT EXISTS (SELECT 1 FROM pairs p
+                        WHERE p.pa = w.na AND p.pb = w.nb)),
+    ranked AS (
+      SELECT na, nb, aa, cn,
+             ROW_NUMBER() OVER (ORDER BY aa DESC, na ASC, nb ASC) AS rank
+      FROM cand)
+    SELECT CAST(na AS BIGINT) AS part_a, CAST(nb AS BIGINT) AS part_b,
+           aa AS adamic_adar,
+           CAST(cn AS BIGINT) AS common_neighbors,
+           CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 20
+    """,
+)
+def graph_adamic_adar_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    pairs = (
+        baskets.select(F.posexplode("parts").alias("i", "pa"), F.col("parts"))
+        .select(
+            "pa",
+            F.explode(F.expr("slice(parts, i + 2, size(parts))")).alias("pb"),
+        )
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("n_ord"))
+        .filter(F.col("n_ord") >= 2)
+        .select("pa", "pb")
+        .localCheckpoint(eager=False)  # two consumers: adjacency + anti-join
+    )
+    edges = pairs.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst")
+    ).unionAll(pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+    # adjacency at the wedge center; degree = size(nb) — no separate
+    # degree table or join, the array already carries it. deg-1 centers
+    # generate no wedges AND would make 1/ln(1) divide by zero under
+    # ANSI (the weight projects before the explode prunes them), so
+    # they are filtered here.
+    adj = (
+        edges.groupBy("src")
+        .agg(F.array_sort(F.collect_set("dst")).alias("nb"))
+        .filter(F.size("nb") >= 2)
+    )
+    w_center = 1.0 / F.log(F.size("nb").cast("double"))
+    wedges = (
+        adj.select(
+            F.posexplode("nb").alias("i", "na"),
+            F.col("nb"),
+            w_center.alias("w"),
+        )
+        .select(
+            "na",
+            F.explode(F.expr("slice(nb, i + 2, size(nb))")).alias("nb"),
+            "w",
+        )
+        .groupBy("na", "nb")
+        .agg(F.round(F.sum("w"), 6).alias("aa"), F.count("*").alias("cn"))
+        .filter(F.col("cn") >= 2)
+    )
+    cand = wedges.join(
+        pairs,
+        (F.col("na") == pairs.pa) & (wedges.nb == pairs.pb),
+        "left_anti",
+    )
+    rw = W.orderBy(F.desc("aa"), F.asc("na"), F.asc("nb"))
+    top = cand.orderBy(F.desc("aa"), F.asc("na"), F.asc("nb")).limit(20)
+    return top.select(
+        F.col("na").cast("bigint").alias("part_a"),
+        F.col("nb").cast("bigint").alias("part_b"),
+        F.col("aa").alias("adamic_adar"),
+        F.col("cn").cast("bigint").alias("common_neighbors"),
+        F.row_number().over(rw).cast("bigint").alias("rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Local clustering coefficient profile: per-node cc = 2*tri(v) /
+# (deg(v)*(deg(v)-1)), reported as an avg-by-degree-bucket curve — the
+# standard "does clustering decay with degree" diagnostic (Watts &
+# Strogatz 1998). tri(v) counts CLOSED WEDGES CENTERED AT v: the
+# adjacency-array wedge explode credits only the center, so each
+# triangle contributes exactly one credit to each of its three vertices
+# across the three centered wedges — no post-hoc 3-way explode needed.
+# The closure test is one equi-join of centered wedges against the
+# (pa < pb) edge list. Degree buckets use integer bit-length
+# (length(bin(d)) - 1 == floor(log2 d)) so the bucket boundary is exact
+# integer arithmetic in both engines — no float log at the edge.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "graph_clustering_coefficient",
+    oracle="""
+    WITH pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM lineitem a
+      JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(DISTINCT a.l_orderkey) >= 2),
+    edges AS (
+      SELECT pa AS src, pb AS dst FROM pairs
+      UNION ALL SELECT pb AS src, pa AS dst FROM pairs),
+    deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY 1),
+    wedges AS (
+      SELECT e1.src AS c, e1.dst AS na, e2.dst AS nb
+      FROM edges e1
+      JOIN edges e2 ON e1.src = e2.src AND e1.dst < e2.dst),
+    tri AS (
+      SELECT w.c, COUNT(*) AS t
+      FROM wedges w JOIN pairs p ON p.pa = w.na AND p.pb = w.nb
+      GROUP BY 1),
+    cc AS (
+      SELECT d.src, d.d, COALESCE(t.t, 0) AS t,
+             CASE WHEN d.d >= 2
+                  THEN 2.0 * COALESCE(t.t, 0) / (d.d * (d.d - 1.0))
+                  ELSE 0.0 END AS local_cc
+      FROM deg d LEFT JOIN tri t ON t.c = d.src)
+    SELECT CAST(LENGTH(bin(d)) - 1 AS BIGINT) AS degree_bucket,
+           COUNT(*) AS n_nodes,
+           CAST(SUM(t) AS BIGINT) AS triangle_credits,
+           round(AVG(local_cc), 6) AS avg_local_cc
+    FROM cc GROUP BY 1
+    """,
+)
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    pairs = (
+        baskets.select(F.posexplode("parts").alias("i", "pa"), F.col("parts"))
+        .select(
+            "pa",
+            F.explode(F.expr("slice(parts, i + 2, size(parts))")).alias("pb"),
+        )
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("n_ord"))
+        .filter(F.col("n_ord") >= 2)
+        .select("pa", "pb")
+        .localCheckpoint(eager=False)  # consumers: wedges closure + degree
+    )
+    edges = pairs.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst")
+    ).unionAll(pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+    adj = edges.groupBy("src").agg(F.array_sort(F.collect_set("dst")).alias("nb"))
+    wedges = (
+        adj.select(
+            F.col("src").alias("c"),
+            F.posexplode("nb").alias("i", "na"),
+            F.col("nb"),
+        )
+        .select(
+            "c",
+            "na",
+            F.explode(F.expr("slice(nb, i + 2, size(nb))")).alias("nb"),
+        )
+    )
+    # NB: wedges.na would resolve to DataFrameNaFunctions, not the column
+    tri = (
+        wedges.join(
+            pairs,
+            (F.col("na") == pairs.pa) & (F.col("nb") == pairs.pb),
+        )
+        .groupBy("c")
+        .agg(F.count("*").alias("t"))
+    )
+    deg = adj.select("src", F.size("nb").alias("d"))
+    cc = deg.join(tri, deg.src == tri.c, "left").select(
+        "d",
+        F.coalesce(F.col("t"), F.lit(0)).alias("t"),
+        F.when(
+            F.col("d") >= 2,
+            2.0
+            * F.coalesce(F.col("t"), F.lit(0))
+            / (F.col("d") * (F.col("d") - F.lit(1.0))),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("local_cc"),
+    )
+    return cc.groupBy(
+        (F.length(F.bin("d")) - 1).cast("bigint").alias("degree_bucket")
+    ).agg(
+        F.count("*").alias("n_nodes"),
+        F.sum("t").cast("bigint").alias("triangle_credits"),
+        F.round(F.avg("local_cc"), 6).alias("avg_local_cc"),
+    )
