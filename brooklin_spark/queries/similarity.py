@@ -1936,3 +1936,91 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_early").cast("bigint").alias("n_early"),
         F.min("n_late").cast("bigint").alias("n_late"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sampled silhouette score per label cluster: the standard "are these
+# clusters real" diagnostic (Rousseeuw 1987) for a labeled embedding
+# corpus — a(i) = mean distance to own cluster, b(i) = mean distance to
+# the nearest other cluster, s = (b-a)/max(a,b). Exact silhouette is
+# all-pairs; the evaluated form samples probe points with a
+# deterministic modulus (vec_id % 7 — the sample-rate dial) and scans
+# the corpus ONCE against the broadcast sample: sample x corpus, never
+# corpus x corpus. Per-pair distances round to 6dp before any mean (the
+# module's float-parity policy) so both engines aggregate identical
+# numbers. 100 TB: sample is bounded (cap the modulus output or switch
+# to a fixed-size systematic sample), corpus side streams map-only
+# through the broadcast join — no corpus-scale shuffle at all; the only
+# exchange is the sample-grain groupBy.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "embedding_silhouette_sampled",
+    oracle="""
+    WITH s AS (
+      SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 7 = 0),
+    d AS (
+      SELECT s.vec_id AS sid, s.label AS slabel, e.label AS olabel,
+             round(sqrt(list_sum(list_transform(
+               generate_series(1, len(s.embedding)),
+               i -> (s.embedding[i]::DOUBLE - e.embedding[i]::DOUBLE)
+                    * (s.embedding[i]::DOUBLE - e.embedding[i]::DOUBLE)))), 6)
+               AS dist
+      FROM s JOIN embeddings e ON e.vec_id <> s.vec_id),
+    m AS (
+      SELECT sid, slabel, olabel, round(AVG(dist), 6) AS md
+      FROM d GROUP BY 1, 2, 3),
+    ab AS (
+      SELECT sid, slabel,
+             MAX(CASE WHEN olabel = slabel THEN md END) AS a,
+             MIN(CASE WHEN olabel <> slabel THEN md END) AS b
+      FROM m GROUP BY 1, 2)
+    SELECT CAST(slabel AS INT) AS label,
+           COUNT(*) AS n_sampled,
+           round(AVG(a), 6) AS avg_intra,
+           round(AVG(b), 6) AS avg_nearest_other,
+           round(AVG((b - a) / GREATEST(a, b)), 6) AS avg_silhouette
+    FROM ab GROUP BY 1
+    """,
+)
+def embedding_silhouette_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    sample = emb.filter(F.pmod("vec_id", F.lit(7)) == 0).select(
+        F.col("vec_id").alias("sid"),
+        F.col("embedding").alias("svec"),
+        F.col("label").alias("slabel"),
+    )
+    pairs = emb.join(
+        F.broadcast(sample), F.col("vec_id") != F.col("sid")
+    )
+    sq = F.aggregate(
+        F.zip_with(
+            "svec",
+            "embedding",
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    d = pairs.select(
+        "sid",
+        "slabel",
+        F.col("label").alias("olabel"),
+        F.round(F.sqrt(sq), 6).alias("dist"),
+    )
+    m = d.groupBy("sid", "slabel", "olabel").agg(
+        F.round(F.avg("dist"), 6).alias("md")
+    )
+    ab = m.groupBy("sid", "slabel").agg(
+        F.max(F.when(F.col("olabel") == F.col("slabel"), F.col("md"))).alias("a"),
+        F.min(F.when(F.col("olabel") != F.col("slabel"), F.col("md"))).alias("b"),
+    )
+    sil = (F.col("b") - F.col("a")) / F.greatest("a", "b")
+    return ab.groupBy(F.col("slabel").cast("int").alias("label")).agg(
+        F.count("*").alias("n_sampled"),
+        F.round(F.avg("a"), 6).alias("avg_intra"),
+        F.round(F.avg("b"), 6).alias("avg_nearest_other"),
+        F.round(F.avg(sil), 6).alias("avg_silhouette"),
+    )

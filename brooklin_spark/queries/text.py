@@ -3311,3 +3311,128 @@ def text_ngram_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(-F.sum("t"), 6).alias("entropy_rate"),
         F.count("*").alias("n_bigram_types"),
     )
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyword extraction (Rose et al. 2010): candidate phrases are the
+# maximal stopword-free token runs (boundary set = the union of the
+# engine's per-language stopword lists — the multilingual corpus makes a
+# single boundary set the deterministic choice), capped at 4 words;
+# word score = degree/frequency over candidate phrases (degree = summed
+# length of every phrase containing the word); phrase score = sum of
+# its word scores. Plan shape: the phrase segmentation is ONE
+# doc-partitioned running-sum window riding the token explode (phrase id
+# = stopwords-seen-so-far — the gaps-and-islands trick, no self-join),
+# then two vocab/phrase-scale aggregates. 100 TB: every shuffle is keyed
+# by doc or word; the phrase table is corpus-scale but column-narrow,
+# and the top-k is a TakeOrderedAndProject, never a global sort.
+# ---------------------------------------------------------------------------
+
+_RAKE_STOP = sorted({w for ws in X.STOPWORDS.values() for w in ws})
+_RAKE_STOP_SQL = "(" + ", ".join(f"'{w}'" for w in _RAKE_STOP) + ")"
+
+
+@query(
+    "text_keyword_rake",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, generate_subscripts({_TOK}, 1) AS pos,
+             unnest({_TOK}) AS w
+      FROM documents),
+    mark AS (
+      SELECT doc_id, pos, w,
+             CASE WHEN w IN {_RAKE_STOP_SQL} THEN 1 ELSE 0 END AS st,
+             SUM(CASE WHEN w IN {_RAKE_STOP_SQL} THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS pid
+      FROM tok),
+    words AS (SELECT doc_id, pid, pos, w FROM mark WHERE st = 0),
+    phr AS (
+      SELECT doc_id, pid, COUNT(*) AS n_words,
+             string_agg(w, ' ' ORDER BY pos) AS phrase
+      FROM words GROUP BY 1, 2
+      HAVING COUNT(*) BETWEEN 1 AND 4),
+    pw AS (
+      SELECT p.phrase, p.n_words, p.doc_id, p.pid, w.w
+      FROM phr p JOIN words w
+        ON w.doc_id = p.doc_id AND w.pid = p.pid),
+    ws AS (
+      SELECT w, SUM(n_words) AS deg, COUNT(*) AS freq
+      FROM pw GROUP BY 1),
+    occ AS (
+      SELECT pw.doc_id, pw.pid, pw.phrase, pw.n_words,
+             SUM(ws.deg * 1.0 / ws.freq) AS s
+      FROM pw JOIN ws ON ws.w = pw.w
+      GROUP BY 1, 2, 3, 4),
+    dp AS (
+      SELECT phrase, CAST(MAX(n_words) AS BIGINT) AS n_words,
+             COUNT(*) AS n_occurrences, round(AVG(s), 6) AS score
+      FROM occ GROUP BY 1),
+    ranked AS (
+      SELECT phrase, n_words, n_occurrences, score,
+             ROW_NUMBER() OVER (ORDER BY score DESC, phrase ASC) AS rank
+      FROM dp)
+    SELECT phrase, n_words, n_occurrences, score, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 20
+    """,
+)
+def text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(X.tokens()).alias("pos", "w")
+    )
+    is_stop = F.col("w").isin(*_RAKE_STOP)
+    wp = (
+        W.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    mark = tok.select(
+        "doc_id",
+        "pos",
+        "w",
+        is_stop.cast("int").alias("st"),
+        F.sum(is_stop.cast("int")).over(wp).alias("pid"),
+    )
+    words = mark.filter(F.col("st") == 0).drop("st")
+    # ordered within-phrase concat: collect (pos, w) structs, sort, join —
+    # rides the SAME doc_id exchange the window created
+    phr = (
+        words.groupBy("doc_id", "pid")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda s: s["w"],
+                ),
+                " ",
+            ).alias("phrase"),
+        )
+        .filter(F.col("n_words").between(1, 4))
+        .localCheckpoint(eager=False)  # consumers: word stats + occ scores
+    )
+    pw = phr.join(words, ["doc_id", "pid"]).select(
+        "phrase", "n_words", "doc_id", "pid", "w"
+    )
+    ws_tbl = pw.groupBy("w").agg(
+        F.sum("n_words").alias("deg"), F.count("*").alias("freq")
+    )
+    occ = (
+        pw.join(ws_tbl, "w")
+        .groupBy("doc_id", "pid", "phrase", "n_words")
+        .agg(F.sum(F.col("deg") * 1.0 / F.col("freq")).alias("s"))
+    )
+    dp = occ.groupBy("phrase").agg(
+        F.max("n_words").cast("bigint").alias("n_words"),
+        F.count("*").alias("n_occurrences"),
+        F.round(F.avg("s"), 6).alias("score"),
+    )
+    rw = W.orderBy(F.desc("score"), F.asc("phrase"))
+    top = dp.orderBy(F.desc("score"), F.asc("phrase")).limit(20)
+    return top.select(
+        "phrase",
+        "n_words",
+        "n_occurrences",
+        "score",
+        F.row_number().over(rw).cast("bigint").alias("rank"),
+    )

@@ -526,3 +526,84 @@ def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").cast("bigint").alias("volume"),
         ((F.lit(7.0) * F.sum("c")) / F.sum("sum7")).alias("seasonal_index"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt linear (double-exponential) forecast of daily order revenue: the
+# level+trend smoother every capacity dashboard runs one notch above a
+# plain EWMA (events_ewma_daily). The recursion over days is inherently
+# sequential, so the plan follows the module's two-tier shape: ONE
+# fact-scale groupBy collapses orders to the daily series (integer cents,
+# exact), then the calendar-scale recursion (~2.4k rows here, ~3.6k for a
+# decade — bounded by the calendar, NOT the corpus) runs in one
+# applyInPandas group, mirrored by a DuckDB recursive CTE. Cross-engine
+# float parity: alpha = beta = 0.5 keeps every smoothing step a
+# power-of-two multiply-add, and BOTH engines evaluate the identical
+# expression tree over IEEE doubles left-to-right, so the states stay
+# bit-identical with NO per-step rounding; only the final report rounds.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_holt_linear_forecast",
+    oracle="""
+    WITH RECURSIVE daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders GROUP BY 1),
+    ser AS (
+      SELECT list(cents / 100.0 ORDER BY day) AS y, COUNT(*) AS n
+      FROM daily),
+    holt(t, l, b, sae, y, n) AS (
+      SELECT 1, y[1], y[2] - y[1], CAST(0.0 AS DOUBLE), y, n FROM ser
+      UNION ALL
+      SELECT t + 1,
+             0.5 * y[t + 1] + 0.5 * (l + b),
+             0.5 * ((0.5 * y[t + 1] + 0.5 * (l + b)) - l) + 0.5 * b,
+             sae + abs(y[t + 1] - (l + b)),
+             y, n
+      FROM holt WHERE t < n)
+    SELECT CAST(n AS BIGINT) AS n_days,
+           round(l, 6) AS level, round(b, 6) AS trend,
+           round(l + b, 6) AS forecast_1d,
+           round(l + 7 * b, 6) AS forecast_7d,
+           round(sae / (n - 1), 6) AS mae_1step
+    FROM holt WHERE t = n
+    """,
+)
+def orders_holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("cents")
+    )
+
+    def holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        y = [c / 100.0 for c in pdf["cents"].tolist()]
+        n = len(y)
+        l, b, sae = y[0], y[1] - y[0], 0.0
+        # expression order mirrors the oracle CTE exactly — alpha=beta=0.5
+        # keeps each step in dyadic multiply-adds, bit-identical across
+        # engines without intermediate rounding
+        for t in range(1, n):
+            l_new = 0.5 * y[t] + 0.5 * (l + b)
+            b_new = 0.5 * (l_new - l) + 0.5 * b
+            sae = sae + abs(y[t] - (l + b))
+            l, b = l_new, b_new
+        return pd.DataFrame(
+            {"n_days": [n], "l": [l], "b": [b], "sae": [sae]}
+        )
+
+    res = daily.groupBy(F.lit(1).alias("g")).applyInPandas(
+        holt, "n_days long, l double, b double, sae double"
+    )
+    return res.select(
+        F.col("n_days"),
+        F.round("l", 6).alias("level"),
+        F.round("b", 6).alias("trend"),
+        F.round(F.col("l") + F.col("b"), 6).alias("forecast_1d"),
+        F.round(F.col("l") + 7 * F.col("b"), 6).alias("forecast_7d"),
+        F.round(F.col("sae") / (F.col("n_days") - 1), 6).alias("mae_1step"),
+    )
