@@ -1805,3 +1805,135 @@ def events_interarrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("gap_s", F.lit(0.99)), 6).alias("p99_gap_s"),
         F.round(F.avg("gap_s"), 6).alias("avg_gap_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan 2005) heavy-hitter estimates,
+# audited against truth: depth-4 x width-256 integer counter grid built
+# with fixed affine hashes h_j(u) = ((A_j*u + B_j) % P) % W, then the
+# top-20 true users read back min-of-4 counters. Every number in the
+# result is INTEGER arithmetic — exact cross-engine parity with no
+# tolerance — and the output exposes the sketch's one-sided error
+# (cms_est >= true_cnt always; `over` is the collision overcount).
+# Complements events_heavy_hitters (Misra-Gries): CMS is the mergeable
+# fixed-memory frequency sketch a 100 TB pipeline keeps per shard.
+# Plan: ONE fact-scale explode(4) + groupBy onto a <=1024-row counter
+# grid; candidates come from the existing user-grain aggregate; lookups
+# broadcast the grid. No corpus-scale join anywhere.
+# ---------------------------------------------------------------------------
+
+_CMS_P = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
+_CMS_W = 256
+_CMS_A = [999983, 999979, 999961, 999959]
+_CMS_B = [3, 17, 29, 47]
+_CMS_K = 20
+
+
+def _cms_arrays_sql() -> tuple[str, str]:
+    return (
+        "[" + ", ".join(str(a) for a in _CMS_A) + "]",
+        "[" + ", ".join(str(b) for b in _CMS_B) + "]",
+    )
+
+
+@query(
+    "events_count_min_sketch",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT user_id, j,
+             (({_cms_arrays_sql()[0]}[j + 1] * user_id
+               + {_cms_arrays_sql()[1]}[j + 1]) % {_CMS_P}) % {_CMS_W} AS col
+      FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j)),
+    grid AS (SELECT j, col, COUNT(*) AS cnt FROM hashed GROUP BY 1, 2),
+    truth AS (
+      SELECT user_id, COUNT(*) AS true_cnt FROM events GROUP BY user_id
+      ORDER BY true_cnt DESC, user_id LIMIT {_CMS_K}),
+    probe AS (
+      SELECT t.user_id, t.true_cnt, g.cnt
+      FROM truth t CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j) js
+      JOIN grid g ON g.j = js.j
+       AND g.col = (({_cms_arrays_sql()[0]}[js.j + 1] * t.user_id
+                     + {_cms_arrays_sql()[1]}[js.j + 1]) % {_CMS_P}) % {_CMS_W})
+    SELECT user_id, CAST(true_cnt AS BIGINT) AS true_cnt,
+           CAST(MIN(cnt) AS BIGINT) AS cms_est,
+           CAST(MIN(cnt) - true_cnt AS BIGINT) AS over
+    FROM probe GROUP BY user_id, true_cnt
+    """,
+)
+def events_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    a_arr = F.array(*[F.lit(a) for a in _CMS_A])
+    b_arr = F.array(*[F.lit(b) for b in _CMS_B])
+
+    def cms_col(uid):
+        return (
+            (F.element_at(a_arr, F.col("j") + 1) * uid
+             + F.element_at(b_arr, F.col("j") + 1)) % _CMS_P
+        ) % _CMS_W
+
+    js = F.explode(F.array(*[F.lit(j) for j in range(4)])).alias("j")
+    grid = (
+        e.select(F.col("user_id"), js)
+        .select("j", cms_col(F.col("user_id")).alias("col"))
+        .groupBy("j", "col")
+        .agg(F.count("*").alias("cnt"))
+    )
+    truth = (
+        e.groupBy("user_id").agg(F.count("*").alias("true_cnt"))
+        .orderBy(F.desc("true_cnt"), "user_id")
+        .limit(_CMS_K)
+    )
+    probe = (
+        truth.select("user_id", "true_cnt", js)
+        .withColumn("col", cms_col(F.col("user_id")))
+        # the grid is <= depth*width = 1024 rows BY CONSTRUCTION
+        .join(F.broadcast(grid), ["j", "col"])
+    )
+    return probe.groupBy("user_id", "true_cnt").agg(
+        F.min("cnt").cast("bigint").alias("cms_est"),
+        (F.min("cnt") - F.col("true_cnt")).cast("bigint").alias("over"),
+    ).select(
+        "user_id",
+        F.col("true_cnt").cast("bigint").alias("true_cnt"),
+        "cms_est",
+        "over",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Poisson rate-shift screen: per event type, did the arrival RATE change
+# between the first and second half of the observation window (fixed
+# boundary 2024-01-16)? Conditional test: given n = cA + cB arrivals, cA
+# ~ Binomial(n, 1/2) under H0 (equal rates, equal-length windows), so
+# z = (cA - cB) / sqrt(cA + cB) — the standard two-Poisson comparison,
+# computed per row from exact integer counts (deterministic float).
+# ONE fact-scale groupBy(event_type) with conditional sums; the z
+# arithmetic is |event types|-scale. 100 TB: unchanged — single keyed
+# aggregate, no joins.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_rate_shift_poisson",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END)
+                AS BIGINT) AS c_first,
+           CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END)
+                AS BIGINT) AS c_second,
+           round((SUM(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END)
+                  - SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END))
+                 / sqrt(COUNT(*)), 8) AS z
+    FROM events GROUP BY event_type
+    """,
+)
+def events_rate_shift_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    first = (F.col("ts") < F.lit("2024-01-16").cast("timestamp")).cast("long")
+    c_first = F.sum(first)
+    c_second = F.sum(1 - first)
+    return e.groupBy("event_type").agg(
+        c_first.cast("bigint").alias("c_first"),
+        c_second.cast("bigint").alias("c_second"),
+        F.round((c_first - c_second) / F.sqrt(F.count("*")), 8).alias("z"),
+    )

@@ -3436,3 +3436,79 @@ def text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
         "score",
         F.row_number().over(rw).cast("bigint").alias("rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Interpolated Kneser-Ney bigram probabilities (Kneser & Ney 1995; the
+# smoothing every n-gram LM toolkit ships as its default) for the
+# corpus's top bigrams: P_kn(w2|w1) = max(c(w1,w2)-D, 0)/c(w1·)
+#   + (D · N1+(w1,·)/c(w1·)) · N1+(·,w2)/|bigram types|.
+# All five inputs are INTEGER count statistics of the bigram-type table
+# (continuation counts are row counts of bg grouped by one side), so the
+# per-row probability is a single deterministic arithmetic expression —
+# exact float parity with the oracle without tolerance. Complements
+# text_bigram_logprob (interpolated-MLE): KN is the discount/continuation
+# form. Plan: bigrams come straight off the token ARRAY (slice+transform,
+# no per-doc window), one corpus-scale groupBy to bg, then every derived
+# stat rides vocab-scale aggregates of bg; top-40 is
+# TakeOrderedAndProject. 100 TB: the only fact-scale exchange is the
+# (w1,w2) groupBy; everything downstream is bigram-type-vocab-scale.
+# ---------------------------------------------------------------------------
+
+_KN_D = 0.75
+_KN_TOPK = 40
+
+
+@query(
+    "text_kneser_ney_bigram",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOK} AS ts FROM documents),
+    big AS (
+      SELECT ts[i] AS w1, ts[i + 1] AS w2
+      FROM toks, unnest(generate_series(1, len(ts) - 1)) AS g(i)),
+    bg AS (SELECT w1, w2, COUNT(*) AS c2 FROM big GROUP BY 1, 2),
+    c1 AS (SELECT w1, SUM(c2) AS cw1, COUNT(*) AS n_fw FROM bg GROUP BY w1),
+    cont AS (SELECT w2, COUNT(*) AS n_bw FROM bg GROUP BY w2),
+    t AS (SELECT COUNT(*) AS n_types FROM bg)
+    SELECT bg.w1, bg.w2, CAST(bg.c2 AS BIGINT) AS c2,
+           round(GREATEST(bg.c2 - {_KN_D}, 0) / c1.cw1
+                 + ({_KN_D} * c1.n_fw / c1.cw1)
+                   * (cont.n_bw * 1.0 / t.n_types), 8) AS p_kn
+    FROM bg JOIN c1 USING (w1) JOIN cont USING (w2) CROSS JOIN t
+    ORDER BY c2 DESC, w1, w2 LIMIT {_KN_TOPK}
+    """,
+)
+def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    big = docs.select(
+        F.explode(
+            F.expr(
+                "transform(slice({t}, 1, greatest(size({t}) - 1, 0)), "
+                "(x, i) -> struct(x AS w1, element_at({t}, i + 2) AS w2))".format(
+                    t="filter(split(text, ' '), x -> x != '')"
+                )
+            )
+        ).alias("bg")
+    ).select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    bg = big.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    # left-context totals + follower counts ride bg's (w1, w2) exchange
+    # via a w1 window; continuation counts need one more vocab-scale
+    # shuffle on w2 — both are bigram-TYPE-scale, not corpus-scale
+    cw1 = F.sum("c2").over(W.partitionBy("w1"))
+    n_fw = F.count("*").over(W.partitionBy("w1"))
+    n_bw = F.count("*").over(W.partitionBy("w2"))
+    # |bigram types| as a broadcast 1-row aggregate (NOT an empty-partition
+    # window, which would funnel the whole type table through one task);
+    # AQE's exchange reuse serves both branches from bg's one shuffle
+    types = bg.agg(F.count("*").cast("bigint").alias("n_types"))
+    scored = bg.crossJoin(F.broadcast(types)).select(
+        "w1",
+        "w2",
+        F.col("c2").cast("bigint").alias("c2"),
+        F.round(
+            F.greatest(F.col("c2") - _KN_D, F.lit(0.0)) / cw1
+            + (_KN_D * n_fw / cw1) * (n_bw.cast("double") / F.col("n_types")),
+            8,
+        ).alias("p_kn"),
+    )
+    return scored.orderBy(F.desc("c2"), "w1", "w2").limit(_KN_TOPK)

@@ -1268,3 +1268,102 @@ def parts_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_parts"),
         F.sum("cents").cast("bigint").alias("revenue_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit on order totals — the classic financial
+# anomaly screen. First significant digit comes from the INTEGER-cents
+# string (both engines render int64 identically; no float log10 on the
+# comparison path), and every output float is a per-row formula of that
+# digit's exact count + the exact total: observed share, Benford's
+# expected share log10(1+1/d), and the chi-square contribution
+# (obs-exp)^2/exp scaled by n. 9 rows. ONE fact-scale groupBy(digit);
+# 100 TB: the digit extraction rides the scan (codegen string ops), the
+# grid is 9 rows, nothing else moves.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_benford_digit_audit",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                         AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice > 0),
+    g AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
+    t AS (SELECT SUM(n) AS total FROM g)
+    SELECT g.digit, CAST(g.n AS BIGINT) AS n,
+           round(g.n * 1.0 / t.total, 8) AS observed,
+           round(log10(1 + 1.0 / g.digit), 8) AS expected,
+           round(power(g.n * 1.0 / t.total - log10(1 + 1.0 / g.digit), 2)
+                 / log10(1 + 1.0 / g.digit) * t.total, 8) AS chi2_term
+    FROM g CROSS JOIN t ORDER BY g.digit
+    """,
+)
+def orders_benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    digit = F.substring(cents("o_totalprice").cast("string"), 1, 1).cast("bigint")
+    g = o.groupBy(digit.alias("digit")).agg(F.count("*").alias("n"))
+    # 9-row grid: the scalar total broadcasts back (AQE), no second scan
+    t = g.agg(F.sum("n").alias("total"))
+    obs = F.col("n") / F.col("total")
+    exp = F.log10(1 + 1.0 / F.col("digit"))
+    return (
+        g.crossJoin(F.broadcast(t))
+        .select(
+            "digit",
+            F.col("n").cast("bigint").alias("n"),
+            F.round(obs, 8).alias("observed"),
+            F.round(exp, 8).alias("expected"),
+            F.round(F.pow(obs - exp, 2) / exp * F.col("total"), 8).alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-RANGE window frame: per-customer trailing-7-day order spend — the
+# one window-frame kind the analytic battery didn't cover (RANGE over an
+# event-time axis, where same-key ties share a frame, vs the battery's
+# ROWS frames). Spark has no INTERVAL range frames, so the frame rides
+# an epoch-day axis: rangeBetween(-6, 0) over datediff(o_orderdate,
+# epoch) — value-identical to the oracle's RANGE BETWEEN INTERVAL '6
+# days' PRECEDING (order timestamps are date-grain in this corpus).
+# Money stays integer-cents inside the frame sum. Output: each
+# customer's PEAK trailing-7-day spend. One custkey exchange carries
+# both the window and the final groupBy. 100 TB: window state is
+# per-customer and 7-day-bounded; no self-join formulation.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_range_7day_spend",
+    oracle="""
+    WITH spans AS (
+      SELECT o_custkey,
+             SUM(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate
+               RANGE BETWEEN INTERVAL '6 days' PRECEDING AND CURRENT ROW
+             ) AS spend7
+      FROM orders)
+    SELECT o_custkey, COUNT(*) AS n_orders,
+           CAST(MAX(spend7) AS BIGINT) AS peak_7day_cents
+    FROM spans GROUP BY o_custkey
+    """,
+)
+def window_range_7day_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1990-01-01").cast("date"))
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(day)
+        .rangeBetween(-6, W.currentRow)
+    )
+    spans = o.select(
+        "o_custkey",
+        F.sum(cents("o_totalprice")).over(w).alias("spend7"),
+    )
+    return spans.groupBy("o_custkey").agg(
+        F.count("*").alias("n_orders"),
+        F.max("spend7").cast("bigint").alias("peak_7day_cents"),
+    )

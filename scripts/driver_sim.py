@@ -27,6 +27,10 @@ SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 # Optional substring filter: `driver_sim.py <sf_dir> name1,name2` checks
 # only queries whose name contains one of the given substrings.
 ONLY = sys.argv[2].split(",") if len(sys.argv) > 2 else None
+# Optional JSON artifact (r8 verdict #1): DRIVER_SIM_OUT=driver_sim_r9.json
+# writes the full-width book {name: {rows_match, schema_match, hash_match,
+# spark_rows, oracle_rows, err}} in the driver's CORRECTNESS format.
+OUT = os.environ.get("DRIVER_SIM_OUT")
 # Optional sharding for bounded-wall-clock full sweeps:
 # DRIVER_SIM_SHARD=i/n checks every n-th query (sorted order) starting at i.
 _shard = os.environ.get("DRIVER_SIM_SHARD")
@@ -83,23 +87,41 @@ def main() -> int:
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     print("entry rows:", len(ent.entry(spark).collect()))
     fails = []
+    book: dict[str, dict] = {}
     for i, name in enumerate(sorted(qs)):
         if ONLY and not any(s in name for s in ONLY):
             continue
         if SHARD and i % SHARD[1] != SHARD[0]:
             continue
+        rec = {"rows_match": False, "schema_match": False, "hash_match": False,
+               "spark_rows": None, "oracle_rows": None, "err": None}
+        book[name] = rec
         try:
             sdf = normalize(qs[name](spark, SF).toPandas())
+            rec["spark_rows"] = len(sdf)
             if name not in osql:
                 print(f"  {name}: rows-only ({len(sdf)})")
+                rec["err"] = "no_oracle"
                 continue
-            ok = equal(sdf, normalize(con.sql(osql[name]).df()))
+            edf = normalize(con.sql(osql[name]).df())
+            rec["oracle_rows"] = len(edf)
+            rec["rows_match"] = len(sdf) == len(edf)
+            rec["schema_match"] = list(sdf.columns) == list(edf.columns)
+            ok = equal(sdf, edf)
+            rec["hash_match"] = ok
             print(f"  {name}: {'OK' if ok else 'MISMATCH'} ({len(sdf)} rows)")
             if not ok:
                 fails.append(name)
         except Exception as e:  # noqa: BLE001 - report-and-continue harness
+            rec["err"] = str(e).splitlines()[0][:300]
             print(f"  {name}: ERROR {str(e).splitlines()[0][:160]}")
             fails.append(name)
+    if OUT:
+        import json
+
+        with open(OUT, "w") as f:
+            json.dump(book, f, indent=1, sort_keys=True)
+        print(f"book -> {OUT} ({len(book)} queries)")
     print(f"\n{len(qs) - len(fails)}/{len(qs)} green; failures: {fails}")
     return 1 if fails else 0
 
