@@ -6,6 +6,7 @@ round to 6 decimals so sub-ulp fold-order differences can't flip a value.
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -2023,4 +2024,111 @@ def embedding_silhouette_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("a"), 6).alias("avg_intra"),
         F.round(F.avg("b"), 6).alias("avg_nearest_other"),
         F.round(F.avg(sil), 6).alias("avg_silhouette"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Maximal Marginal Relevance (Carbonell & Goldstein 1998) diverse top-k —
+# the reranking step every RAG retrieval stack runs between ANN recall
+# and the context window: greedily pick k results maximizing
+# λ·rel(q,d) − (1−λ)·max_{s∈S} sim(d,s). Selection is made cross-engine
+# deterministic by running the greedy argmax over 6-dp-ROUNDED scores
+# with vec_id tie-break, so both engines compare identical values (the
+# repo's float-parity policy applied to a control-flow decision, not
+# just an output column). Plan: candidate pool = the distributed
+# brute-force top-50 probe (corpus never shuffles), pool×pool sims =
+# one 50×50 Arrow-kernel crossJoin; the greedy loop itself touches only
+# bounded model state (50 rel values + 1225 pair sims) — the k-center
+# coreset precedent. The oracle unrolls the same greedy as k chained
+# CTEs (generated below), each picking argmax given the previous set.
+# 100 TB: pool size, not corpus size, bounds every post-probe stage.
+# ---------------------------------------------------------------------------
+
+_MMR_LAMBDA = 0.7
+_MMR_POOL = 50
+_MMR_K = 10
+_MMR_QID = 0
+
+
+def _mmr_oracle_sql() -> str:
+    lam, om = _MMR_LAMBDA, 1 - _MMR_LAMBDA
+    steps = []
+    prev = "c1"
+    steps.append(
+        "c1 AS MATERIALIZED (SELECT 1 AS rank, (SELECT vec_id FROM pool "
+        f"ORDER BY round({lam} * rel, 6) DESC, vec_id LIMIT 1) AS vec_id)"
+    )
+    for i in range(2, _MMR_K + 1):
+        red = (
+            "(SELECT MAX(ps.sim) FROM psim ps "
+            f"WHERE (ps.va = p.vec_id AND ps.vb IN (SELECT vec_id FROM {prev})) "
+            f"OR (ps.vb = p.vec_id AND ps.va IN (SELECT vec_id FROM {prev})))"
+        )
+        steps.append(
+            f"c{i} AS MATERIALIZED (SELECT * FROM {prev} UNION ALL "
+            f"SELECT {i} AS rank, (SELECT p.vec_id FROM pool p "
+            f"WHERE p.vec_id NOT IN (SELECT vec_id FROM {prev}) "
+            f"ORDER BY round({lam} * p.rel - {om} * COALESCE({red}, 0), 6) DESC, "
+            "p.vec_id LIMIT 1) AS vec_id)"
+        )
+        prev = f"c{i}"
+    return f"""
+    WITH pool AS MATERIALIZED (
+      SELECT c.vec_id,
+             round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                          c.embedding::DOUBLE[]), 6) AS rel
+      FROM embeddings q JOIN embeddings c
+        ON q.vec_id = {_MMR_QID} AND c.vec_id <> {_MMR_QID}
+      ORDER BY rel DESC, c.vec_id LIMIT {_MMR_POOL}),
+    psim AS MATERIALIZED (
+      SELECT a.vec_id AS va, b.vec_id AS vb,
+             round(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                          eb.embedding::DOUBLE[]), 6) AS sim
+      FROM pool a JOIN pool b ON a.vec_id < b.vec_id
+      JOIN embeddings ea ON ea.vec_id = a.vec_id
+      JOIN embeddings eb ON eb.vec_id = b.vec_id),
+    {", ".join(steps)}
+    SELECT CAST(s.rank AS BIGINT) AS rank, s.vec_id, p.rel AS relevance
+    FROM {prev} s JOIN pool p USING (vec_id)
+    """
+
+
+@query("embedding_mmr_diverse_topk", oracle=_mmr_oracle_sql())
+def embedding_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == _MMR_QID)
+    corpus = emb.filter(F.col("vec_id") != _MMR_QID)
+    pool = S.brute_force_topk(q, corpus, k=_MMR_POOL).select("neighbor_id", "sim")
+    rel = {r["neighbor_id"]: r["sim"] for r in pool.collect()}  # 50 rows, bounded
+    ids = sorted(rel)
+    pe = emb.filter(F.col("vec_id").isin(ids)).select("vec_id", "embedding")
+    a, b = pe.alias("a"), pe.alias("b")
+    pairs = (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("va"),
+            F.col("b.vec_id").alias("vb"),
+            S.cosine_pairs_kernel(F.col("a.embedding"), F.col("b.embedding")).alias("sim"),
+        )
+    )
+    psim = {(r["va"], r["vb"]): r["sim"] for r in pairs.collect()}  # 1225, bounded
+    lam, om = _MMR_LAMBDA, 1 - _MMR_LAMBDA
+    picked: list[int] = []
+    cands = set(ids)
+    while len(picked) < _MMR_K and cands:
+        best = None
+        for c in sorted(cands):
+            red = max(
+                (psim[(min(c, s), max(c, s))] for s in picked), default=0.0
+            )
+            # rounded BEFORE comparison — the same 6-dp value the oracle
+            # orders by, so the argmax decision is engine-independent
+            score = float(np.round(lam * rel[c] - om * red, 6))
+            if best is None or score > best[0] or (score == best[0] and c < best[1]):
+                best = (score, c)
+        picked.append(best[1])
+        cands.remove(best[1])
+    rows = [(i + 1, v, rel[v]) for i, v in enumerate(picked)]
+    return spark.createDataFrame(
+        rows, "rank BIGINT, vec_id BIGINT, relevance DOUBLE"
     )
