@@ -1937,3 +1937,121 @@ def events_rate_shift_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
         c_second.cast("bigint").alias("c_second"),
         F.round((c_first - c_second) / F.sqrt(F.count("*")), 8).alias("z"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Customer-cohort lifetime value: customers grouped by first-order month,
+# revenue tracked by months-since-cohort, with the cumulative LTV curve
+# every growth dashboard plots. Money is integer cents end-to-end and the
+# month axis is integer year*12+month arithmetic — fully exact. Plan: one
+# custkey-keyed min-aggregate (cohort assignment) joins back to orders on
+# the SAME custkey exchange, then one (cohort, age) groupBy; the cumsum
+# window runs on the cohort-grain grid (months², metadata-scale).
+# 100 TB: two keyed fact exchanges, grid-scale everything else.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_cohort_ltv",
+    oracle="""
+    WITH fo AS (
+      SELECT o_custkey,
+             MIN(EXTRACT(year FROM o_orderdate) * 12
+                 + EXTRACT(month FROM o_orderdate)) AS cm
+      FROM orders GROUP BY o_custkey),
+    aged AS (
+      SELECT fo.cm,
+             (EXTRACT(year FROM o.o_orderdate) * 12
+              + EXTRACT(month FROM o.o_orderdate)) - fo.cm AS age_months,
+             o.o_custkey,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders o JOIN fo ON fo.o_custkey = o.o_custkey),
+    grid AS (
+      SELECT cm, age_months, COUNT(DISTINCT o_custkey) AS n_customers,
+             SUM(cents) AS revenue_cents
+      FROM aged GROUP BY cm, age_months)
+    SELECT printf('%04d-%02d', CAST((cm - 1) // 12 AS INTEGER),
+                  CAST((cm - 1) % 12 + 1 AS INTEGER)) AS cohort_month,
+           CAST(age_months AS BIGINT) AS age_months,
+           CAST(n_customers AS BIGINT) AS n_customers,
+           CAST(revenue_cents AS BIGINT) AS revenue_cents,
+           CAST(SUM(revenue_cents) OVER (
+             PARTITION BY cm ORDER BY age_months) AS BIGINT) AS cum_revenue_cents
+    FROM grid
+    """,
+)
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from brooklin_spark.functions.exact import cents
+
+    o = table(spark, sf_dir, "orders")
+    mo = F.year("o_orderdate") * 12 + F.month("o_orderdate")
+    fo = o.groupBy("o_custkey").agg(F.min(mo).alias("cm"))
+    aged = o.join(fo, "o_custkey").select(
+        "cm",
+        (mo - F.col("cm")).alias("age_months"),
+        "o_custkey",
+        cents("o_totalprice").alias("cents"),
+    )
+    grid = aged.groupBy("cm", "age_months").agg(
+        F.count_distinct("o_custkey").alias("n_customers"),
+        F.sum("cents").alias("revenue_cents"),
+    )
+    w = W.partitionBy("cm").orderBy("age_months")
+    return grid.select(
+        F.format_string(
+            "%04d-%02d",
+            ((F.col("cm") - 1) / 12).cast("int"),
+            ((F.col("cm") - 1) % 12 + 1).cast("int"),
+        ).alias("cohort_month"),
+        F.col("age_months").cast("bigint").alias("age_months"),
+        F.col("n_customers").cast("bigint").alias("n_customers"),
+        F.col("revenue_cents").cast("bigint").alias("revenue_cents"),
+        F.sum("revenue_cents").over(w).cast("bigint").alias("cum_revenue_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hash-seeded bootstrap of the mean event value: 32 deterministic
+# resamples, each weighting every event 0-3 via the affine-mod hash
+# family (seeded by replicate id), giving the spread of resample means a
+# dashboard turns into an SE band — without RNG state, so the result is
+# reproducible across engines, runs, and partitionings. Each resample
+# mean is one division of two exact integers (cents sum / weight sum) —
+# deterministic float. Plan: one fact×32 explode into a groupBy(b) —
+# the map-side-combinable bootstrap shape; output is 32 rows.
+# 100 TB: partial aggregation absorbs the 32× fan-out before shuffle;
+# the exchange carries 32·partitions partial rows.
+# ---------------------------------------------------------------------------
+
+_BOOT_B = 32
+_BOOT_P = 2_147_483_647
+
+
+@query(
+    "events_hash_bootstrap_means",
+    oracle=f"""
+    WITH w AS (
+      SELECT b, ((1000003 * event_id + 7919 * b + 12345) % {_BOOT_P}) % 4 AS wt,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events CROSS JOIN (SELECT unnest(generate_series(0, {_BOOT_B - 1})) AS b)
+      WHERE value IS NOT NULL)
+    SELECT CAST(b AS BIGINT) AS b, CAST(SUM(wt) AS BIGINT) AS n_drawn,
+           round(SUM(wt * cents) * 1.0 / SUM(wt) / 100, 6) AS resample_mean
+    FROM w GROUP BY b
+    """,
+)
+def events_hash_bootstrap_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from brooklin_spark.functions.exact import cents
+
+    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    b = F.explode(F.array(*[F.lit(i) for i in range(_BOOT_B)])).alias("b")
+    wt = (1000003 * F.col("event_id") + 7919 * F.col("b") + 12345) % _BOOT_P % 4
+    w = e.select("event_id", cents("value").alias("cents"), b).select(
+        "b", "cents", wt.alias("wt")
+    )
+    return w.groupBy("b").agg(
+        F.sum("wt").cast("bigint").alias("n_drawn"),
+        F.round(F.sum(F.col("wt") * F.col("cents")) / F.sum("wt") / 100, 6).alias(
+            "resample_mean"
+        ),
+    ).select(F.col("b").cast("bigint").alias("b"), "n_drawn", "resample_mean")

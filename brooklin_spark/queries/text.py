@@ -3512,3 +3512,57 @@ def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p_kn"),
     )
     return scored.orderBy(F.desc("c2"), "w1", "w2").limit(_KN_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# Term burstiness (Church & Gale 1995): collection frequency over
+# document frequency per term — cf/df > 1 marks topical "bursty" terms
+# that pile into few documents, vs function words spread evenly; the
+# signal term-weighting and stopword-induction pipelines read. Exact:
+# cf, df are integers; burstiness and idf are single formulas of (cf,
+# df, N). Plan: ONE (term, doc) pre-aggregate (absorbs within-doc
+# repeats map-side) then a term-grain aggregate — df is a COUNT, never
+# a count-distinct over raw positions; N broadcasts as a 1-row
+# aggregate. Top-30 rides TakeOrderedAndProject.
+# 100 TB: two keyed exchanges, both shrinking (positions → doc-term →
+# term).
+# ---------------------------------------------------------------------------
+
+_BURST_TOPK = 30
+
+
+@query(
+    "text_term_burstiness",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOK}) AS w FROM documents),
+    dt AS (SELECT w, doc_id, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+    term AS (
+      SELECT w, SUM(c) AS cf, COUNT(*) AS df FROM dt GROUP BY w),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT w AS term, CAST(cf AS BIGINT) AS cf, CAST(df AS BIGINT) AS df,
+           round(cf * 1.0 / df, 6) AS burstiness,
+           round(ln(n.n_docs * 1.0 / df), 8) AS idf
+    FROM term CROSS JOIN n
+    ORDER BY cf DESC, term LIMIT {_BURST_TOPK}
+    """,
+)
+def text_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(X.tokens()).alias("w"))
+    dt = tok.groupBy("w", "doc_id").agg(F.count("*").alias("c"))
+    term = dt.groupBy("w").agg(
+        F.sum("c").alias("cf"), F.count("*").alias("df")
+    )
+    n = docs.agg(F.count("*").alias("n_docs"))
+    return (
+        term.crossJoin(F.broadcast(n))
+        .select(
+            F.col("w").alias("term"),
+            F.col("cf").cast("bigint").alias("cf"),
+            F.col("df").cast("bigint").alias("df"),
+            F.round(F.col("cf") / F.col("df"), 6).alias("burstiness"),
+            F.round(F.log(F.col("n_docs") / F.col("df")), 8).alias("idf"),
+        )
+        .orderBy(F.desc("cf"), "term")
+        .limit(_BURST_TOPK)
+    )
