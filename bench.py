@@ -152,6 +152,16 @@ BENCH_QUERIES = [
     "embedding_centroid_drift",
     "multimodal_audio_vad_segments",
     "privacy_l_diversity_report",
+    # round-9 fourth wave: sketch/LM/audit/retrieval operators
+    "events_count_min_sketch",      # CMS counter grid + min-of-4 probe
+    "events_rate_shift_poisson",    # two-Poisson z per event type
+    "events_hash_bootstrap_means",  # 32 deterministic resample means
+    "orders_benford_digit_audit",   # first-digit chi-square screen
+    "orders_cohort_ltv",            # cohort x age cumulative LTV grid
+    "window_range_7day_spend",      # time-RANGE trailing-frame window
+    "text_kneser_ney_bigram",       # KN-smoothed bigram LM table
+    "text_term_burstiness",         # cf/df burstiness + idf top-k
+    "embedding_mmr_diverse_topk",   # MMR rerank over top-50 pool
 ]
 
 

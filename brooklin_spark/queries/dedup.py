@@ -2476,3 +2476,98 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("t").cast("bigint").alias("triangle_credits"),
         F.round(F.avg("local_cc"), 6).alias("avg_local_cc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities (Kleinberg 1999) on the bipartite
+# customer-supplier graph — the mutual-recursion companion to PageRank:
+# authority(s) = Σ hub(c) over buyers, hub(c) = Σ authority(s) over
+# suppliers bought from, L1-normalized and rounded to 8 dp after every
+# half-step (the PageRank float-parity discipline applied per
+# iteration, so both engines iterate on identical values). Natural
+# bipartite HITS: no doubled edge table — the pair table IS the
+# adjacency. Plan: pairs built once (packed-long distinct) and
+# checkpointed; each half-step is one pair-keyed join + node-scale
+# aggregate; the normalizing sums are 1-row broadcast aggregates; the
+# raw score tables are node-scale localCheckpoints (each has TWO
+# consumers — the L1 sum and the division — which would otherwise
+# double the lazy DAG per half-step, the measured pagerank failure
+# mode). Top-20 is TakeOrderedAndProject. 100 TB: per-iteration data
+# motion is node-scale scores against the partition-stable pair table;
+# under the PageRank spill threshold the pair table would move to a
+# bucketed scratch table the same way (dedup.py:972-981).
+# ---------------------------------------------------------------------------
+
+_HITS_ITERS = 3
+_HITS_TOPK = 20
+
+
+def _hits_iter_sql(k: int) -> str:
+    return f"""
+    a{k}raw AS (
+      SELECT p.s, SUM(h.h) AS x FROM pairs p JOIN h{k - 1} h ON h.c = p.c
+      GROUP BY p.s),
+    a{k} AS (
+      SELECT s, round(x / (SELECT SUM(x) FROM a{k}raw), 8) AS a FROM a{k}raw),
+    h{k}raw AS (
+      SELECT p.c, SUM(a.a) AS x FROM pairs p JOIN a{k} a ON a.s = p.s
+      GROUP BY p.c),
+    h{k} AS (
+      SELECT c, round(x / (SELECT SUM(x) FROM h{k}raw), 8) AS h FROM h{k}raw)"""
+
+
+@query(
+    "graph_hits_authorities",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+    cn AS (SELECT DISTINCT c FROM pairs),
+    h0 AS (
+      SELECT c, round(1.0 / (SELECT COUNT(*) FROM cn), 8) AS h FROM cn),
+    {", ".join(_hits_iter_sql(k).strip() for k in range(1, _HITS_ITERS + 1))}
+    SELECT 's' || s AS node, a AS authority,
+           CAST((SELECT COUNT(*) FROM pairs p WHERE p.s = a{_HITS_ITERS}.s)
+                AS BIGINT) AS n_buyers
+    FROM a{_HITS_ITERS}
+    ORDER BY a DESC, ('s' || s) LIMIT {_HITS_TOPK}
+    """,
+)
+def graph_hits_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _graph_pairs(spark, sf_dir).localCheckpoint()
+    cn = pairs.select("c_node").distinct()
+    n_c = cn.count()  # scalar graph size (one long, same as pagerank's n)
+    hubs = cn.select("c_node", F.round(F.lit(1.0) / n_c, 8).alias("h"))
+    auths = None
+    for _ in range(_HITS_ITERS):
+        a_raw = (
+            pairs.join(hubs, "c_node")
+            .groupBy("s_node")
+            .agg(F.sum("h").alias("x"))
+            .localCheckpoint()  # consumed twice: L1 sum + division
+        )
+        a_sum = a_raw.agg(F.sum("x").alias("t"))
+        auths = a_raw.crossJoin(F.broadcast(a_sum)).select(
+            "s_node", F.round(F.col("x") / F.col("t"), 8).alias("a")
+        )
+        h_raw = (
+            pairs.join(auths, "s_node")
+            .groupBy("c_node")
+            .agg(F.sum("a").alias("x"))
+            .localCheckpoint()
+        )
+        h_sum = h_raw.agg(F.sum("x").alias("t"))
+        hubs = h_raw.crossJoin(F.broadcast(h_sum)).select(
+            "c_node", F.round(F.col("x") / F.col("t"), 8).alias("h")
+        )
+    deg = pairs.groupBy("s_node").agg(F.count("*").alias("n_buyers"))
+    return (
+        auths.join(deg, "s_node")
+        .select(
+            _graph_node_str("s_node").alias("node"),
+            F.col("a").alias("authority"),
+            F.col("n_buyers").cast("bigint").alias("n_buyers"),
+        )
+        .orderBy(F.desc("authority"), "node")
+        .limit(_HITS_TOPK)
+    )
