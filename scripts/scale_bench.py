@@ -84,6 +84,15 @@ SCALE_QUERIES = [
     "dedup_threshold_survivor_curve",
     "text_idf_drift",
     "text_sentence_stats",
+    # r9 fourth wave: the data-scaled members (MMR/Benford/rate-shift are
+    # pool- or grid-scale by construction and stay out)
+    "graph_hits_authorities",       # 3x2 fact-joins against the pair table
+    "orders_cohort_ltv",            # custkey agg + join-back + grid cumsum
+    "text_term_burstiness",         # corpus explode -> doc-term -> term
+    "text_kneser_ney_bigram",       # corpus bigram explode -> type table
+    "events_count_min_sketch",      # 4x fact explode, map-side combine
+    "events_hash_bootstrap_means",  # 32x fact explode, map-side combine
+    "window_range_7day_spend",      # fact-scale RANGE frame window
 ]
 
 TABLES = [
