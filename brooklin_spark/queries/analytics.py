@@ -2055,3 +2055,97 @@ def events_hash_bootstrap_means(spark: SparkSession, sf_dir: str) -> DataFrame:
             "resample_mean"
         ),
     ).select(F.col("b").cast("bigint").alias("b"), "n_drawn", "resample_mean")
+
+
+# ---------------------------------------------------------------------------
+# Shapley-value marketing attribution (the cooperative-game exact form of
+# events_attribution_linear): channels = {click, error, signup, view} as
+# a 4-player game, coalition value v(S) = conversion rate of users whose
+# touched-channel set is EXACTLY S (0 for unobserved sets), and each
+# channel's credit is the Shapley sum Σ_{S∌i} |S|!(n−1−|S|)!/n! ·
+# (v(S∪i) − v(S)). The whole game lives on a 16-row mask grid: one
+# fact-scale groupBy(user) builds bitmasks (bit_or) + conversion flags,
+# one 16-row aggregate prices every coalition, and the Shapley terms are
+# a broadcast join of the 4-channel table against the 16-mask value
+# table (8 marginal terms per channel, summed then rounded 8dp — each
+# v is a single exact-integer division). 100 TB: ONE user-keyed
+# exchange; everything after is metadata-scale.
+# ---------------------------------------------------------------------------
+
+_SHAP_BITS = [("click", 1), ("error", 2), ("signup", 4), ("view", 8)]
+_SHAP_CASE = (
+    "CASE event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2 "
+    "WHEN 'signup' THEN 4 WHEN 'view' THEN 8 ELSE 0 END"
+)
+_POP4 = "(({m} >> 0) & 1) + (({m} >> 1) & 1) + (({m} >> 2) & 1) + (({m} >> 3) & 1)"
+
+
+@query(
+    "events_attribution_shapley",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id, BIT_OR({_SHAP_CASE}) AS mask,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+      FROM events GROUP BY user_id),
+    grid AS (SELECT mask, COUNT(*) AS nu, SUM(conv) AS nc
+             FROM per_user GROUP BY mask),
+    masks AS (SELECT unnest(generate_series(0, 15)) AS m),
+    v AS (SELECT m, COALESCE(nc * 1.0 / nu, 0) AS v
+          FROM masks LEFT JOIN grid ON grid.mask = masks.m),
+    ch AS (SELECT * FROM (VALUES (1, 'click'), (2, 'error'),
+                                 (4, 'signup'), (8, 'view')) AS t(bit, channel)),
+    terms AS (
+      SELECT ch.channel,
+             (CASE {_POP4.format(m="vs.m")}
+                WHEN 0 THEN 0.25 WHEN 1 THEN 1.0 / 12
+                WHEN 2 THEN 1.0 / 12 ELSE 0.25 END) * (vi.v - vs.v) AS t
+      FROM ch
+      JOIN v vs ON (vs.m & ch.bit) = 0
+      JOIN v vi ON vi.m = (vs.m | ch.bit)),
+    touched AS (
+      SELECT ch.channel, CAST(SUM(g.nu) AS BIGINT) AS n_touched
+      FROM ch JOIN grid g ON (g.mask & ch.bit) <> 0 GROUP BY ch.channel)
+    SELECT t.channel, round(SUM(t.t), 8) AS shapley, MAX(tc.n_touched) AS n_touched
+    FROM terms t JOIN touched tc ON tc.channel = t.channel
+    GROUP BY t.channel ORDER BY t.channel
+    """,
+)
+def events_attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    bit = F.expr(_SHAP_CASE)
+    per_user = e.groupBy("user_id").agg(
+        F.bit_or(bit).alias("mask"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("conv"),
+    )
+    grid = per_user.groupBy("mask").agg(
+        F.count("*").alias("nu"), F.sum("conv").alias("nc")
+    )
+    masks = spark.range(16).select(F.col("id").cast("int").alias("m"))
+    v = masks.join(F.broadcast(grid), masks.m == grid.mask, "left").select(
+        "m", F.coalesce(F.col("nc") / F.col("nu"), F.lit(0.0)).alias("v")
+    )
+    ch = spark.createDataFrame(
+        [(b, c) for c, b in _SHAP_BITS], "bit INT, channel STRING"
+    )
+    vs, vi = v.alias("vs"), v.alias("vi")
+    weight = F.expr(
+        f"CASE {_POP4.format(m='vs.m')} WHEN 0 THEN 0.25 WHEN 1 THEN 1.0 / 12 "
+        "WHEN 2 THEN 1.0 / 12 ELSE 0.25 END"
+    )
+    terms = (
+        ch.join(F.broadcast(vs), F.expr("(vs.m & bit) = 0"))
+        .join(F.broadcast(vi), F.expr("vi.m = (vs.m | bit)"))
+        .select("channel", (weight * (F.col("vi.v") - F.col("vs.v"))).alias("t"))
+    )
+    touched = (
+        ch.join(F.broadcast(grid), F.expr("(mask & bit) <> 0"))
+        .groupBy("channel")
+        .agg(F.sum("nu").cast("bigint").alias("n_touched"))
+    )
+    return (
+        terms.groupBy("channel")
+        .agg(F.round(F.sum("t"), 8).alias("shapley"))
+        .join(touched, "channel")
+        .select("channel", "shapley", "n_touched")
+        .orderBy("channel")
+    )
