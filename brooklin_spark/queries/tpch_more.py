@@ -1367,3 +1367,59 @@ def window_range_7day_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         F.max("spend7").cast("bigint").alias("peak_7day_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Herfindahl-Hirschman supplier concentration per nation — the antitrust
+# concentration index (Σ share²) over supplier revenue shares, the
+# complement of the Gini operator (inequality) on the supply side.
+# Revenue rides integer cents; each share is ONE exact-integer division
+# and the Σ share² fold is a per-nation sum of ≤|suppliers| doubles
+# rounded 8dp (the libm policy). Plan: one suppkey-keyed fact aggregate,
+# a broadcast supplier→nation dim join, then a nation-grain aggregate —
+# two shrinking exchanges, no fact-fact join. 100 TB: unchanged; the
+# share arithmetic is supplier-scale.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "supplier_hhi_by_nation",
+    oracle="""
+    WITH sup AS (
+      SELECT l_suppkey, SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents
+      FROM lineitem GROUP BY l_suppkey),
+    nat AS (
+      SELECT n.n_name, s.s_suppkey, sup.cents,
+             SUM(sup.cents) OVER (PARTITION BY n.n_name) AS nation_cents
+      FROM sup JOIN supplier s ON s.s_suppkey = sup.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey)
+    SELECT n_name AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           CAST(MAX(nation_cents) AS BIGINT) AS revenue_cents,
+           round(SUM(power(cents * 1.0 / nation_cents, 2)), 8) AS hhi,
+           round(MAX(cents * 1.0 / nation_cents), 8) AS top_share
+    FROM nat GROUP BY n_name
+    """,
+)
+def supplier_hhi_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    sup = li.groupBy("l_suppkey").agg(
+        F.sum(cents("l_extendedprice")).alias("cents")
+    )
+    nat = (
+        sup.join(F.broadcast(s), s.s_suppkey == sup.l_suppkey)
+        .join(F.broadcast(n), n.n_nationkey == s.s_nationkey)
+        .select("n_name", "cents")
+        .withColumn(
+            "nation_cents", F.sum("cents").over(W.partitionBy("n_name"))
+        )
+    )
+    share = F.col("cents") / F.col("nation_cents")
+    return nat.groupBy(F.col("n_name").alias("nation")).agg(
+        F.count("*").cast("bigint").alias("n_suppliers"),
+        F.max("nation_cents").cast("bigint").alias("revenue_cents"),
+        F.round(F.sum(F.pow(share, 2)), 8).alias("hhi"),
+        F.round(F.max(share), 8).alias("top_share"),
+    )
