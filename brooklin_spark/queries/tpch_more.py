@@ -1423,3 +1423,81 @@ def supplier_hhi_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.pow(share, 2)), 8).alias("hhi"),
         F.round(F.max(share), 8).alias("top_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square test of independence on the brand × type contingency table
+# (+ Cramér's V effect size) — the categorical-association test the
+# battery lacked (the Benford audit tests goodness-of-fit against a
+# FIXED distribution; this tests two observed factors against each
+# other). Every expected count is row_total·col_total/n from exact
+# integers, each cell's term is a single formula, and the cell grid is
+# |brands|×|types| (metadata-scale) after ONE fact groupBy; the margins
+# ride grid-scale windows, not second scans. 100 TB: one keyed exchange,
+# then arithmetic on a few hundred rows.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "parts_brand_type_chi2",
+    oracle="""
+    WITH cells AS (
+      SELECT p_brand, p_type, COUNT(*) AS o FROM part GROUP BY 1, 2),
+    m AS (
+      SELECT p_brand, p_type, o,
+             SUM(o) OVER (PARTITION BY p_brand) AS rt,
+             SUM(o) OVER (PARTITION BY p_type) AS ct,
+             SUM(o) OVER () AS n
+      FROM cells),
+    t AS (
+      SELECT n,
+             (o - rt * ct * 1.0 / n) * (o - rt * ct * 1.0 / n)
+               / (rt * ct * 1.0 / n) AS term
+      FROM m),
+    dims AS (
+      SELECT COUNT(DISTINCT p_brand) AS r, COUNT(DISTINCT p_type) AS c
+      FROM part)
+    SELECT CAST((SELECT COUNT(*) FROM cells) AS BIGINT) AS n_cells,
+           CAST((d.r - 1) * (d.c - 1) AS BIGINT) AS dof,
+           round(SUM(term), 6) AS chi2,
+           round(sqrt(SUM(term) / (MAX(t.n) * LEAST(d.r - 1, d.c - 1))), 8)
+             AS cramers_v
+    FROM t CROSS JOIN dims d GROUP BY d.r, d.c
+    """,
+)
+def parts_brand_type_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    cells = p.groupBy("p_brand", "p_type").agg(F.count("*").alias("o"))
+    rt = F.sum("o").over(W.partitionBy("p_brand"))
+    ct = F.sum("o").over(W.partitionBy("p_type"))
+    n = F.sum("o").over(W.partitionBy())
+    exp = rt * ct / n
+    m = cells.select(
+        F.col("o"), exp.alias("e"), n.alias("n")
+    )
+    dims = p.agg(
+        F.count_distinct("p_brand").alias("r"),
+        F.count_distinct("p_type").alias("c"),
+    )
+    term = (F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")
+    return (
+        m.crossJoin(F.broadcast(dims))
+        .groupBy("r", "c")
+        .agg(
+            F.count("*").cast("bigint").alias("n_cells"),
+            F.round(F.sum(term), 6).alias("chi2"),
+            F.round(
+                F.sqrt(
+                    F.sum(term)
+                    / (F.max("n") * F.least(F.col("r") - 1, F.col("c") - 1))
+                ),
+                8,
+            ).alias("cramers_v"),
+        )
+        .select(
+            "n_cells",
+            ((F.col("r") - 1) * (F.col("c") - 1)).cast("bigint").alias("dof"),
+            "chi2",
+            "cramers_v",
+        )
+    )
