@@ -1836,6 +1836,51 @@ def _cms_arrays_sql() -> tuple[str, str]:
     )
 
 
+def _cms_col(uid):
+    """CMS column index for the j-th hash row (expects a `j` column)."""
+    a_arr = F.array(*[F.lit(a) for a in _CMS_A])
+    b_arr = F.array(*[F.lit(b) for b in _CMS_B])
+    return (
+        (F.element_at(a_arr, F.col("j") + 1) * uid
+         + F.element_at(b_arr, F.col("j") + 1)) % _CMS_P
+    ) % _CMS_W
+
+
+def _cms_js():
+    return F.explode(F.array(*[F.lit(j) for j in range(4)])).alias("j")
+
+
+def _cms_grid(e: DataFrame) -> DataFrame:
+    """(j, col, cnt) counter partials for a slice of events — additive, so
+    per-batch grids merge by summing cnt (the sketch's mergeability)."""
+    return (
+        e.select(F.col("user_id"), _cms_js())
+        .select("j", _cms_col(F.col("user_id")).alias("col"))
+        .groupBy("j", "col")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def _cms_probe(grid: DataFrame, truth: DataFrame) -> DataFrame:
+    """min-of-4 counter read-back for the exact top-k truth rows."""
+    probe = (
+        truth.select("user_id", "true_cnt", _cms_js())
+        .withColumn("col", _cms_col(F.col("user_id")))
+        # the grid is <= depth*width = 1024 rows BY CONSTRUCTION
+        .join(F.broadcast(grid), ["j", "col"])
+    )
+    return probe.groupBy("user_id", "true_cnt").agg(
+        F.min("cnt").cast("bigint").alias("cms_est"),
+        (F.min("cnt") - F.col("true_cnt")).cast("bigint").alias("over"),
+    ).select(
+        "user_id",
+        F.col("true_cnt").cast("bigint").alias("true_cnt"),
+        "cms_est",
+        "over",
+    )
+
+
+
 @query(
     "events_count_min_sketch",
     oracle=f"""
@@ -1862,42 +1907,12 @@ def _cms_arrays_sql() -> tuple[str, str]:
 )
 def events_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
-    a_arr = F.array(*[F.lit(a) for a in _CMS_A])
-    b_arr = F.array(*[F.lit(b) for b in _CMS_B])
-
-    def cms_col(uid):
-        return (
-            (F.element_at(a_arr, F.col("j") + 1) * uid
-             + F.element_at(b_arr, F.col("j") + 1)) % _CMS_P
-        ) % _CMS_W
-
-    js = F.explode(F.array(*[F.lit(j) for j in range(4)])).alias("j")
-    grid = (
-        e.select(F.col("user_id"), js)
-        .select("j", cms_col(F.col("user_id")).alias("col"))
-        .groupBy("j", "col")
-        .agg(F.count("*").alias("cnt"))
-    )
     truth = (
         e.groupBy("user_id").agg(F.count("*").alias("true_cnt"))
         .orderBy(F.desc("true_cnt"), "user_id")
         .limit(_CMS_K)
     )
-    probe = (
-        truth.select("user_id", "true_cnt", js)
-        .withColumn("col", cms_col(F.col("user_id")))
-        # the grid is <= depth*width = 1024 rows BY CONSTRUCTION
-        .join(F.broadcast(grid), ["j", "col"])
-    )
-    return probe.groupBy("user_id", "true_cnt").agg(
-        F.min("cnt").cast("bigint").alias("cms_est"),
-        (F.min("cnt") - F.col("true_cnt")).cast("bigint").alias("over"),
-    ).select(
-        "user_id",
-        F.col("true_cnt").cast("bigint").alias("true_cnt"),
-        "cms_est",
-        "over",
-    )
+    return _cms_probe(_cms_grid(e), truth)
 
 
 # ---------------------------------------------------------------------------

@@ -1133,6 +1133,73 @@ def streaming_bm25_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+
+
+# ---------------------------------------------------------------------------
+# Streaming count-min ingest: the mergeable-sketch shape a live pipeline
+# runs — each micro-batch appends its OWN (j, col, cnt) counter partials
+# and per-user count partials (epoch-dir overwrite = idempotent under
+# foreachBatch's at-least-once), and the drain SUMS the partial grids:
+# counter additivity is exactly the CMS mergeability guarantee, so the
+# merged sketch equals the one-shot batch sketch bit-for-bit and the
+# min-of-4 probe shares events_count_min_sketch's oracle. Per-batch
+# written bytes are bounded by the batch (<= 1024 counter rows + its
+# user partials), never the stream history. 100 TB: this is the
+# per-shard sketch + reduce topology — partials merge associatively at
+# any fan-in.
+# ---------------------------------------------------------------------------
+
+
+@query("streaming_count_min_ingest")
+def streaming_count_min_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from brooklin_spark.queries.analytics import _CMS_K, _cms_grid, _cms_probe
+
+    split = _split_table_for_stream(sf_dir, "events", "event_id")
+    schema = spark.read.parquet(split).schema
+    work = tempfile.mkdtemp(prefix="bspark_cms_ingest_")
+    gstore = os.path.join(work, "grid")
+    ustore = os.path.join(work, "users")
+    ckpt = os.path.join(work, "ckpt")
+
+    def step(batch_df: DataFrame, _epoch: int) -> None:
+        _cms_grid(batch_df).write.mode("overwrite").parquet(
+            os.path.join(gstore, f"epoch={_epoch}")
+        )
+        batch_df.groupBy("user_id").agg(F.count("*").alias("c")).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(ustore, f"epoch={_epoch}"))
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(split)
+        .writeStream.foreachBatch(step)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        grid = (
+            spark.read.parquet(gstore)
+            .groupBy("j", "col")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        truth = (
+            spark.read.parquet(ustore)
+            .groupBy("user_id")
+            .agg(F.sum("c").alias("true_cnt"))
+            .orderBy(F.desc("true_cnt"), "user_id")
+            .limit(_CMS_K)
+        )
+        out = _cms_probe(grid, truth).localCheckpoint(eager=True)
+    finally:
+        q.stop()
+        shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
 # share the full-corpus oracle: the ingest must equal a from-scratch build
 # (import text first — load_all() imports streaming before text, so the
 # donor oracle isn't registered yet at this module's import time)
@@ -1145,6 +1212,12 @@ _reg.ORACLES["streaming_bm25_index_ingest"] = _reg.ORACLES["text_bm25_search"]
 # manifest on the same corpus — same oracle SQL, r9
 _reg.ORACLES["streaming_dedup_semantic_ingest"] = _reg.ORACLES[
     "dedup_semdedup_kmeans"
+]
+# the merged streaming sketch must equal the one-shot batch sketch — r9
+from brooklin_spark.queries import analytics as _an_queries  # noqa: E402,F401
+
+_reg.ORACLES["streaming_count_min_ingest"] = _reg.ORACLES[
+    "events_count_min_sketch"
 ]
 
 
