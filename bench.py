@@ -205,15 +205,23 @@ def main() -> None:
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
+            # release the finished rep's checkpoint/cache blocks OUTSIDE
+            # the timed region: gc drops the py4j refs, clearCache drops
+            # cached plans, and the explicit JVM System.gc() lets
+            # ContextCleaner actually free localCheckpoint RDD blocks —
+            # py4j-unreachable RDDs are only enqueued for cleanup when the
+            # JVM collects them, and a 48g heap left alone GCs far too
+            # rarely, so blocks from EVERY prior rep/query pile up in the
+            # single local JVM and later queries measure memory pressure,
+            # not their plans (r9-opt measured: text_bpe_train reps grew
+            # 5.3→9.7s without the JVM gc, fell to a stable 3.5-4.6s with
+            # it; ann_ivf_topk_persisted 8.1s→0.95s in-book). Same plans,
+            # same results — this is measurement hygiene, not a speedup.
+            gc.collect()
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
         timings[name] = round(best, 3)
         print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)
-        # release the finished query's checkpoint/cache blocks BETWEEN
-        # timed queries: gc drops the py4j refs, letting ContextCleaner
-        # free localCheckpoint RDDs — without this the dedup queries'
-        # materializations accumulate across the run and later queries
-        # measure memory pressure, not their plans
-        gc.collect()
-        spark.catalog.clearCache()
 
     sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
     out = {
