@@ -683,6 +683,14 @@ def connected_components(
     Each round is two shuffles (join + groupBy); labels are checkpointed
     per round to keep lineage flat. For web-scale graphs with deep
     components swap in large-star/small-star (same API).
+
+    Convergence check (r9-opt): labels can only DECREASE
+    (new = least(old, min neighbor)), so SUM(comp) strictly decreases iff
+    ANY label changed — an exact-decimal scalar aggregate replaces the
+    old per-round labels-x-labels equality join, and evaluating it on the
+    round's lazy localCheckpoint makes ONE job both materialize the new
+    labels and test convergence (was: a checkpoint job + a join-count
+    job per round — 2 jobs and one node-scale join more, every round).
     """
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
@@ -694,8 +702,12 @@ def connected_components(
         edges.select(F.col("src").alias("id"))
         .distinct()
         .select("id", F.col("id").alias("comp"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
+    # decimal(38,0): exact for any sum of <= 2^63-scale ids over any
+    # realistic node count — float would break the equality test
+    _sig = F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
+    prev_sig = labels.agg(_sig).first()[0]
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
@@ -710,18 +722,13 @@ def connected_components(
                     "comp"
                 ),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
+        sig = new_labels.agg(_sig).first()[0]  # materializes the checkpoint
         labels = new_labels
-        if changed == 0:
+        if sig == prev_sig:
             break
+        prev_sig = sig
     return labels
 
 

@@ -152,16 +152,28 @@ def global_ntile(
     ranked = global_row_number(
         df, order_by, out=rk, total_out=tot, buckets=buckets
     )
-    base = F.floor(F.col(tot) / k)
-    rem = F.col(tot) % k
+    tile = ntile_from_rank(F.col(rk), F.col(tot), k)
+    return ranked.withColumn(out, tile.cast("bigint")).drop(rk, tot)
+
+
+def ntile_from_rank(rk: Column, tot: Column, k: int) -> Column:
+    """SQL NTILE(k) as a pure function of (1-based rank, total rows).
+
+    With N rows, the first N mod k buckets hold ceil(N/k) rows, the rest
+    floor(N/k). Exposed so callers that already hold an exact global rank
+    (e.g. a tagged-union rank shared by several independent ntiles — see
+    customers_rfm_segments) can derive tiles without a second rank pass.
+    Integer math stays in floor() — exact for any N < 2^53.
+    """
+    base = F.floor(tot / k)
+    rem = tot % k
     big = base + 1  # size of the first `rem` buckets
-    in_big = F.col(rk) <= rem * big
-    tile = F.when(in_big, F.floor((F.col(rk) - 1) / big) + 1).otherwise(
+    in_big = rk <= rem * big
+    return F.when(in_big, F.floor((rk - 1) / big) + 1).otherwise(
         # base == 0 implies every row is in a "big" bucket (N < k), so
         # this branch never divides by zero
-        rem + F.floor((F.col(rk) - 1 - rem * big) / base) + 1
+        rem + F.floor((rk - 1 - rem * big) / base) + 1
     )
-    return ranked.withColumn(out, tile.cast("bigint")).drop(rk, tot)
 
 
 def global_running_sum(

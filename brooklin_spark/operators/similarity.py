@@ -979,9 +979,53 @@ def ivfpq_topk(
     from pyspark.sql import Window as W
 
     spark = corpus.sparkSession
-    index = ivf_assign(corpus, centroids, id_col, vec_col).join(
-        pq_encode(corpus, codebook, m, k, id_col, vec_col).drop("recon_err"),
-        "vec_id",
+    # FUSED index build (r9-opt, guide §4.1/§2.4): one mapInPandas pass
+    # computes the coarse assignment AND the m PQ codes per Arrow batch —
+    # the corpus crosses the Python boundary once and the old
+    # ivf_assign ⋈ pq_encode vec_id shuffle join (two full corpus decodes
+    # + a corpus-scale exchange on both sides) disappears entirely; the
+    # index build is now zero-shuffle. Identical math per row (rounded-6
+    # cosine routing with cid tie-break; rounded-6 subspace L2 with
+    # lowest-code tie-break), so the oracle row is unchanged.
+    c_ids_f, cm_f = _collect_matrix(centroids, id_col, vec_col)
+    cb_rows = codebook.orderBy(id_col).limit(k).select(id_col, vec_col).collect()
+    cb_rows.sort(key=lambda r: r[0])
+    cb_f = np.array([list(r[1]) for r in cb_rows], dtype=np.float64)
+    D = cb_f.shape[1]
+    if D % m:
+        raise ValueError(f"dim {D} not divisible by m={m}")
+    d_sub = D // m
+
+    def _fused(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            raw = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            norms = np.linalg.norm(raw, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            sims = np.round((raw / norms) @ cm_f.T, 6)
+            out = {
+                "vec_id": ids,
+                "cid": np.array(
+                    [c_ids_f[np.lexsort((c_ids_f, -row))[0]] for row in sims],
+                    dtype=np.int64,
+                ),
+            }
+            for j in range(m):
+                sub = raw[:, j * d_sub : (j + 1) * d_sub]
+                csub = cb_f[:, j * d_sub : (j + 1) * d_sub]
+                diff = sub[:, None, :] - csub[None, :, :]
+                d2 = np.round((diff * diff).sum(-1), 6)
+                out[f"c{j}"] = d2.argmin(axis=1).astype(np.int32)
+            yield pd.DataFrame(out)
+
+    index = corpus.select(id_col, vec_col).mapInPandas(
+        _fused,
+        schema="vec_id bigint, cid bigint, "
+        + ", ".join(f"c{j} int" for j in range(m)),
     )
 
     # probes: queries x centroids both broadcast-small (same as ivf_topk).

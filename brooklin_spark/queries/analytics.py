@@ -10,7 +10,11 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from brooklin_spark.io import table
-from brooklin_spark.operators.distrank import global_ntile
+from brooklin_spark.operators.distrank import (
+    global_ntile,
+    global_row_number,
+    ntile_from_rank,
+)
 from brooklin_spark.registry import query
 
 # ---------------------------------------------------------------------------
@@ -467,25 +471,61 @@ def customers_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("frequency"),
         F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias("monetary"),
     )
-    # four readers (three rank branches + the rejoin base): cut the
-    # lineage once so the orders rollup runs exactly once
+    # four readers (the fused rank union's three branches + the rejoin
+    # base): cut the lineage once so the orders rollup runs exactly once
     cust = cust.localCheckpoint(eager=False)
 
-    def score(metric: str, out: str) -> DataFrame:
-        thin = cust.select("o_custkey", metric)
-        order = [F.asc(metric), F.asc("o_custkey")]
-        return global_ntile(thin, 5, order, out=out).select("o_custkey", out)
-
-    scored = (
+    # ONE distrank pass for all three scores (r9-opt, guide §2.4: two
+    # operations keyed the same way share one exchange — here three
+    # independent ntiles share one range exchange). Each metric maps
+    # ORDER-PRESERVINGLY and EXACTLY onto a long (epoch days; the count
+    # itself; decimal(12,2) cents), the three thin tables union with a
+    # metric tag, and a single global_row_number over (tag, v, custkey)
+    # yields, per tag, exactly the order (metric ASC, custkey ASC) the
+    # three separate ntiles used. Every tag holds the same N = total/3
+    # rows (one per customer), so per-tag rank = rk - tag*N and the tile
+    # is the same pure (rank, N) function — bit-identical scores from a
+    # third of the rank machinery (was: 3 range exchanges + 3 broadcast
+    # offset joins + 3 custkey rejoins; now: 1 + 1 + 1 pivot groupBy).
+    tagged = (
         cust.select(
+            F.lit(0).alias("m"),
+            F.datediff("last_order", F.lit("1970-01-01")).cast("long").alias("v"),
             "o_custkey",
-            "frequency",
-            F.col("monetary").cast("double").alias("monetary"),
         )
-        .join(score("last_order", "r_score"), "o_custkey")
-        .join(score("frequency", "f_score"), "o_custkey")
-        .join(score("monetary", "m_score"), "o_custkey")
+        .unionAll(
+            cust.select(F.lit(1), F.col("frequency").cast("long"), "o_custkey")
+        )
+        .unionAll(
+            cust.select(
+                F.lit(2), (F.col("monetary") * 100).cast("long"), "o_custkey"
+            )
+        )
     )
+    ranked = global_row_number(
+        tagged,
+        [F.asc("m"), F.asc("v"), F.asc("o_custkey")],
+        out="rk",
+        total_out="tot",
+    )
+    n_cust = F.col("tot") / 3  # exact: tot = 3N by construction
+    tile = ntile_from_rank(
+        F.col("rk") - F.col("m") * n_cust, n_cust, 5
+    ).cast("bigint")
+    scores = (
+        ranked.select("o_custkey", "m", tile.alias("t"))
+        .groupBy("o_custkey")
+        .agg(
+            F.max(F.when(F.col("m") == 0, F.col("t"))).alias("r_score"),
+            F.max(F.when(F.col("m") == 1, F.col("t"))).alias("f_score"),
+            F.max(F.when(F.col("m") == 2, F.col("t"))).alias("m_score"),
+        )
+    )
+    scored = cust.select(
+        "o_custkey",
+        "frequency",
+        F.col("monetary").cast("double").alias("monetary"),
+    ).join(scores, "o_custkey")
     seg = (
         F.when((F.col("r_score") >= 4) & (F.col("f_score") >= 4) & (F.col("m_score") >= 4), "champion")
         .when((F.col("r_score") >= 4) & (F.col("f_score") <= 2), "new")

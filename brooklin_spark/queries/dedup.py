@@ -1233,17 +1233,23 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_partkey")
         .distinct()
     )
-    a = li.alias("a")
-    b = li.alias("b")
+    # basket-array pair build (r9-opt; the graph_triangle_census /
+    # graph_modularity_score shape, measured 2.73→1.92 s when triangle
+    # census converted in r8): ONE orderkey exchange + in-memory
+    # combinations from each order's sorted part array, instead of the
+    # fact-scale equi-self-join whose join output is the same pair
+    # multiset but built by shuffling lineitem twice. count(*) on
+    # distinct-(order,part) input == the distinct-order support count.
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        baskets.select(F.posexplode("parts").alias("i", "pa"), F.col("parts"))
+        .select(
+            "pa",
+            F.explode(F.expr("slice(parts, i + 2, size(parts))")).alias("pb"),
         )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
-        )
+        .groupBy("pa", "pb")
         .agg(F.count("*").alias("n_ord"))
         .filter(F.col("n_ord") >= 2)
         .select("pa", "pb")

@@ -1625,16 +1625,29 @@ _RR_K = 10
 )
 def text_retrieve_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.explode(X.tokens()).alias("term")
-    ).localCheckpoint()
-    lens = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    n_docs, avgdl = lens.agg(F.count("*"), F.avg("dl")).first()
-    tf = (
-        toks.filter(F.col("term").isin(*_BM25_TERMS))
+    # ONE corpus-scale pass (r9-opt, guide §2.3/§2.4): tokenize + explode
+    # feed a single (doc_id, term) partial/final aggregate, and EVERY
+    # downstream table derives from that vocab-x-doc-scale result —
+    #   dl   = SUM(tf)   per doc   (== COUNT(*) over exploded tokens)
+    #   df_a = COUNT(*)  per term  (== COUNT(DISTINCT doc_id) over tokens
+    #          — distinct is free because (doc_id, term) is the grain)
+    #   tfa  = semi-join of the SAME table (no second corpus aggregation)
+    # The old shape checkpointed the raw exploded token table (corpus-
+    # scale rows) and re-aggregated it four times (lens, tf, widf's
+    # count-distinct expand, tfa) — 4 corpus-scale exchanges; this shape
+    # pays one, and the checkpoint it keeps is the already-aggregated
+    # table (bounded by vocab x docs-containing-term, far smaller than
+    # total token occurrences). Values are identical: every downstream
+    # quantity above is an exact integer identity, not an approximation.
+    tf_all = (
+        docs.select("doc_id", F.explode(X.tokens()).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
+        .localCheckpoint()  # 4 readers: lens, query-term tf, widf, tfa
     )
+    lens = tf_all.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    n_docs, avgdl = lens.agg(F.count("*"), F.avg("dl")).first()
+    tf = tf_all.filter(F.col("term").isin(*_BM25_TERMS))
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
     idf = F.log(
         F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
@@ -1656,17 +1669,17 @@ def text_retrieve_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_RR_CANDIDATES)
         .localCheckpoint()
     )
-    # full-vocab idf over the corpus (vocab-keyed aggregate, no hints)
+    # full-vocab idf: COUNT(DISTINCT doc_id) per term is a plain COUNT(*)
+    # over the (doc_id, term)-grain aggregate — no distinct expand
     widf = (
-        toks.groupBy("term")
-        .agg(F.countDistinct("doc_id").alias("dfa"))
+        tf_all.groupBy("term")
+        .agg(F.count("*").alias("dfa"))
         .select("term", F.log(F.lit(float(n_docs)) / F.col("dfa")).alias("idf"))
     )
     # expensive stage runs ONLY on candidates: 50-row broadcast semi-join
+    # over the ALREADY-aggregated table (tf values are the same integers)
     tfa = (
-        toks.join(F.broadcast(cand.select("doc_id")), "doc_id", "left_semi")
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"))
+        tf_all.join(F.broadcast(cand.select("doc_id")), "doc_id", "left_semi")
         .localCheckpoint()  # two readers: doc norms + query-term numerator
     )
     wtf = F.col("tf") * F.col("idf")

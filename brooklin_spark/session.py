@@ -77,6 +77,15 @@ def get_spark(
         # join key (q5 3.4s) while every dimension still broadcasts at
         # any SF. AQE re-checks runtime sizes either way.
         .config("spark.sql.autoBroadcastJoinThreshold", str(24 * 1024 * 1024))
+        # long multi-query sessions (the driver's 280-query correctness
+        # sweep, bench.py, the parity tests) accumulate localCheckpoint
+        # RDD blocks until a JVM GC lets ContextCleaner release them; a
+        # 48g heap left alone collects far too rarely, so later queries
+        # measure memory pressure instead of their plans (r9-opt: same
+        # pathology bench.py now guards per-rep). The periodic driver GC
+        # is Spark's own knob for exactly this — 2min bounds the leak
+        # window without measurable overhead (default 30min).
+        .config("spark.cleaner.periodicGC.interval", "2min")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
     )
