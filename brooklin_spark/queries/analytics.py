@@ -378,7 +378,7 @@ def basket_part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # second lineitem scan
     baskets = (
         li.groupBy("l_orderkey")
-        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
+        .agg(F.array_sort(F.array_distinct(F.collect_list("l_partkey"))).alias("parts"))
         .localCheckpoint(eager=False)
     )
     n_orders = baskets.agg(
@@ -1381,7 +1381,7 @@ def events_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def basket_apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     baskets = li.groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+        F.array_sort(F.array_distinct(F.collect_list("l_partkey"))).alias("parts")
     )
     # (i, pa) x (j > i, pb) x (rest, pc) — combinations, not joins
     triples = (

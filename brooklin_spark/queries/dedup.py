@@ -1015,6 +1015,13 @@ def graph_pagerank_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = nodes.select("node", F.round(F.lit(1.0) / n, 8).alias("rank"))
     base = (1.0 - _PR_D) / n
     for _ in range(_PR_ITERS):
+        # join strategy deliberately UNHINTED (r9-opt, guide §3.1,
+        # measured): at bench scale AQE converts the node-scale rank side
+        # to a runtime broadcast join (zero rank exchange per round); a
+        # forced SHUFFLE_HASH "optimization" suppressed that and cost
+        # +24% (4.79 -> 5.93 s back-to-back) — AQE's dynamic selection IS
+        # the scale-adaptive answer here (broadcast when ranks fit,
+        # SMJ/SHJ when they don't).
         contribs = edeg.join(ranks, ranks.node == edeg.src).select(
             F.col("dst"), (F.col("rank") / F.col("deg")).alias("contrib")
         )
@@ -1224,15 +1231,11 @@ _LPA_ROUNDS = 2
     """,
 )
 def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # distinct (order, part) FIRST: pairs from the self-join are then
-    # distinct-per-order by construction, so the >=2-orders support
-    # filter is a plain count — no count_distinct expand on the squared
-    # pair table (the big intermediate)
-    li = (
-        table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
+    # NO .distinct() before the basket groupBy (r9-opt, guide §2.4):
+    # collect_set already de-dups parts within each order, so a separate
+    # (orderkey, partkey) DISTINCT is a redundant second fact-scale
+    # exchange — the basket aggregate is the only one needed
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     # basket-array pair build (r9-opt; the graph_triangle_census /
     # graph_modularity_score shape, measured 2.73→1.92 s when triangle
     # census converted in r8): ONE orderkey exchange + in-memory
@@ -1241,7 +1244,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # multiset but built by shuffling lineitem twice. count(*) on
     # distinct-(order,part) input == the distinct-order support count.
     baskets = li.groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+        F.array_sort(F.array_distinct(F.collect_list("l_partkey"))).alias("parts")
     )
     pairs = (
         baskets.select(F.posexplode("parts").alias("i", "pa"), F.col("parts"))
@@ -1441,7 +1444,7 @@ def graph_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     # countDistinct computed — value-identical, measured ~0.9 s faster
     # at sf0.1.
     baskets = li.groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+        F.array_sort(F.array_distinct(F.collect_list("l_partkey"))).alias("parts")
     )
     pairs = (
         baskets.select(F.posexplode("parts").alias("i", "pa"), F.col("parts"))
@@ -1836,16 +1839,16 @@ def graph_kcore_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def graph_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = (
-        table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
+    # NO .distinct() before the basket groupBy (r9-opt, guide §2.4):
+    # collect_set already de-dups parts within each order, so a separate
+    # (orderkey, partkey) DISTINCT is a redundant second fact-scale
+    # exchange — the basket aggregate is the only one needed
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     # basket-array pair build (the graph_triangle_census shape): one
     # orderkey exchange, combinations from sorted per-order arrays;
     # count(*) on distinct-(order,part) input == the distinct-order count
     baskets = li.groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+        F.array_sort(F.array_distinct(F.collect_list("l_partkey"))).alias("parts")
     )
     pairs = (
         baskets.select(F.posexplode("parts").alias("i", "pa"), F.col("parts"))
@@ -1965,13 +1968,13 @@ def graph_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 def graph_common_neighbor_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
-    li = (
-        table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
+    # NO .distinct() before the basket groupBy (r9-opt, guide §2.4):
+    # collect_set already de-dups parts within each order, so a separate
+    # (orderkey, partkey) DISTINCT is a redundant second fact-scale
+    # exchange — the basket aggregate is the only one needed
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     baskets = li.groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+        F.array_sort(F.array_distinct(F.collect_list("l_partkey"))).alias("parts")
     )
     pairs = (
         baskets.select(F.posexplode("parts").alias("i", "pa"), F.col("parts"))
@@ -1990,7 +1993,7 @@ def graph_common_neighbor_linkpred(spark: SparkSession, sf_dir: str) -> DataFram
     ).unionAll(pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
     # adjacency arrays at the wedge center: one src exchange, sorted
     # neighbor combinations generate locally (na < nb by sort order)
-    adj = edges.groupBy("src").agg(F.array_sort(F.collect_set("dst")).alias("nb"))
+    adj = edges.groupBy("src").agg(F.array_sort(F.array_distinct(F.collect_list("dst"))).alias("nb"))
     wedges = (
         adj.select(F.posexplode("nb").alias("i", "na"), F.col("nb"))
         .select(
@@ -2132,13 +2135,13 @@ def dedup_threshold_survivor_curve(spark: SparkSession, sf_dir: str) -> DataFram
     """,
 )
 def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = (
-        table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
+    # NO .distinct() before the basket groupBy (r9-opt, guide §2.4):
+    # collect_set already de-dups parts within each order, so a separate
+    # (orderkey, partkey) DISTINCT is a redundant second fact-scale
+    # exchange — the basket aggregate is the only one needed
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     baskets = li.groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+        F.array_sort(F.array_distinct(F.collect_list("l_partkey"))).alias("parts")
     )
     pairs = (
         baskets.select(F.posexplode("parts").alias("i", "pa"), F.col("parts"))
@@ -2155,23 +2158,43 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pa").alias("src"), F.col("pb").alias("dst")
     ).unionAll(
         pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
-    ).localCheckpoint(eager=False)  # degree agg + two deg joins re-read it
-    deg = edges.groupBy(F.col("src").alias("v")).agg(F.count("*").alias("d"))
-    ds = deg.select(F.col("v").alias("vs"), F.col("d").alias("d_src"))
-    dd = deg.select(F.col("v").alias("vd"), F.col("d").alias("d_dst"))
-    sums = (
-        edges.join(ds, edges.src == ds.vs)
-        .join(dd, edges.dst == dd.vd)
-        .agg(
-            F.count("*").alias("m2"),
-            F.sum("d_src").alias("sx"),
-            F.sum(F.col("d_src") * F.col("d_src")).alias("sxx"),
-            F.sum(F.col("d_src") * F.col("d_dst")).alias("sxy"),
-        )
+    ).localCheckpoint(eager=False)  # degree agg + the sxy deg join re-read it
+    # r9-opt (guide §2.3: aggregate instead of join): three of the four
+    # edge sums are pure DEGREE moments — each vertex v is src of exactly
+    # d(v) directed edges, so over the symmetrized edge list
+    #   m2  = Σ_e 1            = Σ_v d(v)
+    #   sx  = Σ_e d(src)       = Σ_v d(v)²
+    #   sxx = Σ_e d(src)²      = Σ_v d(v)³
+    # — node-scale aggregates, no edge join at all. Only sxy = Σ_e
+    # d(src)·d(dst) needs edge structure, and one join suffices:
+    # sxy = Σ_v d(v)·s(v) with s(v) = Σ_{u∈N(v)} d(u). The old shape
+    # joined the degree table onto BOTH endpoints of every edge (two
+    # edge-scale joins); this pays one, and the second join is
+    # node-scale. Exact integers either way — identical output values
+    # (the cube sum rides decimal(38,0) so it stays exact at any degree).
+    deg = (
+        edges.groupBy(F.col("src").alias("v"))
+        .agg(F.count("*").alias("d"))
+        .localCheckpoint(eager=False)  # moments agg + sxy join + s join
     )
-    n_nodes = deg.agg(F.count("*").alias("n_nodes"))
+    dd = F.col("d").cast("decimal(38,0)")
+    moments = deg.agg(
+        F.sum("d").alias("m2"),
+        F.sum(F.col("d") * F.col("d")).alias("sx"),
+        F.sum(dd * dd * dd).alias("sxx"),
+        F.count("*").alias("n_nodes"),
+    )
+    nb = deg.select(F.col("v").alias("u"), F.col("d").alias("d_dst"))
+    s_v = (
+        edges.join(nb, edges.dst == nb.u)
+        .groupBy("src")
+        .agg(F.sum("d_dst").alias("sdeg"))
+    )
+    sxy = s_v.join(deg, s_v.src == deg.v).agg(
+        F.sum(F.col("d").cast("decimal(38,0)") * F.col("sdeg")).alias("sxy")
+    )
     mean = F.col("sx").cast("double") / F.col("m2")
-    return sums.crossJoin(F.broadcast(n_nodes)).select(
+    return sxy.crossJoin(F.broadcast(moments)).select(
         "n_nodes",
         (F.col("m2") / 2).cast("bigint").alias("n_edges"),
         F.round(
@@ -2302,13 +2325,13 @@ def dedup_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 def graph_adamic_adar_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
-    li = (
-        table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
+    # NO .distinct() before the basket groupBy (r9-opt, guide §2.4):
+    # collect_set already de-dups parts within each order, so a separate
+    # (orderkey, partkey) DISTINCT is a redundant second fact-scale
+    # exchange — the basket aggregate is the only one needed
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     baskets = li.groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+        F.array_sort(F.array_distinct(F.collect_list("l_partkey"))).alias("parts")
     )
     pairs = (
         baskets.select(F.posexplode("parts").alias("i", "pa"), F.col("parts"))
@@ -2332,7 +2355,7 @@ def graph_adamic_adar_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
     # they are filtered here.
     adj = (
         edges.groupBy("src")
-        .agg(F.array_sort(F.collect_set("dst")).alias("nb"))
+        .agg(F.array_sort(F.array_distinct(F.collect_list("dst"))).alias("nb"))
         .filter(F.size("nb") >= 2)
     )
     w_center = 1.0 / F.log(F.size("nb").cast("double"))
@@ -2417,13 +2440,13 @@ def graph_adamic_adar_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = (
-        table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
+    # NO .distinct() before the basket groupBy (r9-opt, guide §2.4):
+    # collect_set already de-dups parts within each order, so a separate
+    # (orderkey, partkey) DISTINCT is a redundant second fact-scale
+    # exchange — the basket aggregate is the only one needed
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     baskets = li.groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+        F.array_sort(F.array_distinct(F.collect_list("l_partkey"))).alias("parts")
     )
     pairs = (
         baskets.select(F.posexplode("parts").alias("i", "pa"), F.col("parts"))
@@ -2440,7 +2463,7 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.select(
         F.col("pa").alias("src"), F.col("pb").alias("dst")
     ).unionAll(pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
-    adj = edges.groupBy("src").agg(F.array_sort(F.collect_set("dst")).alias("nb"))
+    adj = edges.groupBy("src").agg(F.array_sort(F.array_distinct(F.collect_list("dst"))).alias("nb"))
     wedges = (
         adj.select(
             F.col("src").alias("c"),

@@ -1625,29 +1625,27 @@ _RR_K = 10
 )
 def text_retrieve_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    # ONE corpus-scale pass (r9-opt, guide §2.3/§2.4): tokenize + explode
-    # feed a single (doc_id, term) partial/final aggregate, and EVERY
-    # downstream table derives from that vocab-x-doc-scale result —
-    #   dl   = SUM(tf)   per doc   (== COUNT(*) over exploded tokens)
-    #   df_a = COUNT(*)  per term  (== COUNT(DISTINCT doc_id) over tokens
-    #          — distinct is free because (doc_id, term) is the grain)
-    #   tfa  = semi-join of the SAME table (no second corpus aggregation)
-    # The old shape checkpointed the raw exploded token table (corpus-
-    # scale rows) and re-aggregated it four times (lens, tf, widf's
-    # count-distinct expand, tfa) — 4 corpus-scale exchanges; this shape
-    # pays one, and the checkpoint it keeps is the already-aggregated
-    # table (bounded by vocab x docs-containing-term, far smaller than
-    # total token occurrences). Values are identical: every downstream
-    # quantity above is an exact integer identity, not an approximation.
-    tf_all = (
-        docs.select("doc_id", F.explode(X.tokens()).alias("term"))
+    # r9-opt measured NEGATIVE, reverted: rewriting this around one
+    # (doc_id, term) aggregate (lens/df/widf/tfa all derived from it, no
+    # raw-token checkpoint) looked strictly better on paper — one corpus
+    # pass instead of four — but measured +28% at sf0.1 back-to-back
+    # (1.41 -> 1.81 s best-of-4): the checkpointed exploded token table is
+    # RAM-resident here and its four consumers are all partial-aggregated
+    # map-side, so the rewrite's extra corpus-scale (doc_id, term)
+    # EXCHANGE + aggregate materialization cost more than the re-reads it
+    # saved. At 100 TB the aggregate form wins on materialized bytes;
+    # when this query graduates to that scale, revisit — the rewrite is
+    # in git history (3b939ef).
+    toks = docs.select(
+        "doc_id", F.explode(X.tokens()).alias("term")
+    ).localCheckpoint()
+    lens = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    n_docs, avgdl = lens.agg(F.count("*"), F.avg("dl")).first()
+    tf = (
+        toks.filter(F.col("term").isin(*_BM25_TERMS))
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
-        .localCheckpoint()  # 4 readers: lens, query-term tf, widf, tfa
     )
-    lens = tf_all.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    n_docs, avgdl = lens.agg(F.count("*"), F.avg("dl")).first()
-    tf = tf_all.filter(F.col("term").isin(*_BM25_TERMS))
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
     idf = F.log(
         F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
@@ -1669,17 +1667,17 @@ def text_retrieve_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_RR_CANDIDATES)
         .localCheckpoint()
     )
-    # full-vocab idf: COUNT(DISTINCT doc_id) per term is a plain COUNT(*)
-    # over the (doc_id, term)-grain aggregate — no distinct expand
+    # full-vocab idf over the corpus (vocab-keyed aggregate, no hints)
     widf = (
-        tf_all.groupBy("term")
-        .agg(F.count("*").alias("dfa"))
+        toks.groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("dfa"))
         .select("term", F.log(F.lit(float(n_docs)) / F.col("dfa")).alias("idf"))
     )
     # expensive stage runs ONLY on candidates: 50-row broadcast semi-join
-    # over the ALREADY-aggregated table (tf values are the same integers)
     tfa = (
-        tf_all.join(F.broadcast(cand.select("doc_id")), "doc_id", "left_semi")
+        toks.join(F.broadcast(cand.select("doc_id")), "doc_id", "left_semi")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
         .localCheckpoint()  # two readers: doc norms + query-term numerator
     )
     wtf = F.col("tf") * F.col("idf")
@@ -3300,9 +3298,18 @@ def text_ngram_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(
             F.expr(
                 # greatest(…, 0): a 0/1-token doc must yield an empty
-                # bigram array, not a negative slice length (ANSI errors)
-                "transform(slice({t}, 1, greatest(size({t}) - 1, 0)), "
-                "(x, i) -> struct(x AS w1, element_at({t}, i + 2) AS w2))".format(
+                # bigram array, not a negative slice length (ANSI errors).
+                # zip_with over two SHIFTED SLICES (r9-opt): the old
+                # transform's element_at({t}, i + 2) re-evaluated the
+                # filter(split(text)) expression PER ELEMENT inside the
+                # interpreted lambda — O(tokens^2) work per document (the
+                # same trap shingle_arrays documents); the zip form
+                # evaluates the token array a constant number of times
+                # per ROW and pairs (t_i, t_i+1) in one linear pass.
+                # Identical bigram structs, identical empty-doc behavior.
+                "zip_with(slice({t}, 1, greatest(size({t}) - 1, 0)), "
+                "slice({t}, 2, greatest(size({t}) - 1, 0)), "
+                "(a, b) -> struct(a AS w1, b AS w2))".format(
                     t="filter(split(text, ' '), x -> x != '')"
                 )
             )
@@ -3496,8 +3503,11 @@ def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     big = docs.select(
         F.explode(
             F.expr(
-                "transform(slice({t}, 1, greatest(size({t}) - 1, 0)), "
-                "(x, i) -> struct(x AS w1, element_at({t}, i + 2) AS w2))".format(
+                # zip_with over shifted slices — see text_ngram_entropy_rate:
+                # the transform/element_at form was O(tokens^2) per doc
+                "zip_with(slice({t}, 1, greatest(size({t}) - 1, 0)), "
+                "slice({t}, 2, greatest(size({t}) - 1, 0)), "
+                "(a, b) -> struct(a AS w1, b AS w2))".format(
                     t="filter(split(text, ' '), x -> x != '')"
                 )
             )
