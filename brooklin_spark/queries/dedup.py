@@ -2071,19 +2071,46 @@ def dedup_threshold_survivor_curve(spark: SparkSession, sf_dir: str) -> DataFram
     )
     jac = D.jaccard_pairs_selfjoin(sh, threshold=_SWEEP_TH[0]).localCheckpoint(
         eager=False
-    )  # pair-scale; five threshold consumers re-read it
-    th = spark.createDataFrame(
-        [(t,) for t in _SWEEP_TH], "threshold double"
+    )  # pair-scale; the bucket histogram + per-doc max both re-read it
+    # r9-opt (guide §2.3 — aggregate before you expand): the old sweep
+    # BroadcastNestedLoopJoined the pair table against all 5 thresholds
+    # (5x pair-scale rows) and ran a COUNT DISTINCT expand on that - 10x
+    # the pair mass through one operator pair. Both curve columns are
+    # monotone suffix statistics, so one linear pass each suffices:
+    #   n_pairs(t)   = #pairs with j >= t  -> bucketize every pair to the
+    #     highest threshold it clears (a CASE chain), count per bucket
+    #     (<=5 rows), suffix-sum via a tiny theta join;
+    #   n_dropped(t) = #distinct doc_b with any pair j >= t -> per-doc_b
+    #     MAX jaccard (one pair->doc groupBy), bucketize the doc-scale
+    #     max, same suffix trick. Identical integers, no expand.
+    n_th = len(_SWEEP_TH)
+    bucket = sum(
+        F.when(F.col("jaccard") >= F.lit(t), 1).otherwise(0) for t in _SWEEP_TH
     )
-    per = (
-        F.broadcast(th)
-        .join(jac, jac.jaccard >= th.threshold, "left")
-        .groupBy("threshold")
-        .agg(
-            F.count("jaccard").alias("n_pairs"),
-            F.count_distinct("doc_b").alias("n_dropped"),
-        )
+    pair_hist = jac.groupBy(bucket.alias("b")).agg(F.count("*").alias("c"))
+    doc_max = jac.groupBy("doc_b").agg(F.max("jaccard").alias("mj"))
+    mbucket = sum(
+        F.when(F.col("mj") >= F.lit(t), 1).otherwise(0) for t in _SWEEP_TH
     )
+    doc_hist = doc_max.groupBy(mbucket.alias("b")).agg(F.count("*").alias("c"))
+    thi = spark.createDataFrame(
+        [(t, i + 1) for i, t in enumerate(_SWEEP_TH)], "threshold double, i int"
+    )
+    pairs_curve = (
+        F.broadcast(thi)
+        .join(pair_hist, pair_hist.b >= thi.i, "left")
+        .groupBy("threshold", "i")
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).alias("n_pairs"))
+    )
+    drop_curve = (
+        F.broadcast(thi)
+        .join(doc_hist, doc_hist.b >= thi.i, "left")
+        .groupBy(F.col("threshold").alias("t2"), F.col("i").alias("i2"))
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).alias("n_dropped"))
+    )
+    per = pairs_curve.join(
+        drop_curve, pairs_curve.i == drop_curve.i2
+    ).select("threshold", "n_pairs", "n_dropped")
     total = docs.agg(F.count("*").alias("n_docs"))
     return per.crossJoin(F.broadcast(total)).select(
         "threshold",
