@@ -626,11 +626,13 @@ def test_runtime_bloom_filter_reaches_lineitem_scan(spark, sf_correct):
 
 
 def test_ivfpq_query_path_is_jvm_only(spark, sf_correct):
-    """IVF-PQ: exactly two Python kernels may appear — the index build's
-    ivf_assign + pq_encode mapInPandas passes. The QUERY path (candidate
-    selection, LUT joins, ADC sum, rank) must be entirely JVM-side: the
-    memory story of PQ dies if scoring drags raw vectors back into
-    Python. Guards against a rewrite quietly adding a pandas scorer."""
+    """IVF-PQ: exactly ONE Python kernel may appear — the r9-opt fused
+    index-build pass (ivf_assign + pq_encode in a single mapInPandas, so
+    the corpus crosses the Python boundary once and the build is
+    zero-shuffle). The QUERY path (candidate selection, LUT joins, ADC
+    sum, rank) must be entirely JVM-side: the memory story of PQ dies if
+    scoring drags raw vectors back into Python. Guards against a rewrite
+    quietly adding a pandas scorer or un-fusing the build."""
     from brooklin_spark.registry import QUERIES
 
     import re
@@ -639,7 +641,7 @@ def test_ivfpq_query_path_is_jvm_only(spark, sf_correct):
     plan = executed_plan(df)
     # the formatted explain prints each node in the tree AND the details
     # section — count tree nodes only
-    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 2, plan
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1, plan
     assert "ArrowEvalPython" not in plan, plan
     assert "FlatMapGroupsInPandas" not in plan, plan
 
