@@ -2582,26 +2582,31 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     from brooklin_spark.operators import dedup as D
 
     docs = table(spark, sf_dir, "documents")
-    # distinct (doc_id, shingle) rows via the per-doc array_distinct kernel
-    sh = D.word_shingles(docs, n=3).withColumnRenamed("id", "doc_id")
-    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
-    per = (
-        sh.join(first, "shingle")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_shingles"),
-            F.sum(
-                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
-            ).alias("n_novel"),
+    # r9-opt: aggregate instead of join-back (guide §2.3). n_novel(doc) is
+    # just a COUNT over groupBy(shingle).min(doc_id) regrouped by that min —
+    # the old shape joined the corpus-scale shingle rows back against the
+    # first-occurrence table (SMJ) and re-aggregated the joined corpus by
+    # doc_id: two extra corpus-scale operators buying nothing. The shingle
+    # rows come from ONE mapInPandas kernel pass (interpreted array HOFs
+    # lose ~3x to the Arrow kernel) carrying the per-doc set size n on
+    # every row; the checkpoint makes both consumers read that single pass.
+    # groupBy("id") rides the kernel's hash(id) repartition — no exchange.
+    # b2b sf0.1: 1.76 -> 1.09 s; value-identical (incl. n_novel=0 docs).
+    sh = D.shingle_rows_pandas(docs, n=3).localCheckpoint(eager=False)
+    counts = sh.groupBy("id").agg(F.first("n").cast("bigint").alias("n_shingles"))
+    first = sh.groupBy("shingle").agg(F.min("id").alias("first_doc"))
+    novel = first.groupBy("first_doc").agg(F.count("*").alias("n_novel"))
+    return (
+        counts.join(novel, counts.id == novel.first_doc, "left")
+        .select(
+            F.col("id").alias("doc_id"),
+            "n_shingles",
+            F.coalesce("n_novel", F.lit(0)).cast("bigint").alias("n_novel"),
         )
-    )
-    return per.select(
-        "doc_id",
-        "n_shingles",
-        "n_novel",
-        F.round(F.col("n_novel").cast("double") / F.col("n_shingles"), 8).alias(
-            "novelty_ratio"
-        ),
+        .withColumn(
+            "novelty_ratio",
+            F.round(F.col("n_novel").cast("double") / F.col("n_shingles"), 8),
+        )
     )
 
 

@@ -596,6 +596,28 @@ def test_cluster_size_weights_mass_conservation(spark, sf_correct):
     assert abs(df["effective_docs"].sum() - n_clusters) < 1e-3
 
 
+def test_ngram_novelty_mass_conservation(spark, sf_correct):
+    """Every distinct trigram is novel for exactly ONE document (its
+    first-occurrence doc), so sum(n_novel) == |distinct shingles| and
+    sum(n_shingles) == |(doc, shingle)| rows — the invariant pair that
+    pins the r9 aggregate-instead-of-join rewrite to the old join-back
+    semantics (including docs whose shingles were all seen earlier:
+    they must still appear, with n_novel = 0)."""
+    from brooklin_spark.io import table as tbl
+    from brooklin_spark.operators import dedup as D
+
+    df = registry.QUERIES["text_ngram_novelty"](spark, sf_correct).toPandas()
+    docs = tbl(spark, sf_correct, "documents")
+    sh = D.shingle_rows_pandas(docs, n=3)
+    n_distinct = sh.select("shingle").distinct().count()
+    n_rows = sh.count()
+    assert df["n_novel"].sum() == n_distinct
+    assert df["n_shingles"].sum() == n_rows
+    assert (df["n_novel"] <= df["n_shingles"]).all()
+    # docs with >=3 tokens but zero novel shingles still appear
+    assert len(df) == sh.select("id").distinct().count()
+
+
 def test_triangle_census_known_graphs(spark):
     """K4 has 4 triangles and clustering 1.0; C5 has none; a star has
     wedges but no triangles."""
