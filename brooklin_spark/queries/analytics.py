@@ -726,32 +726,36 @@ def events_concurrency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("d").alias("d"),
         F.sum(F.when(F.col("d") == 1, 1).otherwise(0)).alias("n_starts"),
     )
-    # net is boundary-aggregate-sized (<= 2 rows per session, deduped by
-    # ts); three downstream branches read it, so cut the lineage once —
-    # the same localCheckpoint discipline the PageRank rounds use.
-    net = net.localCheckpoint(eager=False)
-    day = F.col("ts").cast("date")
-    # Per-day totals cumulated over the (tiny) day list -> carried-in offset.
-    daily = net.groupBy(day.alias("day")).agg(F.sum("d").alias("day_d"))
+    # r9-opt fusion (guide §2.4 — one keyed pass instead of three): net is
+    # per-ts boundary rows, so the day partitions below are bounded by
+    # 86400 rows/day regardless of corpus size (the scale argument of the
+    # old shape, unchanged). The old plan read net three times (daily
+    # totals, offset-joined windowed run, starts) behind a localCheckpoint
+    # plus a broadcast join; but the carry-in offset is CONSTANT within a
+    # day, so max(conc) = carry + max(within-day running sum) — the
+    # within-day running sum, the day's net delta, and the day's starts
+    # all come out of ONE day-partitioned window pass + ONE groupBy(day)
+    # (partitioning preserved, no extra exchange), and the carry is added
+    # on the |days|-scale result. Checkpoint, join and two exchanges
+    # removed; measured 1.01 -> 0.89 s min-of-5 at sf0.1 (every rep
+    # faster), a wash within noise at sf1.
+    perday = (
+        net.withColumn("day", F.col("ts").cast("date"))
+        .withColumn("run", F.sum("d").over(W.partitionBy("day").orderBy("ts")))
+        .groupBy("day")
+        .agg(
+            F.max("run").alias("max_within"),
+            F.sum("d").alias("day_d"),
+            F.sum("n_starts").alias("sessions_started"),
+        )
+    )
     dw = W.orderBy("day")  # |days| rows only — not the event volume
-    offsets = daily.select(
-        "day", (F.sum("day_d").over(dw) - F.col("day_d")).alias("carry")
-    )
-    within = W.partitionBy(day).orderBy("ts")
-    run = net.join(F.broadcast(offsets), day == F.col("day")).select(
-        F.col("ts"),
-        (F.sum("d").over(within) + F.col("carry")).alias("conc"),
-    )
-    peaks = run.groupBy(
-        F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias("day")
-    ).agg(F.max("conc").cast("bigint").alias("peak_concurrency"))
-    starts = net.groupBy(
-        F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias("day")
-    ).agg(F.sum("n_starts").alias("sessions_started"))
-    return peaks.join(starts, "day", "left").select(
-        "day",
-        "peak_concurrency",
-        F.coalesce("sessions_started", F.lit(0)).cast("bigint").alias("sessions_started"),
+    return perday.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        (F.sum("day_d").over(dw) - F.col("day_d") + F.col("max_within"))
+        .cast("bigint")
+        .alias("peak_concurrency"),
+        F.col("sessions_started").cast("bigint").alias("sessions_started"),
     )
 
 
