@@ -843,6 +843,50 @@ def _graph_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
 
 
+def _graph_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUSED pair+degree build: `(ck, ss)` = custkey with its sorted
+    distinct supplier array, from ONE fact-scale exchange keyed on the
+    customer (repartition on the group key, so the groupBy adds no second
+    exchange; the per-customer distinct+sort runs inside the aggregate).
+    Compared to `_graph_pairs` + two degree groupBys this deletes the
+    pair-scale deg(c) exchange outright — deg(c) = size(ss) — and the
+    materialized table shrinks from pair rows to customer rows of arrays.
+    Packed-long shuffle when the key bounds allow (same rule as
+    _graph_pairs), two-column fallback otherwise.  A/B'd against the
+    distinct-pairs build end-to-end on PageRank
+    (scripts/r9_pagerank_build_ab.py): sf1 min-of-3 7.26 s vs 7.99 s,
+    every rep faster; sf0.1 ~0.4 s SLOWER (the extra build stages against
+    the 5-round latency floor) — hence the `_PR_FUSED_LI_ROWS` switch."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    joined = o.join(li, li.l_orderkey == o.o_orderkey)
+    par = spark.sparkContext.defaultParallelism
+    max_c = _key_upper_bound(sf_dir, "orders", "o_custkey")
+    max_s = _key_upper_bound(sf_dir, "lineitem", "l_suppkey")
+    if max_c is not None and max_s is not None and max_c >= 0 and max_s >= 0:
+        mult = 1 << max(max_s, 1).bit_length()
+        if (max_c + 1) * mult < (1 << 63):
+            packed = joined.select(
+                (F.col("o_custkey") * F.lit(mult) + F.col("l_suppkey")).alias("p")
+            )
+            ck = F.expr(f"p DIV {mult}")
+            return (
+                packed.repartition(par, ck)
+                .groupBy(ck.alias("ck"))
+                .agg(
+                    F.array_sort(
+                        F.array_distinct(F.collect_list(F.col("p") % mult))
+                    ).alias("ss")
+                )
+            )
+    cs = joined.select(F.col("o_custkey").alias("ck"), F.col("l_suppkey").alias("sk"))
+    return (
+        cs.repartition(par, F.col("ck"))
+        .groupBy("ck")
+        .agg(F.array_sort(F.array_distinct(F.collect_list("sk"))).alias("ss"))
+    )
+
+
 def _graph_edges(pairs: DataFrame) -> DataFrame:
     """Doubled (both-direction) edge table from the distinct pairs."""
     return pairs.select(
@@ -871,6 +915,14 @@ _PR_D = 0.85
 _PR_ITERS = 5
 #: above this many fact rows the graph tables spill columnar (see below)
 _PR_SPILL_LI_ROWS = 100_000_000
+#: above this many fact rows PageRank's pair+degree build fuses into the
+#: one-exchange grouped-adjacency shape (_graph_grouped). Crossover
+#: measured r9-opt (scripts/r9_pagerank_build_ab.py, exact value equality
+#: both sides): sf0.1 / 600K rows the plain build wins by ~0.4 s (stage
+#: latency floor), sf1 / 6M rows the fused build wins every rep (min 7.26
+#: vs 7.99 s); threshold sits between the measured scales and is
+#: data-derived (parquet footer row count), not core-count-derived.
+_PR_FUSED_LI_ROWS = 2_000_000
 
 #: per-corpus fact row counts for the spill switches — read ONCE from the
 #: parquet footers (metadata-only, no Spark job) instead of running a
@@ -963,7 +1015,9 @@ def graph_pagerank_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
     # key + pid (collision-safe across sessions AND concurrent processes —
     # same keying convention as the persisted BM25/IVF caches), with
     # dead-pid orphans garbage-collected on entry
-    spill = _lineitem_rows(spark, sf_dir) > _PR_SPILL_LI_ROWS
+    li_rows = _lineitem_rows(spark, sf_dir)
+    spill = li_rows > _PR_SPILL_LI_ROWS
+    fused = li_rows > _PR_FUSED_LI_ROWS
     if spill:
         from brooklin_spark.checkpoint import (
             drop_scratch_table,
@@ -972,22 +1026,53 @@ def graph_pagerank_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
         corpus = os.path.join(sf_dir, "lineitem.parquet")
+        gc_dead_scratch(spark, "pr_grouped_scratch")
         gc_dead_scratch(spark, "pr_pairs_scratch")
         gc_dead_scratch(spark, "pr_edeg_scratch")
-        pairs_tbl = scratch_name("pr_pairs_scratch", corpus)
-        drop_scratch_table(spark, pairs_tbl)
-        _graph_pairs(spark, sf_dir).write.saveAsTable(pairs_tbl)
-        pairs = spark.table(pairs_tbl)
-    else:
-        pairs = _graph_pairs(spark, sf_dir).localCheckpoint()
-    degree = (
-        pairs.groupBy(F.col("c_node").alias("node")).agg(F.count("*").alias("deg"))
-        .unionAll(
+    if fused:
+        # grouped-adjacency build (_graph_grouped): ONE fact-scale
+        # exchange yields pairs AND deg(c); only deg(s) still aggregates
+        # at pair scale. Crossover + A/B numbers at _PR_FUSED_LI_ROWS;
+        # the materialized table is customer rows of arrays, not pair
+        # rows — smaller either as JVM cache or as columnar scratch.
+        g = _graph_grouped(spark, sf_dir)
+        if spill:
+            g_tbl = scratch_name("pr_grouped_scratch", corpus)
+            drop_scratch_table(spark, g_tbl)
+            g.write.saveAsTable(g_tbl)
+            g = spark.table(g_tbl)
+        else:
+            g = g.localCheckpoint()
+        deg_c = g.select(
+            (F.col("ck") * 2).alias("node"),
+            F.size("ss").cast("long").alias("deg"),
+        )
+        pairs = g.select(
+            (F.col("ck") * 2).alias("c_node"), F.explode("ss").alias("s")
+        ).select("c_node", (F.col("s") * 2 + 1).alias("s_node"))
+        degree = deg_c.unionAll(
             pairs.groupBy(F.col("s_node").alias("node")).agg(
                 F.count("*").alias("deg")
             )
         )
-    )
+    else:
+        if spill:
+            pairs_tbl = scratch_name("pr_pairs_scratch", corpus)
+            drop_scratch_table(spark, pairs_tbl)
+            _graph_pairs(spark, sf_dir).write.saveAsTable(pairs_tbl)
+            pairs = spark.table(pairs_tbl)
+        else:
+            pairs = _graph_pairs(spark, sf_dir).localCheckpoint()
+        degree = (
+            pairs.groupBy(F.col("c_node").alias("node")).agg(
+                F.count("*").alias("deg")
+            )
+            .unionAll(
+                pairs.groupBy(F.col("s_node").alias("node")).agg(
+                    F.count("*").alias("deg")
+                )
+            )
+        )
     edges = _graph_edges(pairs)
     # materialize the edge table HASH-PARTITIONED ON src (the per-round
     # join key): LogicalRDD (or the bucketed scan) preserves the output

@@ -184,3 +184,35 @@ def test_pagerank_spill_path_is_value_identical(spark, sf_smoke):
     a = a.sort_values("node", ignore_index=True)
     b = b.sort_values("node", ignore_index=True)
     assert a.equals(b) and len(a) > 0
+
+
+def test_pagerank_fused_build_is_value_identical(spark, sf_smoke):
+    """The r9-opt fused grouped-adjacency build (one custkey-keyed
+    exchange -> per-customer supplier arrays; active above
+    _PR_FUSED_LI_ROWS) must produce EXACTLY the plain distinct-pairs
+    build's ranks, in-memory AND on the columnar-scratch spill path, and
+    with the packed-long shuffle disabled (two-column fallback) — the
+    switches change build shape and storage, never values (measured
+    identical at sf0.1/sf1; pinned here at smoke SF)."""
+    import brooklin_spark.queries.dedup as dd
+
+    fn = registry.QUERIES["graph_pagerank_influence"]
+    a = fn(spark, sf_smoke).toPandas().sort_values("node", ignore_index=True)
+    prev_f = dd._PR_FUSED_LI_ROWS
+    prev_s = dd._PR_SPILL_LI_ROWS
+    prev_kb = dd._key_upper_bound
+    dd._PR_FUSED_LI_ROWS = 0
+    try:
+        b = fn(spark, sf_smoke).toPandas()  # fused, in-memory
+        dd._PR_SPILL_LI_ROWS = 0
+        c = fn(spark, sf_smoke).toPandas()  # fused + columnar scratch
+        dd._PR_SPILL_LI_ROWS = prev_s
+        dd._key_upper_bound = lambda *_: None
+        d = fn(spark, sf_smoke).toPandas()  # fused, two-column fallback
+    finally:
+        dd._PR_FUSED_LI_ROWS = prev_f
+        dd._PR_SPILL_LI_ROWS = prev_s
+        dd._key_upper_bound = prev_kb
+    for other in (b, c, d):
+        other = other.sort_values("node", ignore_index=True)
+        assert a.equals(other) and len(a) > 0
