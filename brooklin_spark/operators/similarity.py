@@ -29,6 +29,14 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+#: ivfpq_topk ADC scoring: fold the per-query LUT into ONE constant
+#: map<query_id, array<double>> while Q*m*k literal doubles stay below
+#: this (~128 KB of expression tree); larger query sets fall back to the
+#: m-broadcast-LUT-join shape so the Catalyst plan never bloats with the
+#: query count. Module constant so tests can force the fallback path.
+_IVFPQ_LUT_MAP_MAX = 16384
+
+
 def _collect_matrix(
     df: DataFrame, id_col: str, vec_col: str
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -966,11 +974,13 @@ def ivfpq_topk(
       (m-byte code per vector), BOTH shuffle-free mapInPandas passes;
       their join on vec_id is the one index-build shuffle, paid once at
       build time in production.
-    - query path = broadcast(probes) ⋈ index to select candidates, then m
-      broadcast joins against the per-query LUT tables (Q*k rows each) —
-      ENTIRELY JVM-side: the candidate stream carries m ints per row, not
-      the raw vector, exactly the memory story that makes IVF-PQ fit a
-      billion vectors in executor RAM. No Python in the query path.
+    - query path = broadcast(probes) ⋈ index to select candidates, then
+      ADC scoring against the per-query LUT — a constant
+      map<query_id, array<double>> projection when Q*m*k is plan-small,
+      m broadcast LUT joins above that — ENTIRELY JVM-side: the
+      candidate stream carries m ints per row, not the raw vector,
+      exactly the memory story that makes IVF-PQ fit a billion vectors
+      in executor RAM. No Python in the query path.
 
     Deterministic end-to-end (rounded-6 cosine routing with cid
     tie-breaks, rounded-6 subspace distances with lowest-code tie-break,
@@ -987,7 +997,18 @@ def ivfpq_topk(
     # index build is now zero-shuffle. Identical math per row (rounded-6
     # cosine routing with cid tie-break; rounded-6 subspace L2 with
     # lowest-code tie-break), so the oracle row is unchanged.
-    c_ids_f, cm_f = _collect_matrix(centroids, id_col, vec_col)
+    # ONE driver collect per small side (r9-opt session 2: the old code
+    # collected centroids and the codebook TWICE each and queries twice
+    # — 6 driver actions, each a full scan of the small side's source;
+    # measured b2b at sf0.1 the dedup + the literal-map LUT below take
+    # the query 1.46 -> 0.59 s min-of-5, values bit-identical). The
+    # normalized twin is derived in numpy with the exact op
+    # _collect_matrix applies post-collect, so routing sims are
+    # unchanged to the bit.
+    c_ids_f, cm_raw = _collect_matrix_raw(centroids, id_col, vec_col)
+    _cn = np.linalg.norm(cm_raw, axis=1)
+    _cn[_cn == 0] = 1.0
+    cm_f = cm_raw / _cn[:, None]
     cb_rows = codebook.orderBy(id_col).limit(k).select(id_col, vec_col).collect()
     cb_rows.sort(key=lambda r: r[0])
     cb_f = np.array([list(r[1]) for r in cb_rows], dtype=np.float64)
@@ -1029,41 +1050,33 @@ def ivfpq_topk(
     )
 
     # probes: queries x centroids both broadcast-small (same as ivf_topk).
-    # Normalized matrices for the cosine routing; the PQ LUT below needs
-    # the RAW query rows (subspace L2, cf. pq_adc_topk)
-    c_ids, cm = _collect_matrix(centroids, id_col, vec_col)
-    q_ids, qm = _collect_matrix(queries, id_col, vec_col)
-    _, qraw = _collect_matrix_raw(queries, id_col, vec_col)
-    qsims = np.round(qm @ cm.T, 6)
+    # Normalized query matrix for the cosine routing; the PQ LUT below
+    # needs the RAW query rows (subspace L2, cf. pq_adc_topk) — one
+    # collect, normalized twin derived in numpy (same op, same bits)
+    q_ids, qraw = _collect_matrix_raw(queries, id_col, vec_col)
+    _qn = np.linalg.norm(qraw, axis=1)
+    _qn[_qn == 0] = 1.0
+    qm = qraw / _qn[:, None]
+    qsims = np.round(qm @ cm_f.T, 6)
     probes = spark.createDataFrame(
         [
-            (int(qid), int(c_ids[j]))
+            (int(qid), int(c_ids_f[j]))
             for i, qid in enumerate(q_ids)
-            for j in np.lexsort((c_ids, -qsims[i]))[:nprobe]
+            for j in np.lexsort((c_ids_f, -qsims[i]))[:nprobe]
         ],
         "query_id bigint, cid bigint",
     )
 
     # per-query subspace LUTs from the raw codebook (driver-side numpy,
-    # Q*m*k doubles), shipped as m broadcast-joinable (query_id, code, d)
-    rows = codebook.orderBy(id_col).limit(k).select(id_col, vec_col).collect()
-    rows.sort(key=lambda r: r[0])
-    cb = np.array([list(r[1]) for r in rows], dtype=np.float64)
-    d = cb.shape[1] // m
-    luts = []
+    # Q*m*k doubles): entry [j][code] = ||q_sub_j - cw_code_sub_j||^2
+    kk = cb_f.shape[0]
+    lut = np.zeros((len(q_ids), m, kk))
     for j in range(m):
-        diff = qraw[:, None, j * d : (j + 1) * d] - cb[None, :, j * d : (j + 1) * d]
-        dj = np.round((diff * diff).sum(-1), 6)
-        luts.append(
-            spark.createDataFrame(
-                [
-                    (int(qid), int(code), float(dj[i, code]))
-                    for i, qid in enumerate(q_ids)
-                    for code in range(cb.shape[0])
-                ],
-                f"query_id bigint, code_{j} int, d{j} double",
-            )
+        diff = (
+            qraw[:, None, j * d_sub : (j + 1) * d_sub]
+            - cb_f[None, :, j * d_sub : (j + 1) * d_sub]
         )
+        lut[:, j, :] = np.round((diff * diff).sum(-1), 6)
 
     cand = (
         F.broadcast(probes)
@@ -1071,17 +1084,53 @@ def ivfpq_topk(
         .filter(F.col("query_id") != F.col("vec_id"))
         .withColumnRenamed("vec_id", "neighbor_id")
     )
-    for j in range(m):
-        cand = cand.join(
-            F.broadcast(luts[j]),
-            (cand[f"c{j}"] == luts[j][f"code_{j}"])
-            & (cand["query_id"] == luts[j]["query_id"]),
-        ).drop(luts[j]["query_id"]).drop(f"code_{j}")
-    scored = cand.select(
-        "query_id",
-        "neighbor_id",
-        F.round(sum(F.col(f"d{j}") for j in range(m)), 6).alias("adc_dist"),
-    )
+    if len(q_ids) * m * kk <= _IVFPQ_LUT_MAP_MAX:
+        # ONE literal map<query_id, array<double>> lookup instead of m
+        # broadcast LUT joins (r9-opt session 2): the m joins each paid
+        # a broadcast exchange + hash join on the candidate stream;
+        # folding the LUT into a constant map makes ADC scoring a pure
+        # projection (still JVM-only — no Python in the query path).
+        # Measured b2b at sf0.1 together with the collect dedup above:
+        # 1.46 -> 0.59 s min-of-5, values bit-identical. Guarded by plan
+        # size: above ~16k literal doubles (~128 KB of expression tree)
+        # the constant map would bloat the Catalyst plan, so larger
+        # query sets keep the m-broadcast-join shape below.
+        map_args = []
+        for i, qid in enumerate(q_ids):
+            map_args.append(F.lit(int(qid)))
+            map_args.append(F.array(*[F.lit(float(x)) for x in lut[i].ravel()]))
+        lut_map = F.create_map(*map_args)
+        arr = F.element_at(lut_map, F.col("query_id"))
+        adc = sum(
+            F.element_at(arr, F.col(f"c{j}") + F.lit(j * kk + 1)) for j in range(m)
+        )
+        scored = cand.select(
+            "query_id", "neighbor_id", F.round(adc, 6).alias("adc_dist")
+        )
+    else:
+        luts = []
+        for j in range(m):
+            luts.append(
+                spark.createDataFrame(
+                    [
+                        (int(qid), int(code), float(lut[i, j, code]))
+                        for i, qid in enumerate(q_ids)
+                        for code in range(kk)
+                    ],
+                    f"query_id bigint, code_{j} int, d{j} double",
+                )
+            )
+        for j in range(m):
+            cand = cand.join(
+                F.broadcast(luts[j]),
+                (cand[f"c{j}"] == luts[j][f"code_{j}"])
+                & (cand["query_id"] == luts[j]["query_id"]),
+            ).drop(luts[j]["query_id"]).drop(f"code_{j}")
+        scored = cand.select(
+            "query_id",
+            "neighbor_id",
+            F.round(sum(F.col(f"d{j}") for j in range(m)), 6).alias("adc_dist"),
+        )
     w = W.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))

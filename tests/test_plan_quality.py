@@ -644,6 +644,28 @@ def test_ivfpq_query_path_is_jvm_only(spark, sf_correct):
     assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1, plan
     assert "ArrowEvalPython" not in plan, plan
     assert "FlatMapGroupsInPandas" not in plan, plan
+    # r9-opt session 2: at bench Q the per-subspace LUT rides ONE constant
+    # map<query_id, array<double>> projection, so the only broadcast hash
+    # join left is probes ⋈ index (was 1 + m LUT joins)
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) == 1, plan
+
+
+def test_ivfpq_lut_join_fallback_is_value_identical(spark, sf_correct):
+    """Above _IVFPQ_LUT_MAP_MAX the ADC LUT falls back from the constant
+    map to m broadcast joins (plan-size guard); both paths must produce
+    exactly the same rows — forced here by dropping the threshold to 0."""
+    from brooklin_spark import registry as reg
+    from brooklin_spark.operators import similarity as S
+
+    fn = reg.QUERIES["ann_ivfpq_topk"]
+    a = {tuple(r) for r in fn(spark, sf_correct).collect()}
+    prev = S._IVFPQ_LUT_MAP_MAX
+    S._IVFPQ_LUT_MAP_MAX = 0
+    try:
+        b = {tuple(r) for r in fn(spark, sf_correct).collect()}
+    finally:
+        S._IVFPQ_LUT_MAP_MAX = prev
+    assert a == b and len(a) > 0
 
 
 def test_autocorrelation_is_window_free(spark, sf_correct):
