@@ -1000,8 +1000,9 @@ def ivfpq_topk(
     # ONE driver collect per small side (r9-opt session 2: the old code
     # collected centroids and the codebook TWICE each and queries twice
     # — 6 driver actions, each a full scan of the small side's source;
-    # measured b2b at sf0.1 the dedup + the literal-map LUT below take
-    # the query 1.46 -> 0.59 s min-of-5, values bit-identical). The
+    # alternating bench-methodology A/B at sf0.1, construction + noop
+    # both timed: the dedup + the literal-map LUT below take the query
+    # 2.56 -> 1.60 s min-of-8, values bit-identical). The
     # normalized twin is derived in numpy with the exact op
     # _collect_matrix applies post-collect, so routing sims are
     # unchanged to the bit.
@@ -1090,8 +1091,9 @@ def ivfpq_topk(
         # a broadcast exchange + hash join on the candidate stream;
         # folding the LUT into a constant map makes ADC scoring a pure
         # projection (still JVM-only — no Python in the query path).
-        # Measured b2b at sf0.1 together with the collect dedup above:
-        # 1.46 -> 0.59 s min-of-5, values bit-identical. Guarded by plan
+        # Measured at sf0.1 together with the collect dedup above
+        # (alternating A/B, construction + noop timed): 2.56 -> 1.60 s
+        # min-of-8, values bit-identical. Guarded by plan
         # size: above ~16k literal doubles (~128 KB of expression tree)
         # the constant map would bloat the Catalyst plan, so larger
         # query sets keep the m-broadcast-join shape below.
