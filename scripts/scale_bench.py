@@ -86,6 +86,10 @@ SCALE_QUERIES = [
     "text_sentence_stats",
     # r9 fourth wave: the data-scaled members (MMR/Benford/rate-shift are
     # pool- or grid-scale by construction and stay out)
+    # r9-opt: the last two non-adjudicated sf0.1 flag rows — like
+    # kcore/overlap above, their adjudication is this scale book (both are
+    # multi-stage latency floors at toy SF; data cost decides at sf1)
+    "graph_assortativity",
     "graph_hits_authorities",       # 3x2 fact-joins against the pair table
     "orders_cohort_ltv",            # custkey agg + join-back + grid cumsum
     "text_term_burstiness",         # corpus explode -> doc-term -> term
