@@ -64,10 +64,16 @@ def shingle_arrays(
 
 
 def shingle_arrays_pandas(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Per-document DISTINCT word n-gram shingle array via an Arrow-batched
-    pandas UDF: (id, shingles).
+    pandas UDF: (id, *extra_cols, shingles). ``extra_cols`` ride through
+    untouched so downstream per-doc projections (e.g. the video near-dup
+    boilerplate hashes keyed on lang) need no join back to the corpus.
 
     Same output as shingle_arrays (first-occurrence order, empty array for
     docs shorter than n tokens), ~3x faster measured at sf0.1: Spark's
@@ -100,7 +106,9 @@ def shingle_arrays_pandas(
     # defaultParallelism scales with executors.
     n_parts = df.sparkSession.sparkContext.defaultParallelism
     return df.repartition(n_parts, F.col(id_col)).select(
-        F.col(id_col).alias("id"), _sh(F.col(text_col)).alias("shingles")
+        F.col(id_col).alias("id"),
+        *[F.col(c) for c in extra_cols],
+        _sh(F.col(text_col)).alias("shingles"),
     )
 
 
@@ -511,7 +519,9 @@ def minhash_signature_km(shingles: DataFrame, num_hashes: int = 16) -> DataFrame
     return base.groupBy("id").agg(*aggs)
 
 
-def minhash_signature_pandas(arrays: DataFrame, num_hashes: int = 16) -> DataFrame:
+def minhash_signature_pandas(
+    arrays: DataFrame, num_hashes: int = 16, extra_cols: tuple[str, ...] = ()
+) -> DataFrame:
     """MinHash signature computed map-side from per-doc shingle arrays via
     an Arrow-batched pandas UDF — Kirsch-Mitzenmacher double hashing, SAME
     hash family as minhash_signature_km (one md5 per shingle → two
@@ -543,9 +553,10 @@ def minhash_signature_pandas(arrays: DataFrame, num_hashes: int = 16) -> DataFra
             out.append(hk.min(axis=0).astype(np.int64).tolist())
         return pd.Series(out)
 
-    sig = arrays.select("id", _mh(F.col("shingles")).alias("mh"))
+    extras = [F.col(c) for c in extra_cols]
+    sig = arrays.select("id", *extras, _mh(F.col("shingles")).alias("mh"))
     return sig.select(
-        "id", *[F.col("mh")[k].alias(f"h{k}") for k in range(num_hashes)]
+        "id", *extras, *[F.col("mh")[k].alias(f"h{k}") for k in range(num_hashes)]
     )
 
 

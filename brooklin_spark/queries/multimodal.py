@@ -567,48 +567,44 @@ def video_near_dup_frames(docs: DataFrame) -> DataFrame:
     corpora (hot-key cap property) without a parquet sf dir."""
     from brooklin_spark.operators import dedup as D
 
+    # lang rides through the shingle/minhash kernel (extra_cols) so the
+    # per-doc frame SET — 5 content fh from the signature + 3 boilerplate
+    # fh from lang — assembles in ONE map-side projection. The old shape
+    # union'd exploded content+boiler rows and groupBy'd them back into
+    # per-doc arrays for scoring: that ObjectHashAggregate subtree sat
+    # under BOTH scoring joins, so its doc-keyed Exchange executed TWICE
+    # (no runtime reuse, see plans/r09/multimodal_video_near_dup_before
+    # .txt). Now the checkpoint IS the per-doc array table (1 row/doc vs
+    # 8), the exploded frame view derives from it map-side, and both
+    # scoring joins read the same materialized RDD: 2 ObjectHashAggregate
+    # + 2 Exchange deleted, value-identical (same 8 distinct fh per doc,
+    # ascending array either way).
     sig = D.minhash_signature_pandas(
-        D.shingle_arrays_pandas(docs.select("doc_id", "text")),
+        D.shingle_arrays_pandas(docs.select("doc_id", "lang", "text"), extra_cols=("lang",)),
         num_hashes=_VND_CONTENT,
+        extra_cols=("lang",),
     )
-    content = sig.select(
+
+    def _boiler_fh(f: int):
+        return F.lit(f).cast("bigint") * _VND_SHIFT + F.conv(
+            F.substring(F.md5(F.concat(F.col("lang"), F.lit(f":{f}"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+
+    per_doc = sig.select(
         F.col("id").alias("doc_id"),
-        F.explode(
+        F.array_sort(
             F.array(
                 *[
                     (F.lit(f).cast("bigint") * _VND_SHIFT + F.col(f"h{f}"))
                     for f in range(_VND_CONTENT)
-                ]
+                ],
+                *[_boiler_fh(f) for f in range(_VND_CONTENT, _VND_N)],
             )
-        ).alias("fh"),
-    )
-    b_ = docs.select(
-        "doc_id",
-        F.explode(
-            F.sequence(F.lit(_VND_CONTENT), F.lit(_VND_N - 1))
-        ).alias("f"),
-        "lang",
-    )
-    boiler = b_.select(
-        "doc_id",
-        (
-            F.col("f").cast("bigint") * _VND_SHIFT
-            + F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat(
-                            F.col("lang"), F.lit(":"), F.col("f").cast("string")
-                        )
-                    ),
-                    1,
-                    8,
-                ),
-                16,
-                10,
-            ).cast("bigint")
-        ).alias("fh"),
-    )
-    frames = content.unionAll(boiler).localCheckpoint()  # feeds df-cap + sets
+        ).alias("fs"),
+    ).localCheckpoint()  # feeds df-cap, candidate join and both set sides
+    frames = per_doc.select("doc_id", F.explode("fs").alias("fh"))
     rare = (
         frames.groupBy("fh")
         .agg(F.count("*").alias("df"))
@@ -628,16 +624,13 @@ def video_near_dup_frames(docs: DataFrame) -> DataFrame:
         )
         .distinct()
     )
-    sets_ = frames.groupBy("doc_id").agg(
-        F.sort_array(F.collect_list("fh")).alias("fs")
-    )
     scored = (
         cand.join(
-            sets_.select(F.col("doc_id").alias("doc_a"), F.col("fs").alias("fa")),
+            per_doc.select(F.col("doc_id").alias("doc_a"), F.col("fs").alias("fa")),
             "doc_a",
         )
         .join(
-            sets_.select(F.col("doc_id").alias("doc_b"), F.col("fs").alias("fb")),
+            per_doc.select(F.col("doc_id").alias("doc_b"), F.col("fs").alias("fb")),
             "doc_b",
         )
         .withColumn(

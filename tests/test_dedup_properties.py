@@ -158,3 +158,25 @@ def test_simhash_bucket_cap_drops_giant_cluster(spark):
     )
     got = {(r.doc_a, r.doc_b) for r in capped.collect()}
     assert got == {(a, b) for a in range(100, 104) for b in range(100, 104) if a < b}
+
+
+def test_kernel_extra_cols_passthrough(spark, sf_smoke):
+    """The extra_cols passthrough (video near-dup's lang ride-along) must
+    not change the shingle/signature values, and must carry the column
+    through both kernels untouched."""
+    docs = table(spark, sf_smoke, "documents").select("doc_id", "lang", "text")
+    plain = D.minhash_signature_pandas(
+        D.shingle_arrays_pandas(docs), num_hashes=3
+    )
+    carried = D.minhash_signature_pandas(
+        D.shingle_arrays_pandas(docs, extra_cols=("lang",)),
+        num_hashes=3,
+        extra_cols=("lang",),
+    )
+    base = {r.id: (r.h0, r.h1, r.h2) for r in plain.collect()}
+    langs = {r.doc_id: r.lang for r in docs.select("doc_id", "lang").collect()}
+    got = carried.collect()
+    assert len(got) == len(base)
+    for r in got:
+        assert (r.h0, r.h1, r.h2) == base[r.id]
+        assert r.lang == langs[r.id]
