@@ -1431,14 +1431,37 @@ def _kcenter_traverse(spark: SparkSession, emb: DataFrame, k: int) -> list:
         )
 
     use_literals = k <= _KC_LITERAL_MAX
+    # Incremental running-max state for the literal path (r9-opt): round r
+    # needs msim(v) = max over ALL selected centers of round(dot, 6), and
+    # max is associative, so each round folds in ONLY the newest center —
+    # one O(dim) dot per row and a constant-size plan (64 literals) instead
+    # of re-evaluating r dots per row off a plan that grows O(r*dim)
+    # literals per round (O(k^2) row work and k growing compilations in
+    # total). The state rides a LAZY localCheckpoint that the round's pick
+    # job materializes (the CC convergence-check pattern): one job per
+    # round, reading the previous round's cached state instead of
+    # re-scanning parquet. Float-identical to the recompute form: the same
+    # dot_to expression produces each rounded dot and max-of-doubles is
+    # order-insensitive. The state caches (vec_id, embedding, msim) —
+    # corpus-scale, same per-round materialization posture as the PageRank
+    # rank checkpoints; past one JVM's memory the spill_bucketed switch
+    # (checkpoint.py) is the named mitigation.
+    state: DataFrame | None = None
     for r in range(1, k):
         taken = [i for i, _ in selected]
         if use_literals:
-            sims = [dot_to(v) for _, v in selected]
-            msim = F.greatest(*sims) if len(sims) > 1 else sims[0]
+            new_dot = dot_to(selected[-1][1])
+            if state is None:
+                state = emb.select("vec_id", "embedding", new_dot.alias("msim"))
+            else:
+                state = state.select(
+                    "vec_id",
+                    "embedding",
+                    F.greatest(F.col("msim"), new_dot).alias("msim"),
+                )
+            state = state.localCheckpoint(eager=False)
             pick = (
-                emb.filter(~F.col("vec_id").isin(taken))
-                .select("vec_id", "embedding", msim.alias("msim"))
+                state.filter(~F.col("vec_id").isin(taken))
                 .orderBy(F.asc("msim"), F.asc("vec_id"))
                 .limit(1)
                 .first()
