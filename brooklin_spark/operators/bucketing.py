@@ -96,6 +96,76 @@ def register_bucketed(
     )
 
 
+#: the spine-twin db-name convention scripts/spine_custkey.py builds:
+#: <prefix><sf base>. Only the CUSTKEY layout is auto-routed — its
+#: registered-q5 win is booked (spine_custkey_sf100_b256.json); the
+#: orderkey layout ("spine_") only measured a win for q5 under a
+#: different join order, so it stays explicit-marker-only.
+_TWIN_PREFIXES = ("spinecust_",)
+#: facts a twin must serve for the spine joins to ride it
+_TWIN_TABLES = ("customer", "orders", "lineitem")
+
+
+def spine_twin(spark: SparkSession, sf_dir: str) -> str | None:
+    """Auto-detect a bucketed spine-layout twin for a plain parquet corpus
+    (r10, r9 verdict item 5): when a convention-named db serves bucketed
+    customer/orders/lineitem built FROM THIS EXACT CORPUS, return the
+    ``bucketed:<db>:<sf_dir>`` marker that routes io.table through it; else
+    None (plain path untouched — in particular the driver's bench and
+    correctness environments have no twins, so their plans are unchanged).
+
+    Provenance guard: each table's persisted ``_bucket_spec.json`` must
+    carry a ``source`` stamp (abspath + mtime of the parquet it was built
+    from) that matches sf_dir's file — a twin built from different data
+    that merely shares the directory basename, or whose source has since
+    been rewritten, is never routed to. Twins without the stamp (pre-r10
+    builds) are served only via an explicit ``bucketed:`` marker."""
+    if sf_dir.startswith("bucketed:") or not os.path.isdir(sf_dir):
+        return None
+    base = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    for prefix in _TWIN_PREFIXES:
+        db = prefix + base
+        try:
+            if not all(
+                spark.catalog.tableExists(f"{db}.{t}") for t in _TWIN_TABLES
+            ):
+                continue
+            ok = True
+            for t in _TWIN_TABLES:
+                spec_path = os.path.join(
+                    table_location(spark, f"{db}.{t}"), SPEC_FILE
+                )
+                with open(spec_path) as f:
+                    src = json.load(f).get("source")
+                parquet = os.path.join(sf_dir, f"{t}.parquet")
+                if (
+                    not src
+                    or src.get("path") != os.path.abspath(parquet)
+                    or src.get("mtime") != os.path.getmtime(parquet)
+                ):
+                    ok = False
+                    break
+            if ok:
+                return f"bucketed:{db}:{sf_dir}"
+        except Exception:
+            continue
+    return None
+
+
+def stamp_source(table_loc: str, parquet_path: str) -> None:
+    """Record the corpus a bucketed table was built from in its persisted
+    spec — what spine_twin() validates before auto-routing."""
+    spec_path = os.path.join(table_loc, SPEC_FILE)
+    with open(spec_path) as f:
+        spec = json.load(f)
+    spec["source"] = {
+        "path": os.path.abspath(parquet_path),
+        "mtime": os.path.getmtime(parquet_path),
+    }
+    with open(spec_path, "w") as f:
+        json.dump(spec, f)
+
+
 def bucketed_join(
     spark: SparkSession, left_table: str, right_table: str, key_left: str, key_right: str
 ) -> DataFrame:

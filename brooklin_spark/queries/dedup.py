@@ -923,6 +923,11 @@ _PR_SPILL_LI_ROWS = 100_000_000
 #: vs 7.99 s); threshold sits between the measured scales and is
 #: data-derived (parquet footer row count), not core-count-derived.
 _PR_FUSED_LI_ROWS = 2_000_000
+#: the bipartite rounds broadcast the node-scale supplier message table
+#: (sk, rank/deg) once per round; above this many suppliers (~1 GiB framed,
+#: TPC-H shape reaches it around sf6000) fall back to the edge-table rounds
+#: instead of risking the 8 GiB broadcast cap
+_PR_MSG_BCAST_MAX_SUPPLIERS = 64_000_000
 
 #: per-corpus fact row counts for the spill switches — read ONCE from the
 #: parquet footers (metadata-only, no Spark job) instead of running a
@@ -950,6 +955,58 @@ def _fact_rows(spark: SparkSession, sf_dir: str, name: str) -> int:
 
 def _lineitem_rows(spark: SparkSession, sf_dir: str) -> int:
     return _fact_rows(spark, sf_dir, "lineitem")
+
+
+def _pr_bipartite_rounds(g: DataFrame, deg_s: DataFrame, n_c: int, n_s: int) -> DataFrame:
+    """Bipartite message-passing rounds over the customer-grouped adjacency
+    (r10, guide §2.3/§2.4): customer and supplier ranks are kept as two
+    node-scale tables, so NOTHING pair-scale is ever joined, written or
+    exchanged inside the rounds —
+
+    - c→s: each customer's message rank/deg(c) is computed BEFORE the
+      explode (one division per customer row, not per pair; deg(c) =
+      size(ss) so no degree join either), then explode + groupBy(sk):
+      partial aggregation bounds the exchange at (partitions × suppliers).
+    - s→c: the node-scale supplier message table (sk, rank/deg) is
+      BROADCAST into the exploded adjacency; BroadcastHashJoin and
+      Generate both preserve g's HashPartitioning(ck), so the groupBy(ck)
+      needs no Exchange at all.
+
+    Every supplier appears in some ss and every g row has a non-empty ss
+    (pairs come from an inner join), so both aggregates cover their full
+    node sets — the oracle's LEFT-join-over-nodes is still redundant here,
+    same argument as the r9 edge-table rounds. The two per-direction rank
+    chains are disjoint (ranks_c(k+1) reads only ranks_s(k) and vice
+    versa), so keeping them lazy double-evaluates nothing."""
+    n = n_c + n_s
+    base = (1.0 - _PR_D) / n
+    r0 = F.round(F.lit(1.0) / n, 8)
+    ranks_c = g.select("ck", r0.alias("rank"))
+    ranks_s = deg_s.select("sk", r0.alias("rank"))
+    for _ in range(_PR_ITERS):
+        inflow_s = (
+            g.join(ranks_c, "ck")
+            .select((F.col("rank") / F.size("ss")).alias("m"), "ss")
+            .select(F.explode("ss").alias("sk"), "m")
+            .groupBy("sk")
+            .agg(F.sum("m").alias("inflow"))
+        )
+        msg_s = ranks_s.join(deg_s, "sk").select(
+            "sk", (F.col("rank") / F.col("deg")).alias("m")
+        )
+        inflow_c = (
+            g.select("ck", F.explode("ss").alias("sk"))
+            .join(F.broadcast(msg_s), "sk")
+            .groupBy("ck")
+            .agg(F.sum("m").alias("inflow"))
+        )
+        rank_upd = F.round(F.lit(base) + _PR_D * F.col("inflow"), 8).alias("rank")
+        ranks_s = inflow_s.select("sk", rank_upd)
+        ranks_c = inflow_c.select("ck", rank_upd)
+    out = ranks_c.select((F.col("ck") * 2).alias("node"), "rank").unionAll(
+        ranks_s.select((F.col("sk") * 2 + 1).alias("node"), "rank")
+    )
+    return out.select(_graph_node_str("node").alias("node"), "rank")
 
 
 def _pr_iter_sql(k: int) -> str:
@@ -1031,18 +1088,37 @@ def graph_pagerank_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
         gc_dead_scratch(spark, "pr_edeg_scratch")
     if fused:
         # grouped-adjacency build (_graph_grouped): ONE fact-scale
-        # exchange yields pairs AND deg(c); only deg(s) still aggregates
-        # at pair scale. Crossover + A/B numbers at _PR_FUSED_LI_ROWS;
-        # the materialized table is customer rows of arrays, not pair
-        # rows — smaller either as JVM cache or as columnar scratch.
+        # exchange yields pairs AND deg(c) = size(ss). r10 phase 2: the
+        # rounds themselves now run BIPARTITE over this table
+        # (_pr_bipartite_rounds), which deletes the r9 fused path's
+        # remaining pair-scale operators outright — the edges∪reverse
+        # union, the pair-scale edeg build join, and the bucketed edeg
+        # scratch write (at sf100: a ~3B-row join plus a ~3B-row parquet
+        # write) all disappear. The only pair-scale pass left at build is
+        # ONE explode→partial-agg for deg(s), and the only materialized
+        # table is the grouped adjacency itself: pair-scale *elements*,
+        # node-scale *rows*. Materialization keeps HashPartitioning(ck)
+        # (bucketed scratch past the spill threshold, AQE-off checkpoint
+        # below it) so every round's groupBy(ck) rides it exchange-free.
         g = _graph_grouped(spark, sf_dir)
         if spill:
-            g_tbl = scratch_name("pr_grouped_scratch", corpus)
-            drop_scratch_table(spark, g_tbl)
-            g.write.saveAsTable(g_tbl)
-            g = spark.table(g_tbl)
+            g = spill_bucketed(g, "ck", scratch_name("pr_grouped_scratch", corpus))
         else:
-            g = g.localCheckpoint()
+            g = checkpoint_partitioned(g)
+        # deg(s) = customers carrying s — the single remaining pair-scale
+        # aggregate, run once at build (partial aggregation bounds its
+        # exchange at partitions × suppliers); node-scale checkpoint so
+        # the per-round supplier message table never re-derives it
+        deg_s = checkpoint_partitioned(
+            g.select(F.explode("ss").alias("sk"))
+            .groupBy("sk")
+            .agg(F.count("*").alias("deg"))
+        )
+        n_s = deg_s.count()
+        if n_s <= _PR_MSG_BCAST_MAX_SUPPLIERS:
+            return _pr_bipartite_rounds(g, deg_s, g.count(), n_s)
+        # beyond-broadcast supplier side: r9 edge-table rounds, with
+        # pairs/degree derived from the grouped build (deg(s) reused)
         deg_c = g.select(
             (F.col("ck") * 2).alias("node"),
             F.size("ss").cast("long").alias("deg"),
@@ -1051,9 +1127,7 @@ def graph_pagerank_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("ck") * 2).alias("c_node"), F.explode("ss").alias("s")
         ).select("c_node", (F.col("s") * 2 + 1).alias("s_node"))
         degree = deg_c.unionAll(
-            pairs.groupBy(F.col("s_node").alias("node")).agg(
-                F.count("*").alias("deg")
-            )
+            deg_s.select((F.col("sk") * 2 + 1).alias("node"), F.col("deg"))
         )
     else:
         if spill:

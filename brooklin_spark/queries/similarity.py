@@ -1379,8 +1379,23 @@ def _kcenter_oracle(k: int) -> str:
 #: batch) — the k>=100 production shape
 _KC_LITERAL_MAX = 64
 
+#: past this many embedding rows the per-round running-max state
+#: (vec_id, embedding, msim) stops riding deserialized localCheckpoint
+#: caches (object form ~1 KB/row for a 64-dim vector: tens of millions of
+#: rows exhaust one 48 g JVM, the r6 PageRank failure mode) and spills
+#: COLUMNAR to an alternating pair of scratch tables instead — same
+#: footer-derived, data-not-core-count threshold pattern as
+#: _PR_SPILL_LI_ROWS. On a real cluster the threshold is per-executor;
+#: here it is one JVM's memory.
+_KC_SPILL_EMB_ROWS = 20_000_000
 
-def _kcenter_traverse(spark: SparkSession, emb: DataFrame, k: int) -> list:
+
+def _kcenter_traverse(
+    spark: SparkSession,
+    emb: DataFrame,
+    k: int,
+    spill_corpus: str | None = None,
+) -> list:
     """Gonzalez farthest-point traversal: k-1 zero-shuffle corpus passes;
     only k rows ever reach the driver (the selected centers ARE the model
     state, same bounded-collect contract as the IVF centroids).
@@ -1444,9 +1459,22 @@ def _kcenter_traverse(spark: SparkSession, emb: DataFrame, k: int) -> list:
     # dot_to expression produces each rounded dot and max-of-doubles is
     # order-insensitive. The state caches (vec_id, embedding, msim) —
     # corpus-scale, same per-round materialization posture as the PageRank
-    # rank checkpoints; past one JVM's memory the spill_bucketed switch
-    # (checkpoint.py) is the named mitigation.
+    # rank checkpoints; past _KC_SPILL_EMB_ROWS (footer-derived) the caller
+    # passes spill_corpus and the state spills COLUMNAR to alternating
+    # scratch tables instead of the JVM object cache (r10, wired below; no
+    # bucket spec — nothing downstream joins on a key, the pick is a
+    # global ordered limit).
     state: DataFrame | None = None
+    prev_tbl: str | None = None
+    if spill_corpus is not None:
+        from brooklin_spark.checkpoint import (
+            drop_scratch_table,
+            gc_dead_scratch,
+            scratch_name,
+        )
+
+        gc_dead_scratch(spark, "kc_state_a")
+        gc_dead_scratch(spark, "kc_state_b")
     for r in range(1, k):
         taken = [i for i, _ in selected]
         if use_literals:
@@ -1459,7 +1487,22 @@ def _kcenter_traverse(spark: SparkSession, emb: DataFrame, k: int) -> list:
                     "embedding",
                     F.greatest(F.col("msim"), new_dot).alias("msim"),
                 )
-            state = state.localCheckpoint(eager=False)
+            if spill_corpus is not None:
+                # columnar spill: write THIS round's state before dropping
+                # the previous round's table it reads from (alternating
+                # a/b names so reader and writer never collide); the pick
+                # below then scans parquet instead of a JVM object cache
+                tbl = scratch_name(
+                    "kc_state_a" if r % 2 else "kc_state_b", spill_corpus
+                )
+                drop_scratch_table(spark, tbl)
+                state.write.saveAsTable(tbl)
+                state = spark.table(tbl)
+                if prev_tbl is not None:
+                    drop_scratch_table(spark, prev_tbl)
+                prev_tbl = tbl
+            else:
+                state = state.localCheckpoint(eager=False)
             pick = (
                 state.filter(~F.col("vec_id").isin(taken))
                 .orderBy(F.asc("msim"), F.asc("vec_id"))
@@ -1502,13 +1545,25 @@ def _kcenter_traverse(spark: SparkSession, emb: DataFrame, k: int) -> list:
         _assert_unit(int(pick.vec_id), full.embedding)
         selected.append((int(pick.vec_id), list(full.embedding)))
         rows.append((r, int(pick.vec_id), float(pick.msim)))
+    if spill_corpus is not None and prev_tbl is not None:
+        drop_scratch_table(spark, prev_tbl)
     return rows
 
 
 @query("embedding_kcenter_coreset", oracle=_kcenter_oracle(_KC_K))
 def embedding_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from brooklin_spark.queries.dedup import _fact_rows
+
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    rows = _kcenter_traverse(spark, emb, _KC_K)
+    spill = _fact_rows(spark, sf_dir, "embeddings") > _KC_SPILL_EMB_ROWS
+    rows = _kcenter_traverse(
+        spark,
+        emb,
+        _KC_K,
+        spill_corpus=os.path.join(sf_dir, "embeddings.parquet") if spill else None,
+    )
     return spark.createDataFrame(
         rows, "rank bigint, vec_id bigint, min_sim double"
     )

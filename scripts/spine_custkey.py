@@ -77,6 +77,13 @@ def main() -> None:
         # one sorted file per bucket — see spine_bucketed.py
         df = table(spark, sf_dir, name).repartition(N_BUCKETS, F.col(key))
         write_bucketed(df, f"{db}.{name}", key, N_BUCKETS, sort=True)
+        # provenance stamp: lets q5's spine_twin() auto-route this layout
+        from brooklin_spark.operators.bucketing import stamp_source, table_location
+
+        stamp_source(
+            table_location(spark, f"{db}.{name}"),
+            os.path.join(sf_dir, f"{name}.parquet"),
+        )
         build_s[name] = round(time.perf_counter() - t0, 3)
     book["build_s"] = build_s
 

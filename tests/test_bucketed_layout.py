@@ -216,3 +216,89 @@ def test_pagerank_fused_build_is_value_identical(spark, sf_smoke):
     for other in (b, c, d):
         other = other.sort_values("node", ignore_index=True)
         assert a.equals(other) and len(a) > 0
+
+
+def test_kcenter_spill_state_is_value_identical(spark, sf_smoke):
+    """The r10 columnar-spill switch for kcenter's incremental running-max
+    state (alternating scratch tables past _KC_SPILL_EMB_ROWS) must produce
+    EXACTLY the localCheckpoint path's centers, and must leave no scratch
+    tables behind — the switch changes storage, never values."""
+    import brooklin_spark.queries.similarity as qs
+
+    fn = registry.QUERIES["embedding_kcenter_coreset"]
+    a = fn(spark, sf_smoke).toPandas().sort_values("rank", ignore_index=True)
+    prev = qs._KC_SPILL_EMB_ROWS
+    qs._KC_SPILL_EMB_ROWS = 0
+    try:
+        b = fn(spark, sf_smoke).toPandas().sort_values("rank", ignore_index=True)
+    finally:
+        qs._KC_SPILL_EMB_ROWS = prev
+    assert a.equals(b) and len(a) > 0
+    leftover = [
+        t.name for t in spark.catalog.listTables() if t.name.startswith("kc_state_")
+    ]
+    assert not leftover, f"kcenter spill scratch not cleaned: {leftover}"
+
+
+def test_q5_spine_twin_autoroute(spark, sf_smoke):
+    """q5's layout-aware fallback (r10): with a provenance-stamped custkey
+    twin present the query scans the bucketed catalog tables; with the
+    stamp's mtime invalidated (or no twin) it scans plain parquet. Results
+    identical either way."""
+    import os
+    import shutil
+
+    from brooklin_spark.operators.bucketing import (
+        SPEC_FILE,
+        spine_twin,
+        stamp_source,
+        table_location,
+        write_bucketed,
+    )
+
+    db = "spinecust_" + os.path.basename(os.path.normpath(sf_smoke)).replace(".", "_")
+    assert spine_twin(spark, sf_smoke) is None  # no twin yet
+    fn = registry.QUERIES["q5_local_supplier_volume"]
+    plain = fn(spark, sf_smoke)
+    assert db not in plain._jdf.queryExecution().analyzed().toString()
+    a = plain.toPandas().sort_values("n_name", ignore_index=True)
+
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    locs = []
+    try:
+        for name, key in [
+            ("customer", "c_custkey"),
+            ("orders", "o_custkey"),
+            ("lineitem", "l_orderkey"),
+        ]:
+            spark.sql(f"DROP TABLE IF EXISTS {db}.{name}")
+            write_bucketed(
+                table(spark, sf_smoke, name).repartition(4, F.col(key)),
+                f"{db}.{name}",
+                key,
+                4,
+            )
+            loc = table_location(spark, f"{db}.{name}")
+            locs.append(loc)
+            # without the provenance stamp the twin must NOT be routed
+            assert spine_twin(spark, sf_smoke) is None
+            stamp_source(loc, os.path.join(sf_smoke, f"{name}.parquet"))
+        assert spine_twin(spark, sf_smoke) == f"bucketed:{db}:{sf_smoke}"
+        routed = fn(spark, sf_smoke)
+        assert db in routed._jdf.queryExecution().analyzed().toString()
+        b = routed.toPandas().sort_values("n_name", ignore_index=True)
+        assert a.equals(b) and len(a) > 0
+        # stale-source guard: a wrong mtime in one stamp kills the route
+        import json
+
+        spec_path = os.path.join(locs[0], SPEC_FILE)
+        spec = json.load(open(spec_path))
+        spec["source"]["mtime"] = 0.0
+        json.dump(spec, open(spec_path, "w"))
+        assert spine_twin(spark, sf_smoke) is None
+    finally:
+        for name in ("customer", "orders", "lineitem"):
+            spark.sql(f"DROP TABLE IF EXISTS {db}.{name}")
+        for loc in locs:
+            shutil.rmtree(loc, ignore_errors=True)
+        spark.sql(f"DROP DATABASE IF EXISTS {db}")

@@ -50,7 +50,9 @@ def _labels(df):
     return {r.id: r.comp for r in df.collect()}
 
 
-@pytest.mark.parametrize("seed", [7, 21])
+@pytest.mark.parametrize(
+    "seed", [7, pytest.param(21, marks=pytest.mark.slow)]
+)
 def test_star_cc_matches_label_propagation_random(spark, seed):
     rng = random.Random(seed)
     edges = set()
@@ -86,6 +88,7 @@ def test_star_cc_deep_chain_converges(spark):
     assert set(got.values()) == {0}
 
 
+@pytest.mark.slow
 def test_grouped_numpy_jaccard_matches_selfjoin(spark, sf_smoke):
     """The posting-block numpy pair counter is exactly equivalent to the
     windowed-cap self-join (same pairs, same jaccard values) — it is the

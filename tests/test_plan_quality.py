@@ -7,6 +7,8 @@ global sort, shuffle counts bounded.
 
 from __future__ import annotations
 
+import pytest
+
 from brooklin_spark import registry
 from brooklin_spark.plans import (
     broadcast_join_count,
@@ -650,6 +652,7 @@ def test_ivfpq_query_path_is_jvm_only(spark, sf_correct):
     assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) == 1, plan
 
 
+@pytest.mark.slow
 def test_ivfpq_lut_join_fallback_is_value_identical(spark, sf_correct):
     """Above _IVFPQ_LUT_MAP_MAX the ADC LUT falls back from the constant
     map to m broadcast joins (plan-size guard); both paths must produce
@@ -698,6 +701,7 @@ def test_weighted_priority_sample_is_topk_not_global_sort(spark, sf_correct):
     assert "Exchange rangepartitioning" not in plan, plan
 
 
+@pytest.mark.slow
 def test_incremental_dedup_band_join_is_hash_equi(spark, sf_correct):
     """Probe-vs-base LSH: the band join is an equi-join (hash/broadcast),
     never a nested loop, and only the two map-side Arrow kernels
