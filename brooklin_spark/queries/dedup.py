@@ -1843,6 +1843,124 @@ def _kcore_round_sql(r: int) -> str:
     """,
 )
 def graph_kcore_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r10: the peel now runs over the GROUPED adjacency (the PageRank
+    # build), not the flat pair table — the r9 form's round-1 decrement
+    # joined the corpus-scale dead set against a plain lazy checkpoint of
+    # e0 (UnknownPartitioning), which re-exchanged the FULL pair table
+    # twice in one round. Grouped form per round (guide §2.3/§2.4):
+    #   - supplier decrements: inner-join the newly-dead customers
+    #     (node-scale) against g on ck — g's HashPartitioning(ck) means
+    #     only the dead set moves — then explode just THEIR arrays and
+    #     partial-aggregate by supplier;
+    #   - customer decrements: broadcast the newly-dead suppliers
+    #     (node-scale, bounded by the supplier side) into the exploded
+    #     adjacency; Generate+BroadcastHashJoin preserve g's partitioning
+    #     so the groupBy(ck) needs no Exchange at all.
+    # No pair-scale Exchange anywhere after the one grouped build. Rounds
+    # past convergence have EMPTY dead sets and AQE prunes both decrement
+    # subtrees to empty relations. Same early-dead-neighbor argument as
+    # the r9 form (decrements against already-dead nodes are discarded by
+    # the alive join). Beyond-broadcast supplier domains (footer bound,
+    # same guard as PageRank's message broadcast) keep the r9 pair path.
+    # Crossover measured r10 (scripts/r10_kcore_ab.py, alternating
+    # min-of-N, oracle-equal both sides): sf0.1 pairs wins 5/5 (3.13 vs
+    # 3.62 s — the grouped build + per-round broadcast jobs lose to the
+    # 3-round latency floor), sf1 grouped wins 3/4 (4.38 vs 4.49 s), sf10
+    # grouped wins 3/3 (min 35.9 vs 96.5 s, 2.7x — vs DuckDB's 38.7 s
+    # booked sf10, i.e. the r9 1.32x flag row crosses under 1x). Same
+    # data-derived threshold as PageRank's fused switch.
+    max_s = _key_upper_bound(sf_dir, "lineitem", "l_suppkey")
+    fused = _lineitem_rows(spark, sf_dir) > _PR_FUSED_LI_ROWS
+    if fused and max_s is not None and 0 <= max_s <= _PR_MSG_BCAST_MAX_SUPPLIERS:
+        return _kcore_grouped(spark, sf_dir)
+    return _kcore_pairs(spark, sf_dir)
+
+
+def _kcore_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # same one-JVM spill posture as PageRank: past _PR_SPILL_LI_ROWS the
+    # grouped adjacency goes to a ck-bucketed columnar scratch table
+    # (HashPartitioning preserved by the bucketed scan) instead of a
+    # deserialized localCheckpoint cache
+    if _lineitem_rows(spark, sf_dir) > _PR_SPILL_LI_ROWS:
+        from brooklin_spark.checkpoint import gc_dead_scratch, scratch_name
+
+        corpus = os.path.join(sf_dir, "lineitem.parquet")
+        gc_dead_scratch(spark, "kcore_grouped_scratch")
+        g = spill_bucketed(
+            _graph_grouped(spark, sf_dir),
+            "ck",
+            scratch_name("kcore_grouped_scratch", corpus),
+        )
+    else:
+        g = checkpoint_partitioned(_graph_grouped(spark, sf_dir))
+    deg_c = g.select(
+        (F.col("ck") * 2).alias("node"), F.size("ss").cast("long").alias("d")
+    )
+    deg = deg_c.unionAll(
+        g.select(F.explode("ss").alias("sk"))
+        .groupBy("sk")
+        .agg(F.count("*").alias("d"))
+        .select((F.col("sk") * 2 + 1).alias("node"), "d")
+    ).localCheckpoint(eager=False)
+    kv = deg.agg(
+        ((F.sum("d") / (2 * F.count("*"))).cast("bigint") + 1).alias("k")
+    ).localCheckpoint(eager=False)
+
+    def stat_row(r: int, d: DataFrame) -> DataFrame:
+        return d.agg(
+            F.lit(r).cast("bigint").alias("round"),
+            F.count("*").cast("bigint").alias("n_nodes"),
+            (F.coalesce(F.sum("d"), F.lit(0)) / 2).cast("bigint").alias("n_edges"),
+        )
+
+    stats = [stat_row(0, deg)]
+    for r in range(1, _KCORE_ROUNDS + 1):
+        dead = deg.join(F.broadcast(kv), F.col("d") < F.col("k")).select("node")
+        alive_deg = deg.join(F.broadcast(kv), F.col("d") >= F.col("k")).select(
+            "node", "d"
+        )
+        dead_c = dead.filter(F.col("node") % 2 == 0).select(
+            F.expr("node DIV 2").alias("ck")
+        )
+        dead_s = dead.filter(F.col("node") % 2 == 1).select(
+            F.expr("node DIV 2").alias("sk")
+        )
+        decs = (
+            g.join(dead_c, "ck")
+            .select(F.explode("ss").alias("sk"))
+            .groupBy("sk")
+            .agg(F.count("*").alias("cut"))
+            .select((F.col("sk") * 2 + 1).alias("node"), "cut")
+        )
+        decc = (
+            g.select("ck", F.explode("ss").alias("sk"))
+            .join(F.broadcast(dead_s), "sk")
+            .groupBy("ck")
+            .agg(F.count("*").alias("cut"))
+            .select((F.col("ck") * 2).alias("node"), "cut")
+        )
+        # decc keys are even, decs odd — disjoint, no re-agg needed
+        dec = decc.unionAll(decs)
+        deg = (
+            alive_deg.join(dec, "node", "left")
+            .select(
+                "node",
+                (F.col("d") - F.coalesce(F.col("cut"), F.lit(0))).alias("d"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        stats.append(stat_row(r, deg))
+    out = stats[0]
+    for s in stats[1:]:
+        out = out.unionAll(s)
+    return (
+        out.join(F.broadcast(kv))
+        .select("round", "k", "n_nodes", "n_edges")
+        .orderBy("round")
+    )
+
+
+def _kcore_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     e0 = _graph_pairs(spark, sf_dir).select(
         F.col("c_node").alias("c"), F.col("s_node").alias("s")
     ).localCheckpoint(eager=False)
