@@ -855,8 +855,11 @@ def _graph_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     _graph_pairs), two-column fallback otherwise.  A/B'd against the
     distinct-pairs build end-to-end on PageRank
     (scripts/r9_pagerank_build_ab.py): sf1 min-of-3 7.26 s vs 7.99 s,
-    every rep faster; sf0.1 ~0.4 s SLOWER (the extra build stages against
-    the 5-round latency floor) — hence the `_PR_FUSED_LI_ROWS` switch."""
+    every rep faster; sf0.1 ~0.4 s SLOWER under the r9 edge-table rounds
+    (hence the original `_PR_FUSED_LI_ROWS` = 2M). With the r10 bipartite
+    rounds the fused shape wins at sf0.1 too (scripts/r10_pr_sf01_ab.py),
+    so PageRank's threshold is now 0; kcore keeps its own crossover in
+    `_KCORE_GROUPED_LI_ROWS`."""
     o = table(spark, sf_dir, "orders")
     li = table(spark, sf_dir, "lineitem")
     joined = o.join(li, li.l_orderkey == o.o_orderkey)
@@ -916,13 +919,21 @@ _PR_ITERS = 5
 #: above this many fact rows the graph tables spill columnar (see below)
 _PR_SPILL_LI_ROWS = 100_000_000
 #: above this many fact rows PageRank's pair+degree build fuses into the
-#: one-exchange grouped-adjacency shape (_graph_grouped). Crossover
-#: measured r9-opt (scripts/r9_pagerank_build_ab.py, exact value equality
-#: both sides): sf0.1 / 600K rows the plain build wins by ~0.4 s (stage
-#: latency floor), sf1 / 6M rows the fused build wins every rep (min 7.26
-#: vs 7.99 s); threshold sits between the measured scales and is
-#: data-derived (parquet footer row count), not core-count-derived.
-_PR_FUSED_LI_ROWS = 2_000_000
+#: one-exchange grouped-adjacency shape (_graph_grouped) feeding the
+#: bipartite rounds. The r9 crossover (plain wins sf0.1 by ~0.4 s,
+#: scripts/r9_pagerank_build_ab.py) compared the two BUILDS under the SAME
+#: edge-table rounds; with the r10 bipartite rounds the fused shape wins
+#: at sf0.1 too (scripts/r10_pr_sf01_ab.py, alternating min-of-N, value
+#: identity asserted: fused min 3.62 vs plain 4.14 s and 4.51 vs 4.89 s
+#: across two sessions, fused 8/4 on warm paired reps), so the threshold
+#: is now 0 — fused everywhere, still parameterized for A/B forcing.
+_PR_FUSED_LI_ROWS = 0
+#: kcore keeps the r9 pair-table peel below this (its own measured
+#: crossover, scripts/r10_kcore_ab.py: sf0.1 pairs wins 5/5 — the grouped
+#: build + per-round broadcast jobs lose to the 3-round latency floor;
+#: sf1 grouped 3/4, sf10 grouped 3/3 at 2.7x). Data-derived (parquet
+#: footer row count), not core-count-derived.
+_KCORE_GROUPED_LI_ROWS = 2_000_000
 #: the bipartite rounds broadcast the node-scale supplier message table
 #: (sk, rank/deg) once per round; above this many suppliers (~1 GiB framed,
 #: TPC-H shape reaches it around sf6000) fall back to the edge-table rounds
@@ -1867,10 +1878,12 @@ def graph_kcore_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 3.62 s — the grouped build + per-round broadcast jobs lose to the
     # 3-round latency floor), sf1 grouped wins 3/4 (4.38 vs 4.49 s), sf10
     # grouped wins 3/3 (min 35.9 vs 96.5 s, 2.7x — vs DuckDB's 38.7 s
-    # booked sf10, i.e. the r9 1.32x flag row crosses under 1x). Same
-    # data-derived threshold as PageRank's fused switch.
+    # booked sf10, i.e. the r9 1.32x flag row crosses under 1x). Own
+    # data-derived threshold (_KCORE_GROUPED_LI_ROWS): PageRank's fused
+    # switch dropped to 0 after the r10 bipartite-rounds re-measurement,
+    # but kcore's sf0.1 crossover still favors the pair peel.
     max_s = _key_upper_bound(sf_dir, "lineitem", "l_suppkey")
-    fused = _lineitem_rows(spark, sf_dir) > _PR_FUSED_LI_ROWS
+    fused = _lineitem_rows(spark, sf_dir) > _KCORE_GROUPED_LI_ROWS
     if fused and max_s is not None and 0 <= max_s <= _PR_MSG_BCAST_MAX_SUPPLIERS:
         return _kcore_grouped(spark, sf_dir)
     return _kcore_pairs(spark, sf_dir)

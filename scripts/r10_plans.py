@@ -29,6 +29,10 @@ if os.environ.get("R10_FORCE_PR_FUSED"):
     from brooklin_spark.queries import dedup
 
     dedup._PR_FUSED_LI_ROWS = 0
+if os.environ.get("R10_FORCE_PR_PLAIN"):
+    from brooklin_spark.queries import dedup
+
+    dedup._PR_FUSED_LI_ROWS = 10**18
 if os.environ.get("R10_FORCE_SPILL"):
     from brooklin_spark.queries import dedup
 

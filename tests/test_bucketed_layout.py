@@ -197,10 +197,13 @@ def test_pagerank_fused_build_is_value_identical(spark, sf_smoke):
     import brooklin_spark.queries.dedup as dd
 
     fn = registry.QUERIES["graph_pagerank_influence"]
-    a = fn(spark, sf_smoke).toPandas().sort_values("node", ignore_index=True)
     prev_f = dd._PR_FUSED_LI_ROWS
     prev_s = dd._PR_SPILL_LI_ROWS
     prev_kb = dd._key_upper_bound
+    # the fused bipartite path is the default everywhere since r10; force
+    # the plain distinct-pairs build as the reference side
+    dd._PR_FUSED_LI_ROWS = 10**18
+    a = fn(spark, sf_smoke).toPandas().sort_values("node", ignore_index=True)
     dd._PR_FUSED_LI_ROWS = 0
     try:
         b = fn(spark, sf_smoke).toPandas()  # fused, in-memory
