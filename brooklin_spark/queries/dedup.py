@@ -2471,24 +2471,69 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_ord") >= 2)
         .select("pa", "pb")
     )
+    # r10-opt (guide §2.3/§2.4, VERDICT item 6): the r9 shape checkpointed
+    # the DOUBLED edge table and re-exchanged it twice (deg groupBy + the
+    # s_v groupBy after the edge-scale deg join). One grouped adjacency
+    # (v, nbrs) kept hash-partitioned on v replaces all of it:
+    #   deg(v)    = size(nbrs)          — no exchange
+    #   m2/sx/sxx = aggregates over adj — degree MOMENTS (r9 identity:
+    #               m2 = Σd, sx = Σd², sxx = Σd³), no exchange
+    #   sxy       = Σ_v d(v)·s(v), s(v) = Σ_{u∈N(v)} d(u): explode(nbrs)
+    #               → broadcast degree join → groupBy(v) rides adj's
+    #               HashPartitioning(v) — zero pair-scale exchange.
+    # A/B (scripts/r10_assort_grouped_ab.py, alternating min-of-N, value
+    # identity asserted): sf0.1 min 1.92 vs 1.95 s (wash — the 3.6K-edge
+    # residual is the basket pair build + stage floor), sf1 min 2.37 vs
+    # 2.74 s (5/8) and 6.31 vs 12.58 s in a hotter window — the win grows
+    # with the edge table, the structural point of the rewrite. The
+    # node-scale degree broadcast is guarded by the footer part-key bound
+    # (same pattern as _PR_MSG_BCAST_MAX_SUPPLIERS); beyond it the r9
+    # edge-table shape is kept (AQE picks the join strategy there).
+    max_p = _key_upper_bound(sf_dir, "lineitem", "l_partkey")
+    if max_p is not None and 0 <= max_p <= _PR_MSG_BCAST_MAX_SUPPLIERS:
+        par = spark.sparkContext.defaultParallelism
+        adj = checkpoint_partitioned(
+            pairs.select(F.col("pa").alias("v"), F.col("pb").alias("u"))
+            .unionAll(pairs.select(F.col("pb").alias("v"), F.col("pa").alias("u")))
+            .repartition(par, F.col("v"))
+            .groupBy("v")
+            .agg(F.collect_list("u").alias("nbrs"))
+        )
+        d = F.size("nbrs").cast("long")
+        ddec = d.cast("decimal(38,0)")
+        moments = adj.agg(
+            F.sum(d).alias("m2"),
+            F.sum(d * d).alias("sx"),
+            F.sum(ddec * ddec * ddec).alias("sxx"),
+            F.count("*").alias("n_nodes"),
+        )
+        nb = adj.select(F.col("v").alias("u"), d.alias("d_dst"))
+        s_v = (
+            adj.select("v", d.alias("d"), F.explode("nbrs").alias("u"))
+            .join(F.broadcast(nb), "u")
+            .groupBy("v", "d")
+            .agg(F.sum("d_dst").alias("sdeg"))
+        )
+        sxy = s_v.agg(
+            F.sum(F.col("d").cast("decimal(38,0)") * F.col("sdeg")).alias("sxy")
+        )
+        mean = F.col("sx").cast("double") / F.col("m2")
+        return sxy.crossJoin(F.broadcast(moments)).select(
+            "n_nodes",
+            (F.col("m2") / 2).cast("bigint").alias("n_edges"),
+            F.round(
+                (F.col("sxy").cast("double") / F.col("m2") - mean * mean)
+                / (F.col("sxx").cast("double") / F.col("m2") - mean * mean),
+                6,
+            ).alias("assortativity"),
+        )
     edges = pairs.select(
         F.col("pa").alias("src"), F.col("pb").alias("dst")
     ).unionAll(
         pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
     ).localCheckpoint(eager=False)  # degree agg + the sxy deg join re-read it
-    # r9-opt (guide §2.3: aggregate instead of join): three of the four
-    # edge sums are pure DEGREE moments — each vertex v is src of exactly
-    # d(v) directed edges, so over the symmetrized edge list
-    #   m2  = Σ_e 1            = Σ_v d(v)
-    #   sx  = Σ_e d(src)       = Σ_v d(v)²
-    #   sxx = Σ_e d(src)²      = Σ_v d(v)³
-    # — node-scale aggregates, no edge join at all. Only sxy = Σ_e
-    # d(src)·d(dst) needs edge structure, and one join suffices:
-    # sxy = Σ_v d(v)·s(v) with s(v) = Σ_{u∈N(v)} d(u). The old shape
-    # joined the degree table onto BOTH endpoints of every edge (two
-    # edge-scale joins); this pays one, and the second join is
-    # node-scale. Exact integers either way — identical output values
-    # (the cube sum rides decimal(38,0) so it stays exact at any degree).
+    # r9 shape (kept as the beyond-broadcast fallback): degree moments
+    # avoid the edge join for m2/sx/sxx; sxy pays one edge-scale join.
     deg = (
         edges.groupBy(F.col("src").alias("v"))
         .agg(F.count("*").alias("d"))
