@@ -112,6 +112,7 @@ def main() -> None:
             "events_changepoint_cusum": "CUSUM cumulative sum runs over the per-DAY aggregate (|days| rows — calendar scale, ~3.6k rows per decade); the fact-scale work is the map-side-combined daily groupBy before it; documented + plan-asserted in tests",
             "quality_ks_drift": "CDF cumulation runs over the per-distinct-token-count aggregate (|support| rows — bounded by distinct document lengths, hundreds; not corpus scale); the fact-scale work is the map-side-combined groupBy(x) before it",
             "text_heaps_law_curve": "cumulative window runs over the per-DECILE aggregate (exactly 10 rows); the fact-scale work is the distrank decile assignment + vocab groupBy before it",
+            "parts_brand_type_chi2": "grand-total SUM(o) OVER () runs over the |brands|x|types| contingency grid (metadata-scale, a few hundred rows); the fact-scale work is the one keyed groupBy before it",
         },
     }
     agg["unjustified_self_join_candidate_generators"] = sorted(
