@@ -1562,38 +1562,69 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals = trans.groupBy(F.col("from_type").alias("tf")).agg(
         F.sum("n").alias("total")
     )
-    probs = (
-        trans.join(F.broadcast(totals), F.col("tf") == trans.from_type)
-        .select(
-            "from_type",
-            "to_type",
-            F.round(F.col("n").cast("double") / F.col("total"), 6).alias("p"),
+    probs = trans.join(F.broadcast(totals), F.col("tf") == trans.from_type).select(
+        "from_type",
+        "to_type",
+        F.round(F.col("n").cast("double") / F.col("total"), 6).alias("p"),
+    )
+    # r10-opt (guide §2.4, A/B 6/6 at 0.88 vs 1.79 s min,
+    # scripts/r10_markov_ab.py, value identity asserted): the old form ran
+    # each of the 6 rounds as a broadcast join + groupBy over the 25-row
+    # matrix — 12 tiny exchanges and 6 broadcast builds of pure round
+    # latency at ANY corpus size (the matrix is domain-bounded). The whole
+    # iteration now runs as array HOFs over the matrix collected into ONE
+    # row (the groupBy's partial aggregation bounds its exchange at
+    # partitions x 1 rows; |types|^2 is event-vocabulary scale, never
+    # corpus scale). The vector rides the outer aggregate's ACCUMULATOR —
+    # a bound value per step, so the expression tree is constant-size and
+    # evaluation is linear (iters x |m|); naive nesting re-derives the
+    # previous vector per element and blows up ~|m|x per round (measured:
+    # interpreter hang — recorded in the A/B script). Per-entry arithmetic
+    # is the same round(SUM(pr*p), 12); types with no incoming transitions
+    # drop exactly like the join rounds via the final exists() filter.
+    mat = probs.groupBy().agg(
+        F.collect_list(F.struct("from_type", "to_type", "p")).alias("m")
+    )
+    ts_col = F.array_sort(
+        F.array_distinct(
+            F.concat(
+                F.transform("m", lambda x: x["from_type"]),
+                F.transform("m", lambda x: x["to_type"]),
+            )
         )
-        # |types|^2 rows; the checkpoint stops each iteration re-running
-        # the fact-scale window scan
-        .localCheckpoint()
     )
-    types = (
-        probs.select(F.col("from_type").alias("t"))
-        .union(probs.select("to_type"))
-        .distinct()
+    mat = mat.select("m", ts_col.alias("ts"))
+    p0 = F.transform("ts", lambda t: F.lit(1.0) / F.size("ts"))
+    p_final = F.aggregate(
+        F.sequence(F.lit(1), F.lit(_MARKOV_ITERS)),
+        p0,
+        lambda p_acc, _: F.transform(
+            "ts",
+            lambda t: F.round(
+                F.aggregate(
+                    F.filter("m", lambda e: e["to_type"] == t),
+                    F.lit(0.0),
+                    lambda acc, e: acc
+                    + F.element_at(
+                        p_acc, F.array_position("ts", e["from_type"]).cast("int")
+                    )
+                    * e["p"],
+                ),
+                12,
+            ),
+        ),
     )
-    k = types.agg(F.count("*").alias("k"))
-    p = types.crossJoin(F.broadcast(k)).select(
-        "t", (F.lit(1.0) / F.col("k")).alias("pr")
+    out = mat.withColumn("p", p_final).select(
+        F.explode(
+            F.arrays_zip(F.col("ts").alias("t"), F.col("p").alias("pr"))
+        ).alias("z"),
+        "m",
     )
-    for _ in range(_MARKOV_ITERS):
-        # |types|-row vector joins the checkpointed matrix — broadcast by
-        # construction (bounded by the event-type vocabulary)
-        p = (
-            F.broadcast(p)
-            .join(probs, p.t == probs.from_type)
-            .groupBy(F.col("to_type").alias("t"))
-            .agg(F.round(F.sum(F.col("pr") * F.col("p")), 12).alias("pr"))
-        )
-    return p.select(
-        F.col("t").alias("event_type"),
-        F.round("pr", 6).alias("stationary_prob"),
+    return out.filter(
+        F.exists("m", lambda e: e["to_type"] == F.col("z.t"))
+    ).select(
+        F.col("z.t").alias("event_type"),
+        F.round("z.pr", 6).alias("stationary_prob"),
     )
 
 
